@@ -1,0 +1,172 @@
+"""User-facing computation API: the guagua extension surface, in Python.
+
+Reproduces the reference's extension points (SURVEY.md §2.8):
+
+- ``WorkerComputable.compute``  ← worker/WorkerComputable.java:60-72
+- ``MasterComputable.compute``  ← master/MasterComputable.java:51-61
+- ``Combinable.combine``        ← io/Combinable.java:24-29
+- ``HaltableResult.halt``       ← io/HaltBytable.java:36-77
+- ``MasterContext``/``WorkerContext`` ← master/MasterContext.java,
+  worker/WorkerContext.java (props, attachment, current/total iteration,
+  worker_results / last_master_result)
+
+Differences from the reference, by design (Spark-first):
+
+- No ``Bytable``/serializer layer: results are arbitrary picklable Python
+  objects; Spark handles the wire format (reference io/BytableSerializer.java
+  and the GZIP/Bzip2 variants disappear).
+- Workers receive their partition as an iterator of **pyarrow RecordBatches**
+  (columnar, zero-copy from the JVM) instead of a line-record reader
+  (reference hadoop/io/GuaguaLineRecordReader.java). Convert with
+  ``batch.to_pandas()`` for numpy work.
+- Spark tasks are stateless between iterations; anything a guagua worker
+  kept in instance fields across iterations must live in the broadcast
+  master result or be recomputed (SURVEY.md §7 "hard parts" #2).
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Iterator, Protocol, runtime_checkable
+
+import pyarrow as pa
+
+
+@runtime_checkable
+class Combinable(Protocol):
+    """Associative partial-merge of two worker results.
+
+    If a worker result implements this, the engine merges results
+    executor-side (treeReduce) before they reach the driver — the Spark
+    analogue of the reference's merge-on-arrival combiner
+    (master/NettyMasterCoordinator.java:160-200, threshold
+    guagua.master.result.merge.threshold=10). Must be associative and
+    order-insensitive: results arrive unordered (SURVEY.md §4 last row).
+    """
+
+    def combine(self, other: "Combinable") -> "Combinable": ...
+
+
+@dataclass
+class HaltableResult:
+    """Master result base carrying the convergence flag.
+
+    The engine stops iterating when the master result's ``halt`` attribute
+    is truthy (reference io/HaltBytable.java:41-77; loop break at
+    master/GuaguaMasterService.java:196).
+    """
+
+    halt: bool = False
+
+
+def is_halt(result: Any) -> bool:
+    """True if a master result signals convergence (duck-typed)."""
+    return bool(getattr(result, "halt", False))
+
+
+@dataclass
+class MasterContext:
+    """Driver-side per-iteration context (reference master/MasterContext.java).
+
+    ``worker_results`` is the list of (possibly pre-combined) worker
+    results for this iteration; with a Combinable result and executor-side
+    reduction it holds a single element.
+    """
+
+    current_iteration: int
+    total_iteration: int
+    worker_results: list[Any]
+    master_result: Any = None  # previous iteration's result
+    props: dict[str, Any] = field(default_factory=dict)
+    attachment: Any = None
+    num_workers: int = 0
+    #: worker-voted halt (guagua.worker.halt.enable): True when every
+    #: worker result this iteration carried halt=True
+    #: (reference AbstractMasterCoordinator.java:311-350).
+    all_workers_halted: bool = False
+
+
+@dataclass
+class WorkerContext:
+    """Executor-side per-iteration context (reference worker/WorkerContext.java)."""
+
+    current_iteration: int
+    total_iteration: int
+    last_master_result: Any
+    props: dict[str, Any] = field(default_factory=dict)
+    partition_id: int = -1
+    attachment: Any = None
+
+
+class MasterComputable(abc.ABC):
+    """Global merge + model update, runs on the driver once per iteration.
+
+    Reference contract: master/MasterComputable.java:51-61 (compute) and
+    master/AbstractMasterComputable.java:28-62 (init-once template).
+    """
+
+    def init(self, context: MasterContext) -> None:  # noqa: B027
+        """Called once before iteration 1 (optional override)."""
+
+    @abc.abstractmethod
+    def compute(self, context: MasterContext) -> Any:
+        """Merge ``context.worker_results`` into the next master result."""
+
+
+class WorkerComputable(abc.ABC):
+    """Per-partition fold over the partition's data, once per iteration.
+
+    Reference contract: worker/WorkerComputable.java:60-72 and the
+    load-once template AbstractWorkerComputable.java:66-144. On Spark the
+    "load-once, iterate many" protocol is the persisted DataFrame: the
+    engine persists the input before the loop, so every iteration's scan
+    hits the block-manager cache, and ``compute`` sees fresh Arrow batches
+    each round.
+
+    Implementations MUST handle an empty batch iterator (a partition can
+    be empty) and MUST NOT rely on instance state surviving between
+    iterations.
+    """
+
+    def init(self, context: WorkerContext) -> None:  # noqa: B027
+        """Called once per task before compute (optional override)."""
+
+    @abc.abstractmethod
+    def compute(
+        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    ) -> Any:
+        """Fold the partition's record batches into one worker result."""
+
+
+class MasterInterceptor:
+    """Lifecycle hooks around the master loop.
+
+    Reference: master/MasterInterceptor.java:57-81. ``pre_*`` hooks run
+    FIFO, ``post_*`` hooks run FILO (ordering contract at
+    GuaguaMasterService.java:63-65,281-284).
+    """
+
+    def pre_application(self, context: MasterContext) -> None:  # noqa: B027
+        pass
+
+    def pre_iteration(self, context: MasterContext) -> None:  # noqa: B027
+        pass
+
+    def post_iteration(self, context: MasterContext) -> None:  # noqa: B027
+        pass
+
+    def post_application(self, context: MasterContext) -> None:  # noqa: B027
+        pass
+
+
+def combine_all(results: Iterable[Any]) -> Any:
+    """Left-fold a sequence of Combinable results into one."""
+    it = iter(results)
+    try:
+        acc = next(it)
+    except StopIteration:
+        return None
+    for r in it:
+        acc = acc.combine(r)
+    return acc
