@@ -3,36 +3,63 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# executors must import guagua_spark too (engine closures pickle by ref)
+_prev = os.environ.get("PYTHONPATH", "")
+if _REPO not in _prev.split(":"):
+    os.environ["PYTHONPATH"] = f"{_REPO}:{_prev}" if _prev else _REPO
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: revenue-by-nation (broadcast-join + grouped agg)
+    on sf0.001."""
+    from guagua_spark.operators.relational import q4_revenue_by_nation
+
+    return q4_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    from guagua_spark.operators import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    for mod_name in ("dedup", "similarity", "text", "events", "iterative"):
+        try:
+            import importlib
+
+            mod = importlib.import_module(f"guagua_spark.operators.{mod_name}")
+            q.update(getattr(mod, "QUERIES", {}))
+        except ImportError:
+            pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query key (omitted ⇒ rows-only check)."""
+    from guagua_spark.operators import relational
+
+    s: dict[str, str] = {}
+    s.update(relational.ORACLE_SQL)
+    for mod_name in ("dedup", "similarity", "text", "events", "iterative"):
+        try:
+            import importlib
+
+            mod = importlib.import_module(f"guagua_spark.operators.{mod_name}")
+            s.update(getattr(mod, "ORACLE_SQL", {}))
+        except ImportError:
+            pass
+    return s

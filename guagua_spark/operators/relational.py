@@ -1,0 +1,143 @@
+"""Declared queries Q1–Q5 (SURVEY.md §2.10) as DataFrame programs.
+
+Each certifies a guagua operator family against the DuckDB oracle:
+
+- Q1  global sum            ← SumMaster/SumWorker (sum/SumWorker.java:73-90)
+- Q2  partial→final agg     ← Combinable combiner semantics
+                              (io/Combinable.java, NettyMasterCoordinator
+                              merge-on-arrival :160-200)
+- Q3  fixed-key grouped agg ← k-means per-cluster accumulation
+                              (kmeans/KMeansWorker.java:151-194,
+                              KMeansMaster.java:108-150)
+- Q4  local fold + small-dim broadcast join ← worker-side fold with
+                              broadcast model state
+- Q5  conditional filter+agg ← halt-style predicate evaluation
+                              (SumMaster.java:57)
+
+Scale notes: all five are single-pass map-side-partial aggregations;
+Q4's joins shuffle on orderkey/custkey (the big sides) while nation is
+broadcast explicitly — at 100 TB the lineitem⋈orders join is the cost,
+and AQE will pick sort-merge with coalesced partitions. Column pruning
+and filter pushdown reach the parquet scans (asserted in
+tests/test_plans.py).
+
+All computed columns are aliased identically in the oracle SQL
+(__spark_entry__.oracle_sql) — the driver compares by sorted column
+names + value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guagua_spark.sources.tables import load_table
+
+
+def q1_sum_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT SUM(l_quantity) AS sum_qty FROM lineitem"""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(F.sum("l_quantity").alias("sum_qty"))
+
+
+def q2_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/COUNT/AVG in one pass — partial aggregation happens map-side
+    (executor partial → final merge), the Spark-native Combinable."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+
+
+def q3_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped means over (returnflag, linestatus) — the k-means-style
+    fixed-k accumulation as a hash aggregate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: lineitem⋈orders⋈customer⋈nation.
+
+    nation (25 rows) is broadcast explicitly — the "model-side small
+    table" of the guagua pattern; the fact-side joins shuffle on their
+    keys and AQE handles skew/coalescing.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        "rev_term"
+    )
+    return (
+        lineitem.select("l_orderkey", revenue)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_term").alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def q5_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) over a pushed-down predicate (halt-style condition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice") > 100000).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+#: oracle SQL for each query — identical aliases, ANSI, DuckDB-runnable
+ORACLE_SQL: dict[str, str] = {
+    "q1_sum_quantity": "SELECT SUM(l_quantity) AS sum_qty FROM lineitem",
+    "q2_partial_agg": (
+        "SELECT SUM(l_extendedprice) AS sum_price, COUNT(*) AS cnt, "
+        "AVG(l_discount) AS avg_disc FROM lineitem"
+    ),
+    "q3_grouped_agg": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+        "SUM(l_quantity) AS sum_qty, AVG(l_extendedprice) AS avg_price "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    "q4_revenue_by_nation": (
+        "SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY revenue DESC"
+    ),
+    "q5_filter_count": (
+        "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000"
+    ),
+}
+
+QUERIES = {
+    "q1_sum_quantity": q1_sum_quantity,
+    "q2_partial_agg": q2_partial_agg,
+    "q3_grouped_agg": q3_grouped_agg,
+    "q4_revenue_by_nation": q4_revenue_by_nation,
+    "q5_filter_count": q5_filter_count,
+}

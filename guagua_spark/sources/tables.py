@@ -1,0 +1,53 @@
+"""Canonical testdata tables (TPC-H-ish star schema + events/documents/
+embeddings), loaded as DataFrames with pushdown-friendly parquet scans.
+
+The reference's input layer (GuaguaInputFormat split planning +
+record readers, guagua-mapreduce/.../GuaguaInputFormat.java:78-166,
+hadoop/io/GuaguaLineRecordReader.java) collapses into ``spark.read``:
+partition planning is ``spark.sql.files.maxPartitionBytes``, small-file
+combining is built in, codecs are built in, and columnar pruning comes
+free with parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any scale factor —
+#: nation/region are fixed-size in TPC-H-style schemas.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Plain parquet scan: filters/projections pushed by
+    Catalyst (verify with .explain → PushedFilters/ReadSchema)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register each table as a temp view for spark.sql use."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

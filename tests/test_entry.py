@@ -1,0 +1,40 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() keys align."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_ENTRY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", _ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_runs(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema.fieldNames() == ["n_name", "revenue"]
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    q = entry_mod.queries()
+    s = entry_mod.oracle_sql()
+    assert q, "queries() must not be empty"
+    missing = set(s) - set(q)
+    assert not missing, f"oracle_sql keys without queries: {missing}"
+
+
+def test_all_queries_run_at_smoke_sf(spark, entry_mod, sf_dir):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, f"{name} returned no columns"
+        df.limit(5).collect()
