@@ -206,6 +206,15 @@ class IterativeEngine:
             num_workers=num_partitions,
         )
         master.init(mctx)
+        # optional model init before the first worker pass — replaces the
+        # reference's burned first iteration where workers return empty
+        # results so the master can initialize weights
+        # (lr/LogisticRegressionMaster.java init path)
+        if master_result is None:
+            initial = getattr(master, "initial_result", None)
+            if callable(initial):
+                master_result = initial(mctx)
+                mctx.master_result = master_result
         for icpt in interceptors:
             icpt.pre_application(mctx)
 

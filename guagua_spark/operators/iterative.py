@@ -1,0 +1,184 @@
+"""Oracle-checkable slices of the iterative workloads (SURVEY.md §2.10 Q6
+family) + rows-only entries for the full engine runs.
+
+The full iterative runs (LR training, k-means to convergence) are not
+SQL-expressible, so the driver records rows-only checks for them; the
+*single-step math* that the engine distributes IS SQL-expressible, and
+each step below is certified against the DuckDB oracle exactly:
+
+- ``lr_gradient_step``  — one logistic-gradient AllReduce with fixed
+  weights (certifies LogisticRegressionWorker/Master math,
+  lr/LogisticRegressionWorker.java:108-139).
+- ``kmeans_assign_counts`` — one assignment round against fixed literal
+  centroids (certifies KMeansWorker assignment,
+  kmeans/KMeansWorker.java:151-196).
+
+Determinism note: both sides compute left-to-right double arithmetic
+over identical float32 inputs, and the aggregates are sums whose
+accumulation order Spark/DuckDB may differ on — tolerated by the
+driver's value-hash rounding; our own tests compare at rtol 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guagua_spark.sources.tables import load_table
+
+# fixed model state for the oracle-checked single steps
+LR_WEIGHTS = (0.1, 0.02, -0.5)  # bias, l_quantity, l_discount
+KMEANS_DIM = 64
+# centroid 0 = all zeros, centroid 1 = all 0.001 — chosen so the implied
+# decision boundary (Σxᵢ > 32·c1) splits the embeddings table roughly in
+# half (median Σxᵢ ≈ 0.022), making the assignment check non-degenerate
+KMEANS_C1_VAL = 0.001
+
+
+def lr_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logistic-gradient pass over lineitem with fixed weights.
+
+    Features: (1.0 bias, l_quantity, l_discount); label = l_returnflag='R'.
+    Output: gradient components + squared-error loss + count — exactly
+    what one engine iteration AllReduces.
+    """
+    w0, w1, w2 = LR_WEIGHTS
+    li = load_table(spark, sf_dir, "lineitem")
+    z = F.lit(w0) + F.lit(w1) * F.col("l_quantity") + F.lit(w2) * F.col(
+        "l_discount"
+    )
+    pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    label = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    err = (pred - label).alias("err")
+    t = li.select(err, "l_quantity", "l_discount")
+    return t.agg(
+        F.sum("err").alias("g_bias"),
+        F.sum(F.col("err") * F.col("l_quantity")).alias("g_qty"),
+        F.sum(F.col("err") * F.col("l_discount")).alias("g_disc"),
+        F.sum(F.col("err") * F.col("err")).alias("loss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _lr_oracle() -> str:
+    w0, w1, w2 = LR_WEIGHTS
+    return f"""
+WITH t AS (
+  SELECT 1.0/(1.0+EXP(-({w0} + {w1}*l_quantity + ({w2})*l_discount)))
+         - (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS err,
+         l_quantity, l_discount
+  FROM lineitem
+)
+SELECT SUM(err) AS g_bias, SUM(err*l_quantity) AS g_qty,
+       SUM(err*l_discount) AS g_disc, SUM(err*err) AS loss,
+       COUNT(*) AS n
+FROM t
+""".strip()
+
+
+def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment round: nearest of two fixed 64-dim centroids
+    (c0 = 0⃗, c1 = 0.1⃗) over embeddings; per-cluster counts.
+
+    The distance terms are explicit per-dimension expressions (no UDF) so
+    whole-stage codegen fuses the whole assignment; centroids are plan
+    literals — the broadcast-model pattern with zero shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = lambda i: F.element_at(F.col("embedding"), i + 1).cast("double")  # noqa: E731
+    d0 = sum((e(i) * e(i) for i in range(KMEANS_DIM)), F.lit(0.0))
+    c1 = KMEANS_C1_VAL
+    d1 = sum(
+        ((e(i) - F.lit(c1)) * (e(i) - F.lit(c1)) for i in range(KMEANS_DIM)),
+        F.lit(0.0),
+    )
+    tag = F.when(d1 < d0, 1).otherwise(0).alias("tag")
+    return (
+        emb.select(tag)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("tag")
+    )
+
+
+def _kmeans_oracle() -> str:
+    c1 = KMEANS_C1_VAL
+    d0 = " + ".join(
+        f"(CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{i+1}] AS DOUBLE))"
+        for i in range(KMEANS_DIM)
+    )
+    d1 = " + ".join(
+        f"((CAST(embedding[{i+1}] AS DOUBLE) - {c1}) * "
+        f"(CAST(embedding[{i+1}] AS DOUBLE) - {c1}))"
+        for i in range(KMEANS_DIM)
+    )
+    return (
+        f"SELECT (CASE WHEN ({d1}) < ({d0}) THEN 1 ELSE 0 END) AS tag, "
+        "COUNT(*) AS cnt FROM embeddings GROUP BY 1 ORDER BY tag"
+    )
+
+
+def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine-based LR training (5 iterations) — rows-only check
+    (non-SQL-expressible: iterative convergence, SURVEY.md §2.10 Q6)."""
+    import numpy as np
+
+    from guagua_spark.algorithms.gradient import (
+        GradientDescentMaster,
+        LogisticGradientWorker,
+    )
+    from guagua_spark.engine import IterativeEngine
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+    )
+    engine = IterativeEngine(spark)
+    model = engine.run(
+        GradientDescentMaster(dim=2, learning_rate=0.5),
+        LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
+        li,
+        total_iteration=5,
+    )
+    w = [float(x) for x in model.weights]
+    return spark.createDataFrame(
+        [(w[0], w[1], w[2], float(model.loss), int(model.iteration))],
+        "w_bias double, w_qty double, w_disc double, loss double, iterations int",
+    )
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine-based k-means on embeddings (k=4, 5 iterations) —
+    rows-only check; returns (tag, cnt, c0..c3 head of centroid)."""
+    from guagua_spark.algorithms.kmeans import KMeansMaster, KMeansWorker
+    from guagua_spark.engine import IterativeEngine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    engine = IterativeEngine(spark)
+    model = engine.run(
+        KMeansMaster(k=4, tolerance=1e-9),
+        KMeansWorker(k=4),
+        emb,
+        total_iteration=5,
+    )
+    rows = [
+        (int(i), *[float(v) for v in c[:4]])
+        for i, c in enumerate(model.centroids)
+    ]
+    return spark.createDataFrame(
+        rows, "tag int, c0 double, c1 double, c2 double, c3 double"
+    )
+
+
+QUERIES = {
+    "lr_gradient_step": lr_gradient_step,
+    "kmeans_assign_counts": kmeans_assign_counts,
+    "lr_train": lr_train,
+    "kmeans_train": kmeans_train,
+}
+
+ORACLE_SQL = {
+    "lr_gradient_step": _lr_oracle(),
+    "kmeans_assign_counts": _kmeans_oracle(),
+    # lr_train / kmeans_train: iterative, rows-only by design
+}
