@@ -1,0 +1,374 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+n-gram Jaccard, SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup groups by a 128-bit fingerprint (md5), never by full text —
+  the shuffle moves 16-byte keys + ids, not documents;
+- MinHash-LSH is the scale path for near-dup: cost is O(n·k) signature
+  computation (one pass, codegen'd) + a shuffle on (band, band_hash)
+  whose buckets are tiny by construction; only candidates within a
+  bucket are verified with true Jaccard — never an n² cross join;
+- the all-pairs n-gram Jaccard operator is the small-data oracle used to
+  validate LSH recall; at scale you'd only ever run the LSH path;
+- SimHash shows the sanctioned escape hatch: per-bit majority votes
+  don't fit built-ins cleanly, so it's an Arrow-batched mapInPandas;
+- embedding-cosine near-dup reuses the explicit arithmetic pattern
+  (plan literals, no UDF) shared with operators/similarity.
+
+MinHash here is the salted-hash variant: component j of a signature is
+``min over shingles of md5(j || '|' || shingle)`` — one independent
+uniform permutation per salt, reproducible in any engine with md5
+(which is exactly what makes the full LSH pipeline oracle-checkable in
+DuckDB, a property a seeded xxhash64 implementation wouldn't have).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guagua_spark.sources.tables import load_table
+
+SHINGLE_WIDTH = 3
+NUM_HASHES = 12
+LSH_BANDS = 6  # × LSH_ROWS = NUM_HASHES
+LSH_ROWS = 2
+JACCARD_THRESHOLD = 0.5
+
+
+# -- shared shingle/signature expressions -----------------------------------
+
+
+def shingles_col(text_col: str = "text") -> Column:
+    """Distinct word-3-gram shingles; empty array for docs under 3 tokens
+    (F.sequence(1, 0) would count DOWN — guard it)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (SHINGLE_WIDTH - 1))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, SHINGLE_WIDTH), " ")
+    )
+    return F.array_distinct(
+        F.when(n >= SHINGLE_WIDTH, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def minhash_component(shingles: Column, salt: int) -> Column:
+    """MIN(md5(salt|shingle)) — one permutation of the shingle space."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
+        )
+    )
+
+
+def with_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    sh = shingles_col(text_col).alias("__shingles")
+    out = df.withColumn("__shingles", sh)
+    for j in range(num_hashes):
+        out = out.withColumn(
+            f"__mh{j}", minhash_component(F.col("__shingles"), j)
+        )
+    return out
+
+
+# -- query entries ----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept doc ids after exact dedup (min doc_id per identical text).
+
+    Groups on md5(text): at scale the shuffle key is 16 bytes. Collision
+    risk 2⁻⁶⁴-ish at trillions of docs — acceptable for dedup; switch to
+    sha2-256 where it isn't.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: total docs, distinct texts, removed count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("removed"),
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, Jaccard-verified.
+
+    Pipeline: signature (k=12 salted-md5 mins) → 6 bands × 2 rows →
+    bucket-join on (band, band_hash) → distinct candidate pairs →
+    verify true shingle-Jaccard ≥ 0.5. Output (doc_a, doc_b, jaccard).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = with_signature(docs).select(
+        "doc_id",
+        "__shingles",
+        *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
+    )
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"__mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "__shingles")
+    joined = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("__shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("__shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shingle-Jaccard ≥ threshold (the LSH recall oracle).
+
+    O(n²) by construction — this is the validation operator for small
+    samples; production near-dup at scale is dedup_minhash_pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col().alias("sh")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) over embeddings.
+
+    Explicit per-dimension arithmetic (same pattern as the k-means
+    assignment): codegen'd, no UDF, oracle-reproducible. All-pairs at
+    500 vectors; the scale path is the LSH variant in
+    operators/similarity.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    ea = lambda i: F.element_at("ea", i + 1).cast("double")  # noqa: E731
+    eb = lambda i: F.element_at("eb", i + 1).cast("double")  # noqa: E731
+    dim = 64
+    dot = sum((ea(i) * eb(i) for i in range(dim)), F.lit(0.0))
+    na = sum((ea(i) * ea(i) for i in range(dim)), F.lit(0.0))
+    nb = sum((eb(i) * eb(i) for i in range(dim)), F.lit(0.0))
+    cos = dot / F.sqrt(na * nb)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document via Arrow-batched mapInPandas.
+
+    Per-bit weighted majority over token hashes doesn't decompose into
+    built-in array functions without 64 aggregate expressions per row;
+    this is the sanctioned Pandas-UDF path (vectorized, no per-row
+    Python). Deterministic (md5-based token hashes) → stable rows-only
+    check.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def simhash_batches(it):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for row_i, text in enumerate(pdf["text"].tolist()):
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in set(text.split(" ")):
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "big"
+                        )
+                    )
+                    bits = (h >> shifts) & np.uint64(1)
+                    acc += np.where(bits == 1, 1, -1)
+                sh = sum(1 << i for i in range(64) if acc[i] > 0)
+                if sh >= 1 << 63:  # two's-complement into int64
+                    sh -= 1 << 64
+                out[row_i] = sh
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return docs.mapInPandas(
+        simhash_batches, "doc_id long, simhash long"
+    ).orderBy("doc_id")
+
+
+# -- oracle SQL -------------------------------------------------------------
+
+
+def _sql_shingles(col: str = "text") -> str:
+    w = SHINGLE_WIDTH
+    return (
+        f"list_distinct(CASE WHEN len(string_split({col},' ')) >= {w} THEN "
+        f"list_transform(generate_series(1, len(string_split({col},' '))-{w-1}), "
+        f"i -> array_to_string(string_split({col},' ')[i:i+{w-1}], ' ')) "
+        "ELSE [] END)"
+    )
+
+
+def _minhash_oracle() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    return f"""
+WITH docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {mh} FROM docs),
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+FROM cand
+JOIN docs x ON x.doc_id = doc_a
+JOIN docs y ON y.doc_id = doc_b
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+def _ngram_oracle() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+def _embedding_oracle() -> str:
+    dim = 64
+    dot = " + ".join(
+        f"(CAST(a.embedding[{i+1}] AS DOUBLE) * CAST(b.embedding[{i+1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    na = " + ".join(
+        f"(CAST(a.embedding[{i+1}] AS DOUBLE) * CAST(a.embedding[{i+1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    nb = " + ".join(
+        f"(CAST(b.embedding[{i+1}] AS DOUBLE) * CAST(b.embedding[{i+1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ({dot}) / SQRT(({na}) * ({nb})) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ({dot}) / SQRT(({na}) * ({nb})) >= 0.95
+ORDER BY id_a, id_b
+""".strip()
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) "
+        "ORDER BY doc_id"
+    ),
+    "dedup_exact_stats": (
+        "SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts, "
+        "COUNT(*) - COUNT(DISTINCT text) AS removed FROM documents"
+    ),
+    "dedup_minhash_pairs": _minhash_oracle(),
+    "dedup_ngram_jaccard": _ngram_oracle(),
+    "dedup_embedding_pairs": _embedding_oracle(),
+    # dedup_simhash: pandas-UDF path, rows-only by design
+}

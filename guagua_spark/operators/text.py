@@ -1,0 +1,174 @@
+"""Text-analysis operators over the ``documents`` table — the
+language-ID / quality-score / token-count / fingerprint layer a
+large-scale training-data pipeline runs before dedup and filtering.
+
+All operators are pure built-in-function DataFrame programs (no UDFs —
+whole-stage codegen end to end) and each has an exact DuckDB oracle.
+At 100 TB these are embarrassingly parallel single-pass scans with
+map-side-only work; the only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guagua_spark.sources.tables import load_table
+
+#: stopword list for quality scoring (tiny on purpose — a plan literal
+#: broadcast with the task binary, not a join)
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+#: marker words per language for the n-gram-free language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + distinct-token count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, token stats, stopword ratio,
+    alpha ratio — the standard pre-filter feature set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-voting language ID with deterministic tie-break
+    (first language in LANG_MARKERS order wins ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        # NB: the lambda must be unary — pyspark inspects arity and a
+        # second (even defaulted) parameter switches to (element, index)
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {
+        lang: marker_score(markers) for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    pred: Column = F.lit(langs[-1])
+    # fold right-to-left so earlier languages win ties
+    for lang in reversed(langs[:-1]):
+        later = [scores[lg] for lg in langs[langs.index(lang) + 1 :]]
+        cond = scores[lang] >= later[0]
+        for s in later[1:]:
+            cond = cond & (scores[lang] >= s)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = docs.select(
+        "doc_id", pred.alias("pred_lang"), *[
+            scores[lg].alias(f"score_{lg}") for lg in langs
+        ]
+    )
+    return out.orderBy("doc_id")
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of the text) — the join key
+    for exact dedup at scale (group by 16-byte digest, not by full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def _sql_tokens() -> str:
+    return "string_split(text, ' ')"
+
+
+def _sql_lang_scores() -> dict[str, str]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        out[lang] = (
+            f"len(list_filter({_sql_tokens()}, "
+            f"t -> list_contains([{lst}], t)))"
+        )
+    return out
+
+
+def _lang_oracle() -> str:
+    scores = _sql_lang_scores()
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{later}" for later in langs[i + 1 :]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    score_cols = ", ".join(f"{expr} AS s_{lg}" for lg, expr in scores.items())
+    out_scores = ", ".join(f"s_{lg} AS score_{lg}" for lg in langs)
+    return (
+        f"WITH t AS (SELECT doc_id, {score_cols} FROM documents) "
+        f"SELECT doc_id, {case} AS pred_lang, {out_scores} "
+        "FROM t ORDER BY doc_id"
+    )
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_text,
+       len({_sql_tokens()}) AS n_tokens,
+       CAST(LENGTH(text) AS DOUBLE) / len({_sql_tokens()}) AS chars_per_token,
+       CAST(len(list_filter({_sql_tokens()},
+            t -> list_contains([{stop_list}], t))) AS DOUBLE)
+           / len({_sql_tokens()}) AS stopword_ratio,
+       CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS alpha_ratio
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+QUERIES = {
+    "text_token_counts": token_counts,
+    "text_quality_scores": quality_scores,
+    "text_language_id": language_id,
+    "text_fingerprints": fingerprints,
+}
+
+ORACLE_SQL = {
+    "text_token_counts": (
+        f"SELECT doc_id, len({_sql_tokens()}) AS n_tokens, "
+        f"len(list_distinct({_sql_tokens()})) AS n_distinct_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "text_quality_scores": _quality_oracle(),
+    "text_language_id": _lang_oracle(),
+    "text_fingerprints": (
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"
+    ),
+}

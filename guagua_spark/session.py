@@ -47,6 +47,20 @@ def get_spark(
     when no cluster master is configured — mirroring the driver harness.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Driver heap must be fixed BEFORE the gateway JVM forks —
+    # spark.driver.memory via builder.config is silently ignored in
+    # client/local mode once the JVM exists. Local mode puts all
+    # executor threads in the driver JVM, so the 1g default is far too
+    # small for 32 threads + broadcasts; 8g here, overridable via env.
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is None and (
+        "PYSPARK_SUBMIT_ARGS" not in os.environ
+    ):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
     # Worker Python processes must be able to import this package (engine
     # closures pickle classes by reference). Exporting PYTHONPATH before
     # the JVM forks its Python workers covers local mode; on a cluster,

@@ -1,0 +1,64 @@
+"""Dedup operators vs DuckDB oracle + LSH recall vs the all-pairs truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from guagua_spark.operators.dedup import ORACLE_SQL, QUERIES
+
+from oracle import assert_matches_oracle, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_dedup_matches_oracle(spark, oracle_sf_dir, duck, name):
+    df = QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, ORACLE_SQL[name])
+
+
+def test_minhash_finds_near_dups(spark, oracle_sf_dir):
+    """The data contains true near-dup pairs (shingle jaccard ≈ 0.99);
+    LSH must surface them."""
+    pairs = QUERIES["dedup_minhash_pairs"](spark, oracle_sf_dir).collect()
+    assert len(pairs) > 0
+    assert all(p.jaccard >= 0.5 for p in pairs)
+
+
+def test_lsh_recall_vs_allpairs(spark, oracle_sf_dir):
+    """Every (well-separated) true pair should be found by LSH: with
+    b=6,r=2 the miss probability at j≥0.8 is (1−j²)⁶ < 0.3% per pair."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, oracle_sf_dir)
+        .filter("jaccard >= 0.8")
+        .collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_pairs"](spark, oracle_sf_dir).collect()
+    }
+    assert truth, "fixture should contain high-jaccard pairs"
+    missed = truth - found
+    assert not missed, f"LSH missed {len(missed)}/{len(truth)}: {missed}"
+
+
+def test_simhash_near_dups_have_close_hashes(spark, oracle_sf_dir):
+    """Hamming distance of simhashes for a true near-dup pair is small."""
+    near = QUERIES["dedup_ngram_jaccard"](spark, oracle_sf_dir).filter(
+        "jaccard >= 0.9"
+    ).collect()
+    if not near:
+        pytest.skip("no jaccard>=0.9 pairs at this sf")
+    sims = {
+        r.doc_id: r.simhash
+        for r in QUERIES["dedup_simhash"](spark, oracle_sf_dir).collect()
+    }
+    a, b = near[0].doc_a, near[0].doc_b
+    ham = bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1")
+    assert ham <= 12, f"hamming {ham} too large for near-dup pair"

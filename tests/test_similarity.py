@@ -1,0 +1,52 @@
+"""ANN operators: brute force vs oracle; LSH/IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from guagua_spark.operators.similarity import ORACLE_SQL, QUERIES, TOP_K
+
+from oracle import assert_matches_oracle, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+def test_bruteforce_matches_oracle(spark, oracle_sf_dir, duck):
+    df = QUERIES["ann_bruteforce_topk"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, ORACLE_SQL["ann_bruteforce_topk"])
+
+
+@pytest.fixture(scope="module")
+def truth(spark, oracle_sf_dir):
+    rows = QUERIES["ann_bruteforce_topk"](spark, oracle_sf_dir).collect()
+    return {(r.query_id, r.neighbor_id) for r in rows}
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_approx_variants_recall(spark, oracle_sf_dir, truth, name):
+    rows = QUERIES[name](spark, oracle_sf_dir).collect()
+    found = {(r.query_id, r.neighbor_id) for r in rows}
+    # every query answered with k results
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    # approximate methods on random gaussian-ish embeddings: require
+    # recall >= 0.4 overall (partition-of-space methods legitimately miss
+    # cross-boundary neighbors; the point is the plumbing + determinism)
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.4, f"{name} recall {recall}"
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_approx_variants_deterministic(spark, oracle_sf_dir, name):
+    a = QUERIES[name](spark, oracle_sf_dir).collect()
+    b = QUERIES[name](spark, oracle_sf_dir).collect()
+    assert [(r.query_id, r.neighbor_id) for r in a] == [
+        (r.query_id, r.neighbor_id) for r in b
+    ]
