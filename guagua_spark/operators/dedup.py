@@ -178,12 +178,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) by construction — this is the validation operator for small
     samples; production near-dup at scale is dedup_minhash_pairs.
     """
+    # Set sizes are invariant under (collision-free) hashing, so compare
+    # long-hashed shingles instead of strings — array_intersect on
+    # fixed-width longs, not variable-length UTF8. The oracle compares
+    # raw strings; jaccard values agree because only SIZES matter.
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles_col().alias("sh")
+        "doc_id",
+        F.transform(shingles_col(), lambda s: F.xxhash64(s)).alias("sh"),
     )
+    par = spark.sparkContext.defaultParallelism
+    # non-equi join ⇒ broadcast nested loop; its parallelism is the LEFT
+    # side's partition count, and a small parquet file scans as ONE
+    # partition — repartition or the whole O(n²) loop runs on one core
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
+    ).repartition(par)
     b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
@@ -207,16 +216,28 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     500 vectors; the scale path is the LSH variant in
     operators/similarity.
     """
+    from guagua_spark.functions.vector import norm2_expr
+
+    dim = 64
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # hoist the O(n) norms out of the O(n²) pair loop: per-pair work is
+    # ONE dot product, not dot + two norms (3× fewer flops)
+    with_norm = emb.withColumn("nrm", norm2_expr("embedding", dim))
+    par = spark.sparkContext.defaultParallelism
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    ).repartition(par)  # NLJ parallelism = left partition count
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     ea = lambda i: F.element_at("ea", i + 1).cast("double")  # noqa: E731
     eb = lambda i: F.element_at("eb", i + 1).cast("double")  # noqa: E731
-    dim = 64
     dot = sum((ea(i) * eb(i) for i in range(dim)), F.lit(0.0))
-    na = sum((ea(i) * ea(i) for i in range(dim)), F.lit(0.0))
-    nb = sum((eb(i) * eb(i) for i in range(dim)), F.lit(0.0))
-    cos = dot / F.sqrt(na * nb)
+    cos = dot / F.sqrt(F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))

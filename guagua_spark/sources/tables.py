@@ -35,7 +35,23 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain parquet scan: filters/projections pushed by
-    Catalyst (verify with .explain → PushedFilters/ReadSchema)."""
+    Catalyst (verify with .explain → PushedFilters/ReadSchema).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]); read it as raw
+    nanos and convert with integer division — ``ts div 1000`` stays in
+    long arithmetic (a double round-trip would lose precision at ~1e18).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,145 @@
+"""Structured Streaming operators over the events/documents tables.
+
+The reference has NO streaming surface (SURVEY.md §2.9 — iterations are
+synchronous batch rounds), so this module is a beyond-reference
+extension: the same event analytics as operators/events.py, expressed
+as incremental plans so a 100 TB/day firehose is processed as it
+arrives instead of recomputed per batch.
+
+Scale design:
+- watermarks bound state: the windowed count keeps only windows newer
+  than (max event time − delay); late rows beyond that are dropped —
+  state size is O(active windows × types), not O(stream);
+- streaming dedup keys state on a 128-bit md5, never the payload;
+  with a watermark the state store evicts keys once their event time
+  expires (exactly-once within the horizon, at-least-once beyond);
+- the custom stateful operator (per-user running totals) uses
+  applyInPandasWithState — Arrow-batched, grouped state, timeout-free;
+  this is the template for any "guagua-style" per-key iterative state
+  the built-ins can't express;
+- all sinks in tests are availableNow + memory: the micro-batch planner
+  drains the source backlog and stops, which makes streaming results
+  deterministic and batch-comparable (the correctness oracle).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events.ts is parquet TIMESTAMP(NANOS); streaming scans need an
+#: explicit schema, so declare it long and convert (see sources/tables).
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+WATERMARK_DELAY = "1 hour"
+WINDOW = "1 hour"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources demand a DIRECTORY; select the one table out
+    # of the shared testdata dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window × event_type counts with a 1h watermark —
+    the streaming twin of operators/events.events_windowed_agg."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", WINDOW).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first-seen row per md5(text) fingerprint.
+    State = 16-byte keys in the state store; payload never enters state."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return docs.withColumn("fp", F.md5("text")).dropDuplicates(["fp"])
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user lifetime event count and value
+    total, maintained incrementally via applyInPandasWithState.
+
+    This is the streaming analogue of the engine's per-worker fold —
+    grouped state replaces the guagua worker's in-memory fields (the
+    reference kept such state in long-lived JVMs,
+    worker/AbstractWorkerComputable.java:66-104; Spark keeps it in the
+    state store, so executors stay stateless and fail-over is free).
+    """
+    ev = _events_stream(spark, sf_dir)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the source with an availableNow trigger into an in-memory
+    table and return it as a (batch) DataFrame — deterministic, so the
+    result can be compared 1:1 with the equivalent batch query."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

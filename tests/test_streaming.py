@@ -1,0 +1,64 @@
+"""Structured Streaming operators: availableNow drain == batch result."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guagua_spark.sources.tables import load_table
+from guagua_spark.streaming import (
+    run_available_now,
+    streaming_dedup_docs,
+    streaming_user_totals,
+    streaming_windowed_counts,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    got = run_available_now(
+        streaming_windowed_counts(spark, sf_dir), "s_win", "complete"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    cols = ("hour", "event_type", "n_events", "sum_value")
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    got = run_available_now(
+        streaming_dedup_docs(spark, sf_dir), "s_dedup", "append"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = docs.select("text").distinct().count()
+    assert got.count() == n_distinct
+    # one row per fingerprint
+    assert got.select("fp").distinct().count() == n_distinct
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir):
+    got = run_available_now(
+        streaming_user_totals(spark, sf_dir), "s_users", "update"
+    )
+    # update mode with one availableNow batch → last emit per user is
+    # the lifetime total
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    cols = ("user_id", "n_events", "total_value")
+    assert _rows(final, *cols) == _rows(want, *cols)
