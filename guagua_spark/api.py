@@ -85,6 +85,11 @@ class MasterContext:
     #: worker result this iteration carried halt=True
     #: (reference AbstractMasterCoordinator.java:311-350).
     all_workers_halted: bool = False
+    #: how many workers' results actually arrived this iteration — equals
+    #: num_workers except under the partial barrier (min_workers_ratio),
+    #: where stragglers' results are dropped for the iteration
+    #: (reference BasicCoordinator.java:649-662).
+    arrived_workers: int = 0
 
 
 @dataclass

@@ -166,6 +166,70 @@ class IterativeEngine:
         with open(path, "rb") as f:
             return pickle.load(f)
 
+    def _collect_partial_barrier(
+        self,
+        partials,
+        num_partitions: int,
+        ratio: float,
+        timeout_s: float,
+        iteration: int,
+    ) -> list[_Partial]:
+        """Emulate guagua's partial barrier: one Spark job per partition,
+        driver-side gather with a deadline, cancel the stragglers.
+
+        Reference semantics (BasicCoordinator.isTerminated,
+        BasicCoordinator.java:649-662): proceed when all workers reported,
+        OR the timeout elapsed AND arrived/total >= ratio. Dropped
+        workers' results simply don't contribute this iteration — the
+        master must tolerate a shorter result list (it already must, since
+        results are unordered and possibly pre-combined).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+
+        def run_one(p: int) -> list[_Partial]:
+            group = f"guagua-barrier-it{iteration}-p{p}"
+            sc.setJobGroup(group, f"iteration {iteration} partition {p}",
+                           interruptOnCancel=True)
+            return sc.runJob(partials, lambda it: list(it), [p])
+
+        arrived: list[_Partial] = []
+        with ThreadPoolExecutor(max_workers=min(num_partitions, 64)) as ex:
+            futures = {ex.submit(run_one, p): p for p in range(num_partitions)}
+            deadline = time.monotonic() + timeout_s
+            pending = dict(futures)
+            while pending:
+                for f in [f for f in pending if f.done()]:
+                    p = pending.pop(f)
+                    try:
+                        arrived.extend(f.result())
+                    except Exception:  # cancelled or failed partition
+                        log.warning("partition %d dropped this iteration", p)
+                if not pending:
+                    break
+                if (
+                    time.monotonic() >= deadline
+                    and (num_partitions - len(pending)) / num_partitions
+                    >= ratio
+                ):
+                    for f, p in pending.items():
+                        sc.cancelJobGroup(f"guagua-barrier-it{iteration}-p{p}")
+                    # cancelled jobs error out their futures promptly; the
+                    # executor shutdown below reaps the threads
+                    for f, p in pending.items():
+                        try:
+                            arrived.extend(f.result(timeout=10))
+                        except Exception:
+                            log.info(
+                                "straggler partition %d cancelled at "
+                                "iteration %d", p, iteration,
+                            )
+                    pending.clear()
+                else:
+                    time.sleep(0.02)
+        return arrived
+
     def run(
         self,
         master: MasterComputable,
@@ -177,6 +241,8 @@ class IterativeEngine:
         combine_executor_side: bool | None = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         persist: bool = True,
+        min_workers_ratio: float = 1.0,
+        min_workers_timeout: float = 60.0,
     ) -> Any:
         """Iterate to convergence; return the final master result.
 
@@ -184,6 +250,17 @@ class IterativeEngine:
         (GuaguaConstants.java:112-117): when True and every worker result
         of an iteration carries ``halt=True``, the loop stops even if the
         master didn't set halt.
+
+        ``min_workers_ratio`` < 1.0 enables the PARTIAL BARRIER
+        (SSP-lite straggler tolerance — reference guagua.min.workers.ratio
+        / guagua.min.workers.timeout, BasicCoordinator.java:649-662):
+        after ``min_workers_timeout`` seconds the master proceeds once
+        ``arrived/total >= ratio``, dropping the stragglers' results for
+        that iteration. Spark stages are all-or-nothing, so this path
+        emulates the barrier by running ONE JOB PER PARTITION from driver
+        threads and cancelling unfinished job groups at the deadline —
+        higher scheduling overhead, so it is opt-in; the default path is
+        a single job per iteration.
         """
         sc = self.spark.sparkContext
         if persist:
@@ -246,7 +323,20 @@ class IterativeEngine:
                 if combinable is None:
                     combinable = num_partitions > 32
                 results: list[Any]
-                if combinable:
+                if min_workers_ratio < 1.0:
+                    collected = self._collect_partial_barrier(
+                        partials,
+                        num_partitions,
+                        min_workers_ratio,
+                        min_workers_timeout,
+                        iteration,
+                    )
+                    results = [p.result for p in collected]
+                    all_halt = bool(collected) and all(
+                        p.all_halt for p in collected
+                    )
+                    mctx.arrived_workers = len(collected)
+                elif combinable:
                     # probe combinability lazily: only tree-reduce when the
                     # user result actually implements combine()
                     reduced = partials.treeReduce(
@@ -254,12 +344,14 @@ class IterativeEngine:
                     )
                     results = _flatten_partial(reduced)
                     all_halt = reduced.all_halt and reduced.n > 0
+                    mctx.arrived_workers = num_partitions
                 else:
                     collected = partials.collect()
                     results = [p.result for p in collected]
                     all_halt = bool(collected) and all(
                         p.all_halt for p in collected
                     )
+                    mctx.arrived_workers = num_partitions
 
                 mctx.worker_results = results
                 mctx.all_workers_halted = worker_halt_enable and all_halt
