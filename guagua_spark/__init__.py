@@ -30,9 +30,12 @@ from guagua_spark.api import (
     WorkerContext,
 )
 from guagua_spark.engine import IterativeEngine
+from guagua_spark.monitor import ComputeTimeout, computable_monitor
 from guagua_spark.session import get_spark
 
 __all__ = [
+    "ComputeTimeout",
+    "computable_monitor",
     "Combinable",
     "HaltableResult",
     "MasterComputable",

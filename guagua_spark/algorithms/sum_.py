@@ -44,12 +44,15 @@ class SumWorker(WorkerComputable):
     def compute(
         self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
     ) -> SumState:
+        # -D sum.column=<name> overrides, like the reference's
+        # Properties-driven config (mapreduce/GuaguaMapper.java:107-119)
+        column = context.props.get("sum.column", self.column)
         prev = 0
         if context.last_master_result is not None:
             prev = context.last_master_result.value
         total = prev
         for batch in batches:
-            col = batch.column(self.column)
+            col = batch.column(column)
             s = pa.compute.sum(col).as_py()
             if s is not None:
                 total += s
