@@ -191,12 +191,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side's partition count, and a small parquet file scans as ONE
     # partition — repartition or the whole O(n²) loop runs on one core
     a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
     ).repartition(par)
     b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
     )
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    # EXACT size pruning inside the join condition: J ≥ t implies
+    # |∩| ≤ min and |∩| ≥ t·|∪| ≥ t·max, so min/max ≥ t — any pair
+    # whose set sizes differ by more than 1/t cannot qualify; the cheap
+    # integer predicate runs before the O(|set|) intersect/union.
+    inv_t = 1.0 / JACCARD_THRESHOLD
+    pairs = a.join(
+        b,
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("n_a") <= F.col("n_b") * inv_t)
+        & (F.col("n_b") <= F.col("n_a") * inv_t),
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
@@ -216,32 +230,69 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     500 vectors; the scale path is the LSH variant in
     operators/similarity.
     """
-    from guagua_spark.functions.vector import norm2_expr
+    import numpy as np
+    import pandas as pd
 
-    dim = 64
+    dim, threshold, band = 64, 0.95, 1e-6
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # hoist the O(n) norms out of the O(n²) pair loop: per-pair work is
-    # ONE dot product, not dot + two norms (3× fewer flops)
-    with_norm = emb.withColumn("nrm", norm2_expr("embedding", dim))
-    par = spark.sparkContext.defaultParallelism
-    a = with_norm.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(par)  # NLJ parallelism = left partition count
-    b = with_norm.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+    # Stage 1 — PREFILTER, distributed block-matmul: broadcast the
+    # normalized corpus matrix (n×dim floats — 1.25 MB at validator
+    # scale; tile it at production scale), stream partitions of A
+    # through numpy S = Aₙ @ Bₙᵀ, keep pairs with sim ≥ threshold−band.
+    # The 1e-6 guard band is ~10⁷× the worst-case difference between
+    # numpy's pairwise summation and strict left-to-right order, so no
+    # qualifying pair can be lost.
+    bc = spark.sparkContext.broadcast(
+        [(int(r.vec_id), list(r.embedding)) for r in emb.collect()]
     )
+
+    def prefilter(it):
+        ids_b = np.array([i for i, _ in bc.value], dtype=np.int64)
+        mat_b = np.array([v for _, v in bc.value], dtype=np.float64)
+        mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+        for pdf in it:
+            ids_a = pdf["vec_id"].to_numpy()
+            mat_a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+            sim = mat_a @ mat_b.T
+            ai, bi = np.nonzero(sim >= threshold - band)
+            keep = ids_a[ai] < ids_b[bi]
+            yield pd.DataFrame(
+                {"id_a": ids_a[ai][keep], "id_b": ids_b[bi][keep]}
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    cand = emb.repartition(par).mapInPandas(prefilter, "id_a long, id_b long")
+    # Stage 2 — EXACT verify on the surviving pairs only, with the same
+    # left-to-right double arithmetic as the SQL oracle, so reported
+    # cosines (and the ≥ threshold cut) are bit-identical cross-engine.
     ea = lambda i: F.element_at("ea", i + 1).cast("double")  # noqa: E731
     eb = lambda i: F.element_at("eb", i + 1).cast("double")  # noqa: E731
     dot = sum((ea(i) * eb(i) for i in range(dim)), F.lit(0.0))
-    cos = dot / F.sqrt(F.col("na") * F.col("nb"))
+    na = sum((ea(i) * ea(i) for i in range(dim)), F.lit(0.0))
+    nb = sum((eb(i) * eb(i) for i in range(dim)), F.lit(0.0))
+    cos = dot / F.sqrt(na * nb)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("ea"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("eb"),
+                )
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
 

@@ -1,0 +1,180 @@
+"""Extended relational operator coverage beyond SURVEY §2.10's Q1–Q5:
+the classic analytic patterns a user migrating a warehouse workload
+expects, each DuckDB-oracle checked.
+
+The reference has none of these (its only 'group by' is k-means' fixed-k
+accumulation — SURVEY.md §2.3 note); on Spark they are Catalyst
+built-ins, so the engineering content here is the SCALE SHAPE of each
+plan, noted per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guagua_spark.sources.tables import load_table
+
+
+def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): hierarchy subtotals + grand
+    total in ONE pass — Spark expands grouping sets map-side, so it is
+    still a single shuffle, not three queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def rx_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH at least one high-value order (left-semi):
+    the probe side never duplicates — at scale a semi join ships only
+    the join keys of the filtered orders, and the o_totalprice filter is
+    pushed to the parquet scan before the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def rx_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO order above 300k (left-anti) — the NOT EXISTS
+    pattern; same key-only shuffle shape as the semi join, with the
+    order-side filter pushed below the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def rx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggs — Spark plans expand +
+    two-phase aggregation; at scale prefer approx_count_distinct (HLL)
+    when exactness isn't required (provided as rx_approx_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+def rx_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (CASE WHEN inside SUM) per
+    order priority — one scan, no join, no pivot shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(high).alias("n_high_value"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RANGE_BOUNDS = [0.0, 50_000.0, 100_000.0, 200_000.0, float("inf")]
+
+
+def rx_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders binned against a small range table — the range-join
+    pattern: a non-equi join against a BROADCAST side stays a cheap
+    nested loop over 4 rows, never a shuffle. (Bounds are literals so
+    bucket edges are bit-identical cross-engine; a data-derived range
+    table would join the same way.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    rows = [
+        (i, RANGE_BOUNDS[i], RANGE_BOUNDS[i + 1])
+        for i in range(len(RANGE_BOUNDS) - 1)
+    ]
+    bounds = spark.createDataFrame(rows, "bucket int, lo double, hi double")
+    joined = orders.join(
+        F.broadcast(bounds),
+        (F.col("o_totalprice") > F.col("lo"))
+        & (F.col("o_totalprice") <= F.col("hi")),
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "rx_rollup_revenue": rx_rollup_revenue,
+    "rx_semi_join_customers": rx_semi_join_customers,
+    "rx_anti_join_customers": rx_anti_join_customers,
+    "rx_distinct_agg": rx_distinct_agg,
+    "rx_conditional_agg": rx_conditional_agg,
+    "rx_range_join_events": rx_range_join_events,
+}
+
+ORACLE_SQL = {
+    "rx_rollup_revenue": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 4) AS revenue, COUNT(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""".strip(),
+    "rx_semi_join_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+ORDER BY c_custkey
+""".strip(),
+    "rx_anti_join_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+""".strip(),
+    "rx_distinct_agg": """
+SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders
+""".strip(),
+    "rx_conditional_agg": """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_high_value,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".strip(),
+    "rx_range_join_events": """
+WITH bounds AS (
+  SELECT 0 AS bucket, 0.0 AS lo, 50000.0 AS hi
+  UNION ALL SELECT 1, 50000.0, 100000.0
+  UNION ALL SELECT 2, 100000.0, 200000.0
+  UNION ALL SELECT 3, 200000.0, CAST('inf' AS DOUBLE)
+)
+SELECT bucket, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders JOIN bounds
+  ON o_totalprice > lo AND o_totalprice <= hi
+GROUP BY bucket ORDER BY bucket
+""".strip(),
+}

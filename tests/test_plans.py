@@ -1,0 +1,52 @@
+"""Physical-plan regressions: the plan properties that make these
+operators scale must never silently disappear.
+
+At 100 TB the difference between BroadcastHashJoin and SortMergeJoin on
+a dimension table, or between a pruned and unpruned scan, is the whole
+game — so the plans are asserted, not just the results.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from guagua_spark.operators import relational, text
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_dimension_joins_are_broadcast(spark, oracle_sf_dir):
+    p = _plan(relational.QUERIES["q4_revenue_by_nation"](spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") == 3, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_q5_filter_pushed_to_parquet(spark, oracle_sf_dir):
+    p = _plan(relational.QUERIES["q5_filter_count"](spark, oracle_sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "GreaterThan(o_totalprice" in m.group(1), p
+
+
+def test_q1_scan_prunes_to_single_column(spark, oracle_sf_dir):
+    p = _plan(relational.QUERIES["q1_sum_quantity"](spark, oracle_sf_dir))
+    m = re.search(r"ReadSchema: ([^\n,]*[^\n]*)", p)
+    assert m and m.group(1).strip().startswith("struct<l_quantity"), p
+
+
+def test_q1_has_partial_aggregation(spark, oracle_sf_dir):
+    p = _plan(relational.QUERIES["q1_sum_quantity"](spark, oracle_sf_dir))
+    # map-side partial agg: two HashAggregate levels around the exchange
+    assert p.count("HashAggregate") >= 2, p
+
+
+@pytest.mark.parametrize("name", sorted(text.QUERIES))
+def test_text_ops_prune_columns(spark, oracle_sf_dir, name):
+    p = _plan(text.QUERIES[name](spark, oracle_sf_dir))
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m is not None, p
+    # documents has 5 columns; text ops need at most (doc_id, text)
+    assert "lang" not in m.group(1) and "source" not in m.group(1), p

@@ -1,0 +1,32 @@
+"""Extended relational operators vs the DuckDB oracle at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from guagua_spark.operators.relational_ext import ORACLE_SQL, QUERIES
+
+from oracle import assert_matches_oracle, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_relational_ext_matches_oracle(spark, oracle_sf_dir, duck, name):
+    df = QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, ORACLE_SQL[name], rtol=1e-6)
+
+
+def test_semi_join_plan_has_no_duplicating_join(spark, oracle_sf_dir):
+    plan = (
+        QUERIES["rx_semi_join_customers"](spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
