@@ -263,6 +263,9 @@ class IterativeEngine:
         a single job per iteration.
         """
         sc = self.spark.sparkContext
+        from guagua_spark.shipping import ensure_shipped
+
+        ensure_shipped(sc)
         if persist:
             df = df.persist(storage_level)
         num_partitions = df.rdd.getNumPartitions()

@@ -42,6 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos and convert with integer division — ``ts div 1000`` stays in
     long arithmetic (a double round-trip would lose precision at ~1e18).
     """
+    from guagua_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark.sparkContext)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
