@@ -163,8 +163,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
     return (
         joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -205,16 +206,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose set sizes differ by more than 1/t cannot qualify; the cheap
     # integer predicate runs before the O(|set|) intersect/union.
     inv_t = 1.0 / JACCARD_THRESHOLD
+    # broadcast B explicitly: if the planner broadcast the REPARTITIONED
+    # side instead, the loop would run at the other side's parallelism
+    # (one small file = one partition) — observed 2× run-to-run swings
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("doc_a") < F.col("doc_b"))
         & (F.col("n_a") <= F.col("n_b") * inv_t)
         & (F.col("n_b") <= F.col("n_a") * inv_t),
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
-    )
+    # |∪| = n_a + n_b − |∩| exactly (distinct arrays) — one set op per
+    # pair instead of two
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -375,12 +379,13 @@ cand AS (
 )
 SELECT doc_a, doc_b,
        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
 FROM cand
 JOIN docs x ON x.doc_id = doc_a
 JOIN docs y ON y.doc_id = doc_b
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_THRESHOLD}
+      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+      >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """.strip()
 
@@ -390,10 +395,11 @@ def _ngram_oracle() -> str:
 WITH docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
 FROM docs a JOIN docs b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """.strip()
 
