@@ -123,7 +123,41 @@ def rx_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rx_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part stats with a size filter pushed to the scan."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def rx_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balance by nation — broadcast the fixed-size
+    nation dim (same shape as Q4's model-side join)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
 QUERIES = {
+    "rx_parts_by_brand": rx_parts_by_brand,
+    "rx_supplier_nation_balance": rx_supplier_nation_balance,
     "rx_rollup_revenue": rx_rollup_revenue,
     "rx_semi_join_customers": rx_semi_join_customers,
     "rx_anti_join_customers": rx_anti_join_customers,
@@ -133,6 +167,19 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rx_parts_by_brand": """
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part WHERE p_size >= 10
+GROUP BY p_brand ORDER BY p_brand
+""".strip(),
+    "rx_supplier_nation_balance": """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 4) AS total_balance
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""".strip(),
     "rx_rollup_revenue": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 4) AS revenue, COUNT(*) AS cnt

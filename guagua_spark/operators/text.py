@@ -103,6 +103,43 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: GPT-2-style pretokenizer classes (letters / digits / punctuation runs
+#: with optional leading space) — the "BPE-ish" token estimate. Uses
+#: only syntax shared by Java regex (Spark) and RE2 (DuckDB).
+BPE_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+ROLLING_WIDTH = 16  # char n-gram width for the rolling fingerprint
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: count of pretokenizer matches — the
+    standard cheap proxy for LLM token budgets, one regexp scan per doc,
+    fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-sampled rolling fingerprint: minimum md5 over every
+    ROLLING_WIDTH-char window — robust to small edits anywhere outside
+    the minimizing window (the 1-fingerprint degenerate of winnowing),
+    unlike the whole-text md5 which any edit changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(n - (ROLLING_WIDTH - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.col("text").substr(i, F.lit(ROLLING_WIDTH)))
+    )
+    return docs.select(
+        "doc_id", F.array_min(grams).alias("rolling_fp")
+    ).orderBy("doc_id")
+
+
 def _sql_tokens() -> str:
     return "string_split(text, ' ')"
 
@@ -158,6 +195,8 @@ QUERIES = {
     "text_quality_scores": quality_scores,
     "text_language_id": language_id,
     "text_fingerprints": fingerprints,
+    "text_bpe_token_counts": bpe_token_counts,
+    "text_rolling_fingerprint": rolling_fingerprint,
 }
 
 ORACLE_SQL = {
@@ -171,4 +210,15 @@ ORACLE_SQL = {
     "text_fingerprints": (
         "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"
     ),
+    "text_bpe_token_counts": (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{BPE_REGEX}')) "
+        "AS n_bpe_tokens FROM documents ORDER BY doc_id"
+    ),
+    "text_rolling_fingerprint": f"""
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(LENGTH(text) - {ROLLING_WIDTH - 1}, 1) + 1),
+         i -> md5(text[i:i+{ROLLING_WIDTH - 1}]))) AS rolling_fp
+FROM documents ORDER BY doc_id
+""".strip(),
 }
