@@ -1,6 +1,7 @@
 from guagua_spark.streaming.stream_ops import (  # noqa: F401
     run_available_now,
     streaming_dedup_docs,
+    streaming_sessionize,
     streaming_user_totals,
     streaming_windowed_counts,
 )

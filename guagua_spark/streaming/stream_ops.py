@@ -77,6 +77,31 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user via the NATIVE session_window — state
+    is merged incrementally as events arrive, and the watermark closes
+    (emits + evicts) sessions whose gap has provably expired. This is
+    the streaming twin of operators/events.events_sessionize (which
+    builds the same sessions with lag/cum-sum over a batch)."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(
+            F.session_window("ts", f"{30} minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first-seen row per md5(text) fingerprint.
     State = 16-byte keys in the state store; payload never enters state."""

@@ -8,6 +8,7 @@ from guagua_spark.sources.tables import load_table
 from guagua_spark.streaming import (
     run_available_now,
     streaming_dedup_docs,
+    streaming_sessionize,
     streaming_user_totals,
     streaming_windowed_counts,
 )
@@ -43,6 +44,21 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
     assert got.count() == n_distinct
     # one row per fingerprint
     assert got.select("fp").distinct().count() == n_distinct
+
+
+def test_streaming_sessionize_matches_batch_sessions(spark, sf_dir):
+    """Native session_window (streaming) must produce the same sessions
+    as the batch lag/cum-sum formulation in operators/events."""
+    from guagua_spark.operators.events import events_sessionize
+
+    got = run_available_now(
+        streaming_sessionize(spark, sf_dir), "s_sess", "complete"
+    )
+    want = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
+    cols = ("user_id", "session_start", "n_events", "total_value")
+    assert _rows(got, *cols) == _rows(want, *cols)
 
 
 def test_stateful_user_totals_match_batch(spark, sf_dir):
