@@ -10,8 +10,9 @@ Reference parity map (guagua-examples):
   (nn/NNMaster.java:65-120, accumulate :91, update :109);
 - weight-update strategies → ``OPTIMIZERS`` (nn/Weight.java:66-89,
   algorithm dispatch :74-86): backprop(momentum), manhattan, resilient
-  (RPROP), quickprop; SCG is intentionally unimplemented (raises) — its
-  line-search structure doesn't fit one-gradient-per-iteration AllReduce.
+  (RPROP), quickprop, and scg — Møller's scaled conjugate gradient run
+  as a probe/candidate state machine over engine iterations (each
+  AllReduce delivers one (E, E') evaluation; one SCG step consumes two).
 - train/validation split by crossValidationRate (NNWorker.java:96-98) →
   deterministic per-row hash split.
 """
@@ -279,13 +280,97 @@ def update_quickprop(model: NNModel, grads, lr: float, mu: float = 1.75):
     return new_w
 
 
-def update_scg(model: NNModel, grads, lr: float):
-    raise NotImplementedError(
-        "SCG needs per-iteration line search (two gradient evaluations per "
-        "step), which doesn't fit one-AllReduce-per-iteration; use "
-        "'resilient' (the reference default) instead. "
-        "Reference: nn/Weight.java:74-86."
+def _flatten_w(
+    pairs: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, list]:
+    shapes = [(w.shape, b.shape) for w, b in pairs]
+    vec = np.concatenate(
+        [np.concatenate([w.ravel(), b.ravel()]) for w, b in pairs]
     )
+    return vec, shapes
+
+
+def _unflatten_w(vec: np.ndarray, shapes: list):
+    out, i = [], 0
+    for ws, bs in shapes:
+        nw, nb = int(np.prod(ws)), int(np.prod(bs))
+        out.append(
+            (vec[i : i + nw].reshape(ws), vec[i + nw : i + nw + nb].reshape(bs))
+        )
+        i += nw + nb
+    return out
+
+
+def update_scg(model: NNModel, grads, lr: float, cur_error: float = 0.0):
+    """Scaled conjugate gradient (Møller 1993), reference Weight.java's
+    fifth strategy, expressed as a state machine over engine iterations:
+    SCG needs TWO evaluations of (E, E') per step — a curvature probe at
+    w+σp and a candidate at w+αp — and each engine iteration delivers
+    exactly one evaluation at the broadcast weights. So the 'weights' we
+    return each call are the NEXT EVALUATION POINT, and the accepted
+    point lives in opt_state['scg']['w'] (see scg_best_weights).
+    ``lr`` is unused — SCG sizes its own steps.
+    """
+    st = model.opt_state
+    g_vec, shapes = _flatten_w(grads)
+    if "scg" not in st:
+        w0, _ = _flatten_w(model.weights)
+        p = -g_vec
+        scg = {
+            "w": w0, "E": cur_error, "g": g_vec, "p": p,
+            "lam": 1e-6, "lam_bar": 0.0, "sigma0": 1e-4,
+            "k": 1, "shapes": shapes, "phase": "probe",
+        }
+        st["scg"] = scg
+        scg["sigma"] = scg["sigma0"] / max(float(np.linalg.norm(p)), 1e-12)
+        return _unflatten_w(w0 + scg["sigma"] * p, shapes)
+    scg = st["scg"]
+    w, g0, p = scg["w"], scg["g"], scg["p"]
+    pn2 = float(p @ p)
+    if scg["phase"] == "probe":
+        # g_vec = E'(w + σp): second-order information along p
+        s = (g_vec - g0) / scg["sigma"]
+        delta = float(p @ s) + (scg["lam"] - scg["lam_bar"]) * pn2
+        if delta <= 0:  # make the Hessian approximation positive-definite
+            scg["lam_bar"] = 2.0 * (scg["lam"] - delta / pn2)
+            delta = -delta + scg["lam"] * pn2
+            scg["lam"] = scg["lam_bar"]
+        mu = float(p @ (-g0))
+        scg.update(delta=delta, mu=mu, alpha=mu / delta, phase="candidate")
+        return _unflatten_w(w + scg["alpha"] * p, shapes)
+    # candidate phase: cur_error/g_vec are E, E' at w + αp
+    delta, mu, alpha = scg["delta"], scg["mu"], scg["alpha"]
+    comp = 2.0 * delta * (scg["E"] - cur_error) / (mu * mu)
+    if comp >= 0:  # success: accept the candidate
+        r_new, r_old = -g_vec, -g0
+        beta = float(r_new @ r_new - r_new @ r_old) / mu
+        scg["w"] = w + alpha * p
+        scg["E"], scg["g"] = cur_error, g_vec
+        scg["k"] += 1
+        scg["p"] = (
+            r_new if scg["k"] % w.size == 0 else r_new + beta * p  # restart
+        )
+        scg["lam_bar"] = 0.0
+        if comp >= 0.75:
+            scg["lam"] *= 0.25
+    else:
+        scg["lam_bar"] = scg["lam"]
+    if comp < 0.25:
+        scg["lam"] = min(scg["lam"] + delta * (1.0 - comp) / pn2, 1e10)
+    scg["sigma"] = scg["sigma0"] / max(
+        float(np.linalg.norm(scg["p"])), 1e-12
+    )
+    scg["phase"] = "probe"
+    return _unflatten_w(scg["w"] + scg["sigma"] * scg["p"], scg["shapes"])
+
+
+def scg_best_weights(model: NNModel):
+    """The accepted (best) SCG point — model.weights is the next
+    evaluation point, not the optimum."""
+    scg = model.opt_state.get("scg")
+    if scg is None:
+        return model.weights
+    return _unflatten_w(scg["w"], scg["shapes"])
 
 
 OPTIMIZERS: dict[str, Callable] = {
@@ -334,10 +419,17 @@ class NNMaster(MasterComputable):
             (gw / total.train_count, gb / total.train_count)
             for gw, gb in total.grads
         ]
-        new_weights = OPTIMIZERS[self.algorithm](
-            prev, mean_grads, self.learning_rate
-        )
         train_error = total.train_sse / total.train_count
+        if self.algorithm == "scg":
+            new_weights = update_scg(
+                prev, mean_grads, self.learning_rate, cur_error=train_error
+            )
+            # report the accepted point's error, not the probe point's
+            train_error = prev.opt_state["scg"]["E"]
+        else:
+            new_weights = OPTIMIZERS[self.algorithm](
+                prev, mean_grads, self.learning_rate
+            )
         test_error = (
             total.test_sse / total.test_count if total.test_count else 0.0
         )

@@ -76,9 +76,23 @@ def test_nn_other_optimizers_reduce_error(spark, xor_df, algorithm, lr):
     assert errors[-1] < errors[0], f"{algorithm}: {errors[0]} -> {errors[-1]}"
 
 
-def test_nn_scg_raises_clearly(spark, xor_df):
-    with pytest.raises(NotImplementedError, match="resilient"):
-        _train(spark, xor_df, "scg", iters=2)
+def test_nn_scg_learns_xor(spark, xor_df):
+    """SCG's probe/candidate state machine across engine iterations:
+    150 evaluations ≈ 75 SCG steps must beat the initial error decisively
+    and produce usable best weights."""
+    from guagua_spark.algorithms.nn import forward, scg_best_weights
+
+    model, errors = _train(spark, xor_df, "scg", iters=150)
+    assert errors[-1] < errors[0] * 0.5, f"scg: {errors[0]} -> {errors[-1]}"
+    # best weights come from the accepted point, not the last probe
+    best = scg_best_weights(model)
+    assert forward(best, np.zeros((1, 4)))[-1].shape == (1, 1)
+
+
+def test_nn_scg_deterministic(spark, xor_df):
+    _, e1 = _train(spark, xor_df, "scg", iters=8)
+    _, e2 = _train(spark, xor_df, "scg", iters=8)
+    np.testing.assert_allclose(e1, e2, rtol=1e-9)
 
 
 def test_nn_halt_on_tolerance(spark, xor_df):
