@@ -96,6 +96,25 @@ def rx_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_BOUNDS = [0.0, 50_000.0, 100_000.0, 200_000.0, float("inf")]
 
 
+def rx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-customer count + approximate totalprice quantiles.
+
+    The 100 TB answer to rx_distinct_agg: approx_count_distinct keeps a
+    fixed-size HLL sketch per partition (merged map-side — no expand,
+    no second shuffle), approx_percentile a bounded-error QDigest-style
+    sketch. Sketches are engine-specific ⇒ rows-only in the driver
+    contract; accuracy vs the exact answers is asserted in
+    tests/test_relational_ext.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers"),
+        F.percentile_approx(
+            "o_totalprice", [0.5, 0.9, 0.99], 10_000
+        ).alias("price_quantiles"),
+    )
+
+
 def rx_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders binned against a small range table — the range-join
     pattern: a non-equi join against a BROADCAST side stays a cheap
@@ -163,6 +182,7 @@ QUERIES = {
     "rx_anti_join_customers": rx_anti_join_customers,
     "rx_distinct_agg": rx_distinct_agg,
     "rx_conditional_agg": rx_conditional_agg,
+    "rx_approx_distinct": rx_approx_distinct,
     "rx_range_join_events": rx_range_join_events,
 }
 
