@@ -174,53 +174,113 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs shingle-Jaccard ≥ threshold (the LSH recall oracle).
+    """EXACT all-pairs shingle-Jaccard ≥ threshold via prefix filtering
+    (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06).
 
-    O(n²) by construction — this is the validation operator for small
-    samples; production near-dup at scale is dedup_minhash_pairs.
+    Not a nested loop: under any global token order, a pair with
+    |∩| ≥ α must share its SMALLEST common token within the first
+    n−α+1 tokens of both sets (everything before it is non-common,
+    and there are at most n−|∩| ≤ n−α such tokens). J ≥ t gives
+    α = ⌈t·n⌉ per side, so exploding only each doc's sorted-hash
+    prefix and equi-joining on the token turns O(n²) row pairs into a
+    shuffle join on shingle hash — the same plan shape at 5k docs and
+    at 10⁹ docs. Candidates are then verified with the true Jaccard.
+    Results are identical to the naive cross join (the oracle SQL).
+
+    Skew note: one globally-hot shingle would make one join bucket
+    quadratic; the scale hardening is document-frequency ordering
+    (rarest-first prefixes), one extra count/broadcast pass.
     """
     # Set sizes are invariant under (collision-free) hashing, so compare
     # long-hashed shingles instead of strings — array_intersect on
     # fixed-width longs, not variable-length UTF8. The oracle compares
     # raw strings; jaccard values agree because only SIZES matter.
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(shingles_col(), lambda s: F.xxhash64(s)).alias("sh"),
-    )
+    #
+    # Repartition the RAW text before computing shingles: projections
+    # run below the exchange, and a small parquet file scans as one
+    # partition — shingling there would run serially (and once per join
+    # branch). Post-shuffle, the identical shingle subplans also share
+    # one ReusedExchange instead of rescanning.
     par = spark.sparkContext.defaultParallelism
-    # non-equi join ⇒ broadcast nested loop; its parallelism is the LEFT
-    # side's partition count, and a small parquet file scans as ONE
-    # partition — repartition or the whole O(n²) loop runs on one core
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.size("sh").alias("n_a"),
-    ).repartition(par)
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.size("sh").alias("n_b"),
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(shingles_col(), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
     )
-    # EXACT size pruning inside the join condition: J ≥ t implies
-    # |∩| ≤ min and |∩| ≥ t·|∪| ≥ t·max, so min/max ≥ t — any pair
-    # whose set sizes differ by more than 1/t cannot qualify; the cheap
-    # integer predicate runs before the O(|set|) intersect/union.
+    sized = docs.select("doc_id", "sh", F.size("sh").alias("n"))
+    # prefix length n − ⌈t·n⌉ + 1 (0 for empty sets — no tokens, no pairs)
+    plen = F.when(
+        F.col("n") > 0,
+        F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1,
+    ).otherwise(F.lit(0))
+    toks = sized.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("sh", F.lit(1), plen)).alias("pos", "tok"),
+    )
+    # equi-join on the prefix token + two EXACT prunes evaluated before
+    # the distinct:
+    #  - size: J ≥ t implies min(n_a,n_b)/max(n_a,n_b) ≥ t;
+    #  - positional (PPJoin, Xiao et al. WWW'08): at the smallest common
+    #    token (0-based pos), |∩| ≤ 1 + min(n_a−pos_a−1, n_b−pos_b−1);
+    #    J ≥ t needs |∩| ≥ ⌈t·(n_a+n_b)/(1+t)⌉. Dropping a row for a
+    #    non-smallest common token is safe — the smallest one's row
+    #    survives and the pair reaches distinct anyway.
     inv_t = 1.0 / JACCARD_THRESHOLD
-    # broadcast B explicitly: if the planner broadcast the REPARTITIONED
-    # side instead, the loop would run at the other side's parallelism
-    # (one small file = one partition) — observed 2× run-to-run swings
-    pairs = a.join(
-        F.broadcast(b),
-        (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("n_a") <= F.col("n_b") * inv_t)
-        & (F.col("n_b") <= F.col("n_a") * inv_t),
+    t_frac = JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD)
+    min_overlap = F.ceil((F.col("a.n") + F.col("b.n")) * F.lit(t_frac))
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+    )
+    cand = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= F.col("b.n") * inv_t)
+            & (F.col("b.n") <= F.col("a.n") * inv_t)
+            & (ubound >= min_overlap),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        # AQE coalesces the tiny (16-byte-row) post-distinct shuffle to a
+        # few partitions, but the verify below is COMPUTE-heavy per row
+        # (hash-set intersect of ~50-element arrays) — rebalance by CPU,
+        # not by bytes
+        .repartition(par)
+    )
+    sh = sized.select("doc_id", "sh", "n")
+    verified = cand.join(
+        sh.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "doc_a",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "doc_b",
     )
     # |∪| = n_a + n_b − |∩| exactly (distinct arrays) — one set op per
     # pair instead of two
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
