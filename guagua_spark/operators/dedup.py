@@ -113,7 +113,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join on (band, band_hash) → distinct candidate pairs →
     verify true shingle-Jaccard ≥ 0.5. Output (doc_a, doc_b, jaccard).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition the raw text BEFORE computing signatures: the k·|shingles|
+    # md5 calls are the dominant cost and projections run below the
+    # exchange — on the single scan partition of a small file they would
+    # run serially, and once per join branch (see dedup_ngram_jaccard)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sig = with_signature(docs).select(
         "doc_id",
         "__shingles",
@@ -372,7 +380,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition first — mapInPandas over the single scan partition of
+    # a small file would run the whole Python stage on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def simhash_batches(it):
         import hashlib

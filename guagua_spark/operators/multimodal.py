@@ -77,7 +77,15 @@ def _decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media binary, meta struct). The binary is
     built in an Arrow-batched UDF (distributed, never on the driver)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # repartition before the encode/decode UDF chain: a small parquet
+    # file scans as ONE partition and projections (incl. pandas UDFs)
+    # run below the exchange — without this every multimodal operator
+    # runs its Python stage serially
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     @F.pandas_udf("binary")
     def encode(ids: pd.Series) -> pd.Series:

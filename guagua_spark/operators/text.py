@@ -129,7 +129,14 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROLLING_WIDTH-char window — robust to small edits anywhere outside
     the minimizing window (the 1-fingerprint degenerate of winnowing),
     unlike the whole-text md5 which any edit changes."""
-    docs = load_table(spark, sf_dir, "documents")
+    # ~|text| md5 calls per document: repartition the raw text first so
+    # the window hashing runs across all cores, not on the single scan
+    # partition of a small file
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     n = F.length("text")
     idx = F.sequence(F.lit(1), F.greatest(n - (ROLLING_WIDTH - 1), F.lit(1)))
     grams = F.transform(
