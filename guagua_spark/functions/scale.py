@@ -21,6 +21,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the plan yields fewer partitions than cores.
+
+    Projections (including pandas UDFs) execute below any later
+    exchange, so per-row-heavy compute over a small file's single scan
+    partition runs serially. At production scale a 100 TB table scans as
+    thousands of splits and this is a no-op — no shuffle is added; the
+    check reads the planned partitioning, it does not execute the plan.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 _PARTIAL = {
     "sum": F.sum,
     "count": F.count,

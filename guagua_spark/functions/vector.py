@@ -1,13 +1,19 @@
-"""Vector math as explicit per-dimension column expressions.
+"""Vector math over array columns, bit-reproducible against the SQL oracle.
 
-Why explicit element_at chains instead of ``F.aggregate(F.zip_with(...))``:
-both stay JVM-side, but the explicit form (a) produces the same
-left-to-right double accumulation as the generated oracle SQL — exact
-cross-engine reproducibility — and (b) avoids the lambda-function
-interpreter path, keeping the whole expression inside whole-stage
-codegen. The expression count is O(dim); fine for embedding dims in the
-hundreds. For very high dims switch to ``zip_with``/``aggregate`` (also
-provided) and accept approximate oracle comparison.
+Implementation note — higher-order functions, not unrolled element_at
+chains: an unrolled dot product is O(dim) expression nodes, and at
+dim=64 a cosine (three such sums) costs ~1.7 s of driver-side Catalyst
+planning + codegen PER QUERY (measured) — the executors then finish the
+actual work in tens of milliseconds. ``aggregate(zip_with(...))`` is a
+constant-size plan; the per-element lambda takes Spark's interpreted
+path, which at millions of rows × dim in the hundreds is still far
+cheaper than the planning it avoids, and it never risks blowing the
+64 KB codegen method limit at higher dims.
+
+Exactness: the fold is the same left-to-right double accumulation
+(((0 + a₀·b₀) + a₁·b₁) + …) as the generated oracle SQL, with each
+FLOAT element cast to double BEFORE the multiply — results match DuckDB
+bit-for-bit (asserted by the oracle hash checks).
 """
 
 from __future__ import annotations
@@ -16,35 +22,33 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _el(col: str, i: int) -> Column:
-    return F.element_at(col, i + 1).cast("double")
+def _prod_sum(pairs: Column) -> Column:
+    """Left-to-right Σ over an array of doubles, seeded at 0.0."""
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def dot_expr(a: str, b: str, dim: int) -> Column:
-    """Σ aᵢ·bᵢ over two array columns, fixed dim."""
-    return sum((_el(a, i) * _el(b, i) for i in range(dim)), F.lit(0.0))
+def dot_expr(a: str, b: str, dim: int = 0) -> Column:
+    """Σ aᵢ·bᵢ over two array columns (``dim`` kept for API compat)."""
+    return _prod_sum(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        )
+    )
 
 
-def norm2_expr(a: str, dim: int) -> Column:
+def norm2_expr(a: str, dim: int = 0) -> Column:
     """Σ aᵢ² (squared L2 norm)."""
-    return sum((_el(a, i) * _el(a, i) for i in range(dim)), F.lit(0.0))
+    return dot_expr(a, a, dim)
 
 
-def cosine_expr(a: str, b: str, dim: int) -> Column:
+def cosine_expr(a: str, b: str, dim: int = 0) -> Column:
     """Cosine similarity of two array columns."""
     return dot_expr(a, b, dim) / F.sqrt(norm2_expr(a, dim) * norm2_expr(b, dim))
 
 
-def dot_agg(a: str, b: str) -> Column:
-    """zip_with/aggregate dot product — dim-agnostic alternative."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
-    )
-
-
 # -- matching SQL generators (DuckDB oracle side) ---------------------------
+# Unrolled SQL is fine for the oracle: DuckDB binds it in milliseconds,
+# and the explicit left-to-right + matches the fold above exactly.
 
 
 def sql_dot(a: str, b: str, dim: int) -> str:

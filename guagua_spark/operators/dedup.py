@@ -338,12 +338,9 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 2 — EXACT verify on the surviving pairs only, with the same
     # left-to-right double arithmetic as the SQL oracle, so reported
     # cosines (and the ≥ threshold cut) are bit-identical cross-engine.
-    ea = lambda i: F.element_at("ea", i + 1).cast("double")  # noqa: E731
-    eb = lambda i: F.element_at("eb", i + 1).cast("double")  # noqa: E731
-    dot = sum((ea(i) * eb(i) for i in range(dim)), F.lit(0.0))
-    na = sum((ea(i) * ea(i) for i in range(dim)), F.lit(0.0))
-    nb = sum((eb(i) * eb(i) for i in range(dim)), F.lit(0.0))
-    cos = dot / F.sqrt(na * nb)
+    from guagua_spark.functions.vector import cosine_expr
+
+    cos = cosine_expr("ea", "eb", dim)
     return (
         cand.join(
             F.broadcast(

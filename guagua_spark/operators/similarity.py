@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from guagua_spark.functions.scale import ensure_parallelism
 from guagua_spark.functions.vector import cosine_expr, sql_cosine
 from guagua_spark.sources.tables import load_table
 
@@ -44,7 +45,9 @@ def _queries_and_corpus(
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return q, emb
+    # the corpus side carries all the per-row cosine/bucket compute —
+    # never let it ride a single scan partition (no-op at real scale)
+    return q, ensure_parallelism(emb, spark)
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,30 +164,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF: k-means cells (trained with the BSP engine, fixed seed init)
-    → per-query probe of the nprobe nearest cells → exact cosine within.
+QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
 
-    Iterative training ⇒ rows-only driver check; recall asserted in tests.
+
+def _sample_kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample, deterministic init."""
+    rng = np.random.default_rng(LSH_SEED)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        tags = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[tags == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: coarse k-means quantizer trained on a bounded driver-side
+    sample (the FAISS design — quantizers for billion-vector indexes
+    train on ~10⁵ sampled vectors, never the full corpus), then one
+    distributed pass assigns every vector to its cell; each query probes
+    its nprobe nearest cells and scores exact cosine within them.
+
+    The full-corpus distributed k-means remains available as the
+    ``kmeans_train`` query (BSP engine); using it here would spend
+    per-iteration scheduling latency on a quantizer that a sample
+    trains equally well. Sampling ⇒ rows-only driver check; recall vs
+    brute force is asserted in tests/test_similarity.py.
     """
-    from guagua_spark.algorithms.kmeans import (
-        KMeansMaster,
-        KMeansWorker,
-        assign_to_centroids,
-    )
-    from guagua_spark.engine import IterativeEngine
+    from guagua_spark.algorithms.kmeans import assign_to_centroids
 
     n_cells, nprobe = 8, 3
     q, emb = _queries_and_corpus(spark, sf_dir)
-    # coarse cells only need a rough quantizer, not convergence: 5
-    # rounds halves the training cost with no measurable recall change
-    model = IterativeEngine(spark).run(
-        KMeansMaster(k=n_cells, tolerance=1e-6),
-        KMeansWorker(k=n_cells),
-        emb.select("embedding"),
-        total_iteration=5,
+    sample = np.array(
+        [
+            r.embedding
+            for r in emb.select("embedding").limit(QUANT_SAMPLE).collect()
+        ],
+        dtype=np.float64,
     )
-    centroids = model.centroids
+    centroids = _sample_kmeans(sample, n_cells)
     corpus_c = assign_to_centroids(emb, centroids).withColumnRenamed(
         "tag", "cell"
     )
