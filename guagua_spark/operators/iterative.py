@@ -80,17 +80,26 @@ def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment round: nearest of two fixed 64-dim centroids
     (c0 = 0⃗, c1 = 0.1⃗) over embeddings; per-cluster counts.
 
-    The distance terms are explicit per-dimension expressions (no UDF) so
-    whole-stage codegen fuses the whole assignment; centroids are plan
-    literals — the broadcast-model pattern with zero shuffle.
+    The distance terms are aggregate/zip-style folds (no UDF, no Python):
+    centroids are plan literals — the broadcast-model pattern with zero
+    shuffle — and the fold keeps the plan O(1) nodes (an unrolled 64-dim
+    pair of sums costs seconds of Catalyst planning; see
+    functions/vector.py) while accumulating left-to-right exactly like
+    the oracle SQL.
     """
+    from guagua_spark.functions.vector import norm2_expr
+
     emb = load_table(spark, sf_dir, "embeddings")
-    e = lambda i: F.element_at(F.col("embedding"), i + 1).cast("double")  # noqa: E731
-    d0 = sum((e(i) * e(i) for i in range(KMEANS_DIM)), F.lit(0.0))
+    d0 = norm2_expr("embedding")
     c1 = KMEANS_C1_VAL
-    d1 = sum(
-        ((e(i) - F.lit(c1)) * (e(i) - F.lit(c1)) for i in range(KMEANS_DIM)),
+    d1 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") - F.lit(c1))
+            * (x.cast("double") - F.lit(c1)),
+        ),
         F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     tag = F.when(d1 < d0, 1).otherwise(0).alias("tag")
     return (
