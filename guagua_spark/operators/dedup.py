@@ -106,13 +106,11 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH, Jaccard-verified.
-
-    Pipeline: signature (k=12 salted-md5 mins) → 6 bands × 2 rows →
-    bucket-join on (band, band_hash) → distinct candidate pairs →
-    verify true shingle-Jaccard ≥ 0.5. Output (doc_a, doc_b, jaccard).
-    """
+def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) —
+    shared by dedup_minhash_pairs (adds the presentation sort) and
+    dedup_clusters (feeds connected components; a sort there would be
+    wasted work)."""
     # repartition the raw text BEFORE computing signatures: the k·|shingles|
     # md5 calls are the dominant cost and projections run below the
     # exchange — on the single scan partition of a small file they would
@@ -174,11 +172,94 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - inter
     )
-    return (
-        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, Jaccard-verified.
+
+    Pipeline: signature (k=12 salted-md5 mins) → 6 bands × 2 rows →
+    bucket-join on (band, band_hash) → distinct candidate pairs →
+    verify true shingle-Jaccard ≥ 0.5. Output (doc_a, doc_b, jaccard).
+    """
+    return _minhash_pair_df(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node, label)
+    where label is the smallest node id reachable from node.
+
+    Distributed min-label propagation: labels start as each node's own
+    id; every round each node takes the min of its label and its
+    neighbors' labels, until a fixpoint. Per round that is one
+    edges⋈labels shuffle join + a groupBy min — no driver-side graph.
+    Labels decrease monotonically, so SUM(label) is a convergence
+    certificate: an unchanged sum IS the fixpoint (collected as one
+    scalar per round, O(1) driver traffic). Rounds = graph diameter;
+    near-dup components are tiny cliques, so 2-3 rounds in practice.
+    localCheckpoint truncates the per-round lineage growth that would
+    otherwise make round N replan rounds 1..N-1. For adversarial
+    long-chain graphs switch to the large-star/small-star contraction
+    (Kiveris et al., SoCC'14), which converges in O(log² n) rounds.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph — each linked document labeled with the smallest
+    doc_id reachable through near-dup edges (the cluster representative
+    a dedup pipeline would keep). See connected_components for the
+    distributed formulation.
+    """
+    pairs = (
+        _minhash_pair_df(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+    pairs.unpersist()
+    return out
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,7 +508,9 @@ def _sql_shingles(col: str = "text") -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """WITH-clause body computing verified pairs (doc_a, doc_b, jaccard)
+    — shared by the pairs and clusters oracles."""
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
         for j in range(NUM_HASHES)
@@ -439,25 +522,54 @@ def _minhash_oracle() -> str:
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_rows)
-    return f"""
-WITH docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+    return f"""docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
 sig AS (SELECT doc_id, sh, {mh} FROM docs),
 buckets AS ({buckets}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-FROM cand
-JOIN docs x ON x.doc_id = doc_a
-JOIN docs y ON y.doc_id = doc_b
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-      >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+  FROM cand
+  JOIN docs x ON x.doc_id = doc_a
+  JOIN docs y ON y.doc_id = doc_b
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+        >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs
 ORDER BY doc_a, doc_b
+""".strip()
+
+
+def _clusters_oracle() -> str:
+    """Connected components of the pair graph via a recursive CTE:
+    ``walk`` enumerates every (node, reachable-id) state — UNION dedups
+    states so it terminates — and MIN per node over an undirected edge
+    set is exactly the component minimum."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
 """.strip()
 
 
@@ -502,6 +614,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_simhash": dedup_simhash,
@@ -517,6 +630,7 @@ ORACLE_SQL = {
         "COUNT(*) - COUNT(DISTINCT text) AS removed FROM documents"
     ),
     "dedup_minhash_pairs": _minhash_oracle(),
+    "dedup_clusters": _clusters_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
     "dedup_embedding_pairs": _embedding_oracle(),
     # dedup_simhash: pandas-UDF path, rows-only by design

@@ -163,6 +163,149 @@ def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Generic as-of (point-in-time) LEFT join: every ``left`` row gets
+    the ``right`` row with the greatest ``right_ts`` ≤ its ``left_ts``
+    within the same ``on`` key (nulls when none precede it).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is
+    union-the-sides + one window pass. Tag right rows 0 and left rows
+    1, sort each key's rows by (ts, tag), and carry the last non-null
+    right payload forward with last(..., ignorenulls) over a running
+    frame. That is ONE shuffle on the key and ONE sort — the merge plan
+    a native as-of join would pick — with no range-join row explosion
+    and no nested loop, so it survives a 100× scale-up unchanged. The
+    ``right`` side must be unique per (key, ts) for determinism;
+    pre-aggregate it if it is not.
+
+    Output: all ``left`` columns, plus ``prefix+right_ts`` and
+    ``prefix+c`` for each c in ``right_cols``.
+    """
+    tag = "__asof_is_probe"
+    ts = "__asof_ts"
+    payload = [right_ts, *right_cols]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(tag),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left.columns
+            if c != on
+        ],
+    )
+    l_side = left.select(
+        F.col(on),
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(tag),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in payload
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, tag)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l_side)
+    for c in payload:
+        carried = carried.withColumn(
+            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    out_cols = [
+        F.col(f"__l_{c}").alias(c) if c != on else F.col(on)
+        for c in left.columns
+    ]
+    out_cols += [F.col(f"__r_{c}").alias(f"{prefix}{c}") for c in payload]
+    return carried.filter(F.col(tag) == 1).select(*out_cols)
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event, the most recent purchase by the same user
+    at or before the click — the generic asof_join applied to the
+    events table. Purchases are pre-deduped per (user, ts) with
+    max(value) so ties are deterministic in both engines; a purchase at
+    exactly the click ts counts (≤, right side sorts first on ties).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        clk,
+        pur,
+        on="user_id",
+        right_cols=("pvalue",),
+        prefix="last_purchase_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_value",
+        F.col("last_purchase_ts"),
+        F.col("last_purchase_pvalue").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: how many
+    users signed up, then clicked at/after their first signup, then
+    purchased at/after that first qualifying click.
+
+    Each stage aggregates BEFORE joining (one row per user), so the
+    joins are small-side broadcastable and the raw events table is
+    scanned, never self-joined row-to-row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("click_ts").alias("n_click_after_signup"),
+            F.count("purchase_ts").alias("n_purchase_after_click"),
+        )
+    )
+
+
 # -- oracle SQL --------------------------------------------------------------
 
 ORACLE_SQL = {
@@ -235,6 +378,42 @@ SELECT user_id, ts AS last_ts, running_value AS lifetime_value
 FROM running WHERE rn = 1
 ORDER BY user_id
 """.strip(),
+    "events_asof_purchase": """
+WITH pur AS (
+  SELECT user_id, ts, MAX(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clk AS (
+  SELECT event_id, user_id, ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, c.click_value,
+       p.ts AS last_purchase_ts, p.pvalue AS last_purchase_value
+FROM clk c ASOF LEFT JOIN pur p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.event_id
+""".strip(),
+    "events_funnel": """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT COUNT(*) AS n_signup,
+       COUNT(c.click_ts) AS n_click_after_signup,
+       COUNT(p.purchase_ts) AS n_purchase_after_click
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+""".strip(),
 }
 
 QUERIES = {
@@ -243,4 +422,6 @@ QUERIES = {
     "events_top_users_per_type": events_top_users_per_type,
     "events_json_props": events_json_props,
     "events_user_running_value": events_user_running_value,
+    "events_asof_purchase": events_asof_purchase,
+    "events_funnel": events_funnel,
 }

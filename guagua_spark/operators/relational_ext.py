@@ -174,8 +174,32 @@ def rx_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rx_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus) with an explicit grouping id —
+    all 2² grouping sets in ONE shuffle (Catalyst expands the sets
+    map-side with an Expand node, it does not run 4 scans); the
+    grouping id disambiguates a NULL group value from a subtotal row,
+    which is what makes cube output machine-consumable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES = {
     "rx_parts_by_brand": rx_parts_by_brand,
+    "rx_cube_quantity": rx_cube_quantity,
     "rx_supplier_nation_balance": rx_supplier_nation_balance,
     "rx_rollup_revenue": rx_rollup_revenue,
     "rx_semi_join_customers": rx_semi_join_customers,
@@ -187,6 +211,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rx_cube_quantity": """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS cnt
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""".strip(),
     "rx_parts_by_brand": """
 SELECT p_brand, COUNT(*) AS n_parts,
        ROUND(AVG(p_retailprice), 4) AS avg_price,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from guagua_spark.sources.tables import load_table
 
@@ -147,6 +148,53 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf(term, doc) · ln(N / df(term)).
+
+    The classic two-aggregation shape: explode tokens → count per
+    (doc, term) [shuffle 1, on (doc_id, term)] → document frequency per
+    term over the already-aggregated relation [shuffle 2, on term —
+    |distinct terms| rows, not |tokens|] → broadcast the df side back.
+    The corpus size N joins in as a 1-row broadcast rather than a
+    driver-side collect, so the whole thing is one declarative plan.
+    Scores are rounded to 6dp BEFORE ranking so the rank tiebreak
+    (score desc, term asc) is engine-portable: ln() may differ from the
+    oracle's in the last ulp, never at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def _sql_tokens() -> str:
     return "string_split(text, ' ')"
 
@@ -204,6 +252,7 @@ QUERIES = {
     "text_fingerprints": fingerprints,
     "text_bpe_token_counts": bpe_token_counts,
     "text_rolling_fingerprint": rolling_fingerprint,
+    "text_tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE_SQL = {
@@ -227,5 +276,30 @@ SELECT doc_id,
          range(1, greatest(LENGTH(text) - {ROLLING_WIDTH - 1}, 1) + 1),
          i -> md5(text[i:i+{ROLLING_WIDTH - 1}]))) AS rolling_fp
 FROM documents ORDER BY doc_id
+""".strip(),
+    "text_tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tfidf
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rnk
 """.strip(),
 }

@@ -48,6 +48,22 @@ def test_lsh_recall_vs_allpairs(spark, oracle_sf_dir):
     assert not missed, f"LSH missed {len(missed)}/{len(truth)}: {missed}"
 
 
+def test_connected_components_chain_and_island(spark):
+    """Min-label propagation must traverse a 5-node chain (diameter 4 >
+    one propagation round — exercises the fixpoint loop) and keep a
+    disjoint island separate."""
+    from guagua_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    got = {
+        (r.node, r.label)
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
 def test_simhash_near_dups_have_close_hashes(spark, oracle_sf_dir):
     """Hamming distance of simhashes for a true near-dup pair is small."""
     near = QUERIES["dedup_ngram_jaccard"](spark, oracle_sf_dir).filter(

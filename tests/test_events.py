@@ -22,6 +22,33 @@ def test_events_matches_oracle(spark, oracle_sf_dir, duck, name):
     assert_matches_oracle(df, duck, ORACLE_SQL[name], rtol=1e-6)
 
 
+def test_asof_join_tie_and_miss_semantics(spark):
+    """A right row at EXACTLY the left ts matches (≤); a left row
+    before any right row gets nulls; the latest preceding right row
+    wins (not the first)."""
+    from guagua_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (2, 10, "c")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (2, 11, 300.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        (r.k, r.ts, r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, on="k", right_cols=("v",)
+        ).collect()
+    }
+    assert got == {
+        (1, 5, 5, 100.0),     # tie: right row at equal ts included
+        (1, 20, 15, 200.0),   # latest preceding, not earliest
+        (2, 10, None, None),  # nothing at or before → nulls
+    }
+
+
 def test_sessionize_single_exchange(spark, oracle_sf_dir):
     """Both window passes must reuse ONE exchange+sort on user_id."""
     plan = (
