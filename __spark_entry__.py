@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
-    for mod_name in ("relational_ext", "dedup", "similarity", "text", "events", "multimodal", "iterative"):
+    for mod_name in ("relational_ext", "dedup", "similarity", "text", "events", "multimodal", "iterative", "pipeline"):
         try:
             import importlib
 
@@ -54,7 +54,7 @@ def oracle_sql() -> dict[str, str]:
 
     s: dict[str, str] = {}
     s.update(relational.ORACLE_SQL)
-    for mod_name in ("relational_ext", "dedup", "similarity", "text", "events", "multimodal", "iterative"):
+    for mod_name in ("relational_ext", "dedup", "similarity", "text", "events", "multimodal", "iterative", "pipeline"):
         try:
             import importlib
 

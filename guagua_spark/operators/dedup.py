@@ -106,20 +106,13 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) —
-    shared by dedup_minhash_pairs (adds the presentation sort) and
-    dedup_clusters (feeds connected components; a sort there would be
-    wasted work)."""
-    # repartition the raw text BEFORE computing signatures: the k·|shingles|
-    # md5 calls are the dominant cost and projections run below the
-    # exchange — on the single scan partition of a small file they would
-    # run serially, and once per join branch (see dedup_ngram_jaccard)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+def minhash_pairs_for(docs: DataFrame) -> DataFrame:
+    """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) for
+    an arbitrary (doc_id, text) DataFrame — shared by
+    dedup_minhash_pairs (adds the presentation sort), dedup_clusters
+    (feeds connected components), and pipeline_clean_corpus (dedups the
+    quality-filtered corpus). Callers should repartition small inputs
+    first; signature hashing runs below the first exchange."""
     sig = with_signature(docs).select(
         "doc_id",
         "__shingles",
@@ -174,6 +167,19 @@ def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition the raw text BEFORE computing signatures: the
+    # k·|shingles| md5 calls are the dominant cost and projections run
+    # below the exchange — on the single scan partition of a small file
+    # they would run serially, and once per join branch (see
+    # dedup_ngram_jaccard)
+    return minhash_pairs_for(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -508,9 +514,10 @@ def _sql_shingles(col: str = "text") -> str:
     )
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(source: str = "documents") -> str:
     """WITH-clause body computing verified pairs (doc_a, doc_b, jaccard)
-    — shared by the pairs and clusters oracles."""
+    over ``source`` — shared by the pairs/clusters oracles and the
+    clean-corpus pipeline oracle."""
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
         for j in range(NUM_HASHES)
@@ -522,7 +529,7 @@ def _minhash_pair_ctes() -> str:
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_rows)
-    return f"""docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+    return f"""docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM {source}),
 sig AS (SELECT doc_id, sh, {mh} FROM docs),
 buckets AS ({buckets}),
 cand AS (

@@ -197,9 +197,37 @@ def rx_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (p25/p50/p90) of extended price per return
+    flag. Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the linear-interpolation-at-(n−1)·p definition, so values are
+    bit-identical cross-engine — deterministic regardless of partition
+    count, unlike merge-order-dependent moments (corr/stddev). Exact
+    percentile sorts per group; at 100 TB swap in percentile_approx
+    (t-digest, mergeable map-side) and accept the documented error
+    bound — rx_approx_distinct shows that sketch pattern.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.9))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p.alias("pq"))  # ONE sort-based aggregate, three probes
+        .select(
+            "l_returnflag",
+            F.col("pq").getItem(0).alias("p25"),
+            F.col("pq").getItem(1).alias("p50"),
+            F.col("pq").getItem(2).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "rx_parts_by_brand": rx_parts_by_brand,
     "rx_cube_quantity": rx_cube_quantity,
+    "rx_percentiles": rx_percentiles,
     "rx_supplier_nation_balance": rx_supplier_nation_balance,
     "rx_rollup_revenue": rx_rollup_revenue,
     "rx_semi_join_customers": rx_semi_join_customers,
@@ -211,6 +239,13 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rx_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip(),
     "rx_cube_quantity": """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,

@@ -154,11 +154,13 @@ TFIDF_TOP_K = 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: tf(term, doc) · ln(N / df(term)).
 
-    The classic two-aggregation shape: explode tokens → count per
-    (doc, term) [shuffle 1, on (doc_id, term)] → document frequency per
-    term over the already-aggregated relation [shuffle 2, on term —
-    |distinct terms| rows, not |tokens|] → broadcast the df side back.
-    The corpus size N joins in as a 1-row broadcast rather than a
+    Single-scan shape: explode tokens → count per (doc, term)
+    [shuffle 1, on (doc_id, term)] → document frequency as an
+    unbounded COUNT window partitioned by term over the already-
+    aggregated relation [shuffle 2, on term — no sort, no second scan,
+    no re-aggregation: an aggregate-then-join formulation would compute
+    the tf subplan twice] → rank window on doc_id [shuffle 3]. The
+    corpus size N joins in as a 1-row broadcast rather than a
     driver-side collect, so the whole thing is one declarative plan.
     Scores are rounded to 6dp BEFORE ranking so the rank tiebreak
     (score desc, term asc) is engine-portable: ln() may differ from the
@@ -169,10 +171,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens()).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    by_term = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(by_term))
         .join(F.broadcast(total))
         .select(
             "doc_id",
