@@ -50,3 +50,41 @@ def test_text_ops_prune_columns(spark, oracle_sf_dir, name):
     assert m is not None, p
     # documents has 5 columns; text ops need at most (doc_id, text)
     assert "lang" not in m.group(1) and "source" not in m.group(1), p
+
+
+def test_asof_join_single_key_exchange(spark, oracle_sf_dir):
+    """The as-of join must stay ONE window pass over ONE hash exchange
+    on the key — a range-join/NLJ formulation would explode at scale."""
+    from guagua_spark.operators import events
+
+    p = _plan(events.QUERIES["events_asof_purchase"](spark, oracle_sf_dir))
+    assert p.count("Exchange hashpartitioning(user_id#") <= 2, p  # pre-agg + window
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert p.count("Window") == 1, p
+
+
+def test_tfidf_single_heavy_scan(spark, oracle_sf_dir):
+    """df(term) must come from a window over the tf relation, not a
+    second explode+aggregate of the corpus."""
+    from guagua_spark.operators import text as t
+
+    p = _plan(t.QUERIES["text_tfidf_top_terms"](spark, oracle_sf_dir))
+    assert p.count("Generate explode") == 1, p
+
+
+def test_cube_is_one_shuffle_with_expand(spark, oracle_sf_dir):
+    """CUBE must plan as Expand + one aggregation, not N scans."""
+    from guagua_spark.operators import relational_ext
+
+    p = _plan(relational_ext.QUERIES["rx_cube_quantity"](spark, oracle_sf_dir))
+    assert "Expand" in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_pipeline_antijoin_is_broadcast(spark, oracle_sf_dir):
+    """The clean-corpus drop-list anti-join must broadcast the tiny
+    drop list, never shuffle the corpus."""
+    from guagua_spark.operators import pipeline
+
+    p = _plan(pipeline.QUERIES["pipeline_clean_corpus"](spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
