@@ -1,5 +1,6 @@
 from guagua_spark.streaming.stream_ops import (  # noqa: F401
     run_available_now,
+    streaming_click_purchase_join,
     streaming_dedup_docs,
     streaming_sessionize,
     streaming_user_totals,

@@ -153,6 +153,57 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_HORIZON = "1 hour"
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each click matched to the same
+    user's purchases within the next hour.
+
+    Both sides carry watermarks, so the join state store holds only
+    rows inside the (watermark − horizon) band and evicts the rest —
+    without the time bound a stream-stream join would buffer both
+    streams forever. Inner-join matches are emitted eagerly (the
+    watermark exists for state EVICTION, not result holdback), so an
+    availableNow drain yields exactly the batch-join result — which is
+    what the test asserts.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {JOIN_HORIZON}"""
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -78,3 +78,36 @@ def test_stateful_user_totals_match_batch(spark, sf_dir):
     )
     cols = ("user_id", "n_events", "total_value")
     assert _rows(final, *cols) == _rows(want, *cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Inner interval join emits eagerly; the availableNow drain must
+    equal the equivalent batch self-join."""
+    from guagua_spark.streaming import streaming_click_purchase_join
+
+    got = run_available_now(
+        streaming_click_purchase_join(spark, sf_dir), "s_ivj", "append"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    cols = ("user_id", "click_ts", "purchase_ts", "purchase_value")
+    assert _rows(got, *cols) == _rows(want, *cols)
