@@ -1,0 +1,91 @@
+"""Property-based checks: asof_join and connected_components vs
+pure-Python reference implementations on randomized inputs.
+
+Few examples, Spark-job-per-example — the value is the randomized edge
+cases (empty sides, all-tied timestamps, disconnected singletons), not
+volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from guagua_spark.operators.dedup import connected_components
+from guagua_spark.operators.events import asof_join
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts) pairs; right side deduped per (key, ts) so the as-of pick is
+# unambiguous
+_row = st.tuples(st.integers(0, 3), st.integers(0, 20))
+
+
+@_SETTINGS
+@given(
+    left=st.lists(_row, min_size=0, max_size=12),
+    right=st.lists(_row, min_size=0, max_size=12, unique=True),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k long, ts long, rid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 100 + t)) for (k, t) in right],
+        "k long, ts long, v double",
+    )
+    got = {
+        (r.rid, r.asof_ts, r.asof_v)
+        for r in asof_join(ldf, rdf, on="k", right_cols=("v",)).collect()
+    }
+    want = set()
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rv) for (rk, rt), rv in
+                 [((rk, rt), float(rk * 100 + rt)) for (rk, rt) in right]
+                 if rk == k and rt <= t]
+        if cands:
+            bt, bv = max(cands)
+            want.add((i, bt, bv))
+        else:
+            want.add((i, None, None))
+    assert got == want
+
+
+def _cc_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_matches_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.node, r.label)
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == set(_cc_reference(edges).items())
