@@ -179,11 +179,62 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine-based NN training (4-8-1 MLP, resilient propagation,
+    5 iterations) on lineitem features — the reference's flagship
+    workload (nn/NNMaster.java, nn/NNWorker.java) as a driver-contract
+    entry; rows-only check (iterative, non-SQL-expressible).
+
+    Features are scaled into sigmoid-friendly ranges in the PLAN (no
+    Python); the engine does the rest: persisted input, map-side
+    backprop folds, gradient AllReduce, broadcast weights.
+    """
+    from guagua_spark.algorithms.nn import NNMaster, NNWorker
+    from guagua_spark.engine import IterativeEngine
+
+    # repartition to the core count: unlike the LR gradient (trivial
+    # per-row math, scheduling-bound — repartition measured SLOWER
+    # there), backprop is ~0.35 s per 200k-row partition, so on a
+    # 3-partition scan the round time is compute-bound and the one-time
+    # shuffle amortizes over 5 rounds
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_quantity") / 50.0).alias("f1"),
+            (F.col("l_discount") * 10.0).alias("f2"),
+            (F.col("l_extendedprice") / 100000.0).alias("f3"),
+            (F.col("l_tax") * 10.0).alias("f4"),
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("target"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    engine = IterativeEngine(spark)
+    model = engine.run(
+        NNMaster([4, 8, 1], learning_rate=0.1, algorithm="resilient"),
+        NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.2),
+        li,
+        total_iteration=5,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                float(model.train_error),
+                float(model.test_error),
+                int(model.iteration),
+            )
+        ],
+        "train_error double, test_error double, iterations int",
+    )
+
+
 QUERIES = {
     "lr_gradient_step": lr_gradient_step,
     "kmeans_assign_counts": kmeans_assign_counts,
     "lr_train": lr_train,
     "kmeans_train": kmeans_train,
+    "nn_train": nn_train,
 }
 
 ORACLE_SQL = {
