@@ -96,8 +96,8 @@ drop_ids AS (
   SELECT node FROM walk GROUP BY node HAVING node != MIN(label)
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM filtered
 WHERE doc_id NOT IN (SELECT node FROM drop_ids)
 GROUP BY lang ORDER BY lang

@@ -294,7 +294,7 @@ FROM orders
 """.strip(),
     "rx_conditional_agg": """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_high_value,
+       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
        ROUND(AVG(o_totalprice), 4) AS avg_price
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """.strip(),
