@@ -264,6 +264,55 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+HIST_WIDTH = 10.0
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (bucket = ⌊value/10⌋)
+    — the data-profiling primitive. Integer bucketing keeps it exact in
+    any engine; one hash-agg shuffle on (type, bucket) with map-side
+    partials, cardinality bounded by types × buckets regardless of
+    input size."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(HIST_WIDTH)).alias("bucket")
+    return (
+        ev.select("event_type", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+RETENTION_MAX_DAYS = 7
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day;
+    for each (cohort_day, day_offset ≤ 7) the count of distinct users
+    active that day. Two aggregations: per-user first day (shuffle on
+    user), then distinct users per cohort cell over the already-tiny
+    (user, day) relation — the raw events never join themselves."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    user_days = ev.distinct()
+    cohorts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        user_days.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_DAYS)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase: how many
     users signed up, then clicked at/after their first signup, then
@@ -415,6 +464,25 @@ SELECT COUNT(*) AS n_signup,
 FROM s LEFT JOIN c ON s.user_id = c.user_id
        LEFT JOIN p ON s.user_id = p.user_id
 """.strip(),
+    "events_histogram": f"""
+SELECT event_type, CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip(),
+    "events_retention": f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
+WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip(),
 }
 
 QUERIES = {
@@ -425,4 +493,6 @@ QUERIES = {
     "events_user_running_value": events_user_running_value,
     "events_asof_purchase": events_asof_purchase,
     "events_funnel": events_funnel,
+    "events_histogram": events_histogram,
+    "events_retention": events_retention,
 }

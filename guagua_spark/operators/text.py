@@ -197,6 +197,68 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_TOP_K = 20
+
+#: probe strings for the contamination check — stand-ins for benchmark
+#: questions / eval prompts a training pipeline must exclude. A plan
+#: literal array: at scale this is a broadcast of the probe set, and the
+#: scan side stays a single pass (contains() per probe, codegen'd).
+CONTAMINATION_PROBES = (
+    "hash join",
+    "shuffle partition",
+    "filter scan",
+)
+
+
+def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus word bigrams with document frequency — the n-gram
+    profile used for contamination screens and LM overlap estimates.
+
+    Explode bigrams (map-side, from the token array — no self-join) →
+    count per bigram [one shuffle] → global top-k via a single-partition
+    window over the aggregated relation (|distinct bigrams| rows).
+    Deterministic tiebreak: count desc, bigram asc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    grams = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NGRAM_TOP_K)
+        .select("rnk", "bigram", "n")
+        .orderBy("rnk")
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many documents contain each contamination probe substring.
+
+    The probe set rides the plan as literals (a broadcast at scale);
+    the corpus is scanned ONCE — each probe is a codegen'd contains()
+    over the same text column, summed as conditional aggregates, so
+    adding probes widens the aggregate, never adds a scan or a join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.sum(
+            F.when(F.col("text").contains(p), 1).otherwise(0)
+        ).alias(f"probe_{i}")
+        for i, p in enumerate(CONTAMINATION_PROBES)
+    ]
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+
+
 def _sql_tokens() -> str:
     return "string_split(text, ' ')"
 
@@ -255,6 +317,8 @@ QUERIES = {
     "text_bpe_token_counts": bpe_token_counts,
     "text_rolling_fingerprint": rolling_fingerprint,
     "text_tfidf_top_terms": tfidf_top_terms,
+    "text_corpus_bigrams": corpus_bigrams,
+    "text_contamination": contamination_check,
 }
 
 ORACLE_SQL = {
@@ -304,4 +368,27 @@ SELECT doc_id, rnk, term, tfidf
 FROM ranked WHERE rnk <= {TFIDF_TOP_K}
 ORDER BY doc_id, rnk
 """.strip(),
+    "text_corpus_bigrams": f"""
+WITH grams AS (
+  SELECT unnest(CASE WHEN len({_sql_tokens()}) >= 2 THEN
+    list_transform(generate_series(1, len({_sql_tokens()}) - 1),
+      i -> array_to_string({_sql_tokens()}[i:i+1], ' '))
+    ELSE [] END) AS bigram
+  FROM documents
+),
+counted AS (SELECT bigram, COUNT(*) AS n FROM grams GROUP BY 1),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk FROM counted
+)
+SELECT rnk, bigram, n FROM ranked WHERE rnk <= {NGRAM_TOP_K} ORDER BY rnk
+""".strip(),
+    "text_contamination": (
+        "SELECT COUNT(*) AS n_docs, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS probe_{i}"
+            for i, p in enumerate(CONTAMINATION_PROBES)
+        )
+        + " FROM documents"
+    ),
 }
