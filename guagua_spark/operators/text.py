@@ -215,9 +215,12 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile used for contamination screens and LM overlap estimates.
 
     Explode bigrams (map-side, from the token array — no self-join) →
-    count per bigram [one shuffle] → global top-k via a single-partition
-    window over the aggregated relation (|distinct bigrams| rows).
-    Deterministic tiebreak: count desc, bigram asc.
+    count per bigram [one shuffle] → global top-k via orderBy().limit(),
+    which Catalyst plans as TakeOrderedAndProject: each partition keeps
+    its local top-k heap and the driver merges k·P rows — no global
+    sort of the (at 100 TB, billions-row) distinct-bigram relation. The
+    rank is assigned AFTER the limit, over k rows. Deterministic
+    tiebreak: count desc, bigram asc.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
@@ -227,15 +230,16 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         n >= 2,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    counted = (
+    top = (
         docs.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(NGRAM_TOP_K)
     )
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= NGRAM_TOP_K)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", "bigram", "n")
         .orderBy("rnk")
     )
