@@ -181,6 +181,27 @@ def _sample_kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return centroids
 
 
+def _cell_udf(centroids: np.ndarray):
+    """Nearest-cell assignment as ONE Arrow-batched matmul per batch.
+
+    argmin_c ‖x−c‖² = argmin_c (‖c‖² − 2·x·c) — ‖x‖² is constant per
+    row, so one (batch × dim) @ (dim × k) matmul decides the cell. This
+    replaces k codegen'd distance folds: bucketing needs no
+    float-exactness (scoring below recomputes cosine exactly), and the
+    matmul skips the per-query janino compile of k fold expressions.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    sq = (cents**2).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        d = sq[None, :] - 2.0 * (m @ cents.T)  # (n, k)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: coarse k-means quantizer trained on a bounded driver-side
     sample (the FAISS design — quantizers for billion-vector indexes
@@ -193,11 +214,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration scheduling latency on a quantizer that a sample
     trains equally well. Sampling ⇒ rows-only driver check; recall vs
     brute force is asserted in tests/test_similarity.py.
-    """
-    from guagua_spark.algorithms.kmeans import assign_to_centroids
 
+    Unlike the brute-force/LSH paths this one skips
+    ``ensure_parallelism``: the cell UDF is ONE matmul per Arrow batch
+    (not per-row-heavy), so the scan's own partitioning is enough at any
+    scale — repartitioning here would shuffle the corpus and fan the UDF
+    across 32 Python workers for no compute benefit, and sampling
+    through that shuffle would shuffle the full corpus to feed a
+    ``limit``.
+    """
     n_cells, nprobe = 8, 3
-    q, emb = _queries_and_corpus(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     sample = np.array(
         [
             r.embedding
@@ -206,9 +236,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     centroids = _sample_kmeans(sample, n_cells)
-    corpus_c = assign_to_centroids(emb, centroids).withColumnRenamed(
-        "tag", "cell"
-    )
+    corpus_c = emb.withColumn("cell", _cell_udf(centroids)(F.col("embedding")))
     # nprobe nearest cells per query, driver-side (queries are small)
     qrows = q.collect()
     probe_rows = []
