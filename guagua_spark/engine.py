@@ -396,24 +396,33 @@ def _unwrap_partial(raw: bytes) -> _Partial:
     return _Partial(result, halt)
 
 
+class _Acc(list):
+    """Private accumulator for non-Combinable results inside treeReduce.
+
+    A distinct type (not a bare ``list``) so a user worker result that is
+    itself a Python list round-trips intact instead of being flattened
+    into the engine's internal merge."""
+
+
 def _combine_or_list(a: _Partial, b: _Partial) -> _Partial:
     """treeReduce op: combine user results if Combinable, else accumulate
-    a list (still bounds driver traffic to one task's worth per tree leaf)."""
+    an _Acc (still bounds driver traffic to one task's worth per tree leaf)."""
     ar, br = a.result, b.result
-    if isinstance(ar, list) or isinstance(br, list):
-        merged: Any = (ar if isinstance(ar, list) else [ar]) + (
-            br if isinstance(br, list) else [br]
+    if isinstance(ar, _Acc) or isinstance(br, _Acc):
+        merged: Any = _Acc(
+            (ar if isinstance(ar, _Acc) else [ar])
+            + (br if isinstance(br, _Acc) else [br])
         )
     elif isinstance(ar, Combinable) and isinstance(br, Combinable):
         merged = ar.combine(br)
     else:
-        merged = [ar, br]
+        merged = _Acc([ar, br])
     return _Partial(merged, a.all_halt and b.all_halt, a.n + b.n)
 
 
 def _flatten_partial(p: _Partial) -> list[Any]:
-    if isinstance(p.result, list):
-        return p.result
+    if isinstance(p.result, _Acc):
+        return list(p.result)
     return [p.result]
 
 

@@ -107,11 +107,12 @@ def rx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_relational_ext.py.
     """
     orders = load_table(spark, sf_dir, "orders")
+    pq = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
     return orders.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers"),
-        F.percentile_approx(
-            "o_totalprice", [0.5, 0.9, 0.99], 10_000
-        ).alias("price_quantiles"),
+        pq.getItem(0).alias("p50"),
+        pq.getItem(1).alias("p90"),
+        pq.getItem(2).alias("p99"),
     )
 
 

@@ -106,6 +106,38 @@ def test_worker_voted_halt(spark):
     assert len(engine.iteration_seconds) == 3
 
 
+class ListWorker(WorkerComputable):
+    """A worker whose result is ITSELF a Python list — regression guard:
+    the treeReduce accumulator must not flatten user lists into its own
+    merge (engine._Acc sentinel)."""
+
+    def compute(self, context, batches: Iterator[pa.RecordBatch]):
+        n = 0
+        for batch in batches:
+            n += batch.num_rows
+        return [n, context.partition_id]
+
+
+class ListMaster(MasterComputable):
+    def compute(self, context):
+        # Each worker result must arrive as an intact 2-element list.
+        assert all(
+            isinstance(r, list) and len(r) == 2
+            for r in context.worker_results
+        ), context.worker_results
+        return VoteState(value=sum(r[0] for r in context.worker_results))
+
+
+def test_list_results_round_trip_combinable_path(spark):
+    df = _two_partition_df(spark)
+    engine = IterativeEngine(spark)
+    result = engine.run(
+        ListMaster(), ListWorker(), df, total_iteration=1,
+        combine_executor_side=True,  # force the treeReduce path
+    )
+    assert result.value == 6
+
+
 def test_checkpoint_resume(spark, tmp_path):
     df = _two_partition_df(spark)
     ckpt = str(tmp_path / "ckpt")

@@ -34,7 +34,7 @@ def test_approx_distinct_within_tolerance(spark, oracle_sf_dir, duck):
         ).fetchone()[0]
         for q in (0.5, 0.9, 0.99)
     ]
-    for got, want in zip(row.price_quantiles, exact_q):
+    for got, want in zip((row.p50, row.p90, row.p99), exact_q):
         assert abs(got - want) / want < 0.05, (got, want)
 
 
