@@ -282,10 +282,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10⁹ docs. Candidates are then verified with the true Jaccard.
     Results are identical to the naive cross join (the oracle SQL).
 
-    Skew note: one globally-hot shingle would make one join bucket
-    quadratic; the scale hardening is document-frequency ordering
-    (rarest-first prefixes), one extra count/broadcast pass.
+    Skew hardening: tokens are globally ordered by DOCUMENT FREQUENCY
+    (rarest first, ties by token value) rather than by hash value, so a
+    globally-hot shingle sits at the END of every doc's ordering and
+    enters a prefix only for docs whose prefix spans nearly the whole
+    set — its join bucket stays linear in the few docs that genuinely
+    need it instead of quadratic in the corpus (PPJoin's standard df
+    ordering). Any total order preserves exactness; df-ordering only
+    changes WHICH n−⌈t·n⌉+1 tokens each doc exposes. Costs one extra
+    shuffle pair (tok-count + re-group); both shuffle on the token,
+    i.e. the same key distribution the join itself uses, and the hot
+    token's count bucket is linear, never quadratic.
     """
+    return ngram_jaccard_pairs_for(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
+    )
+
+
+def ngram_jaccard_pairs_for(raw_docs: DataFrame, par: int) -> DataFrame:
+    """Exact all-pairs shingle-Jaccard for a (doc_id, text) DataFrame —
+    see dedup_ngram_jaccard for the algorithm notes."""
     # Set sizes are invariant under (collision-free) hashing, so compare
     # long-hashed shingles instead of strings — array_intersect on
     # fixed-width longs, not variable-length UTF8. The oracle compares
@@ -296,16 +313,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition — shingling there would run serially (and once per join
     # branch). Post-shuffle, the identical shingle subplans also share
     # one ReusedExchange instead of rescanning.
-    par = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(par)
+    hashed = (
+        raw_docs.repartition(par)
         .select(
             "doc_id",
-            F.array_sort(
-                F.transform(shingles_col(), lambda s: F.xxhash64(s))
-            ).alias("sh"),
+            F.transform(shingles_col(), lambda s: F.xxhash64(s)).alias("shr"),
+        )
+    )
+    tok_df = (
+        hashed.select(F.explode("shr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # re-assemble each doc's tokens ordered by (df, tok): array_sort on
+    # array<struct> compares fields left-to-right, giving the global
+    # rarest-first total order
+    docs = (
+        hashed.select("doc_id", F.explode("shr").alias("tok"))
+        .join(tok_df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("p")
+        )
+        .select(
+            "doc_id",
+            F.transform("p", lambda s: s["tok"]).alias("sh"),
         )
     )
     sized = docs.select("doc_id", "sh", F.size("sh").alias("n"))
@@ -381,69 +413,116 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) over embeddings.
+#: rows per corpus block in the tiled all-pairs prefilter — 64k × 64 dims
+#: × 8 B ≈ 32 MB per block, two blocks per task
+EMB_BLOCK_ROWS = 65_536
 
-    Explicit per-dimension arithmetic (same pattern as the k-means
-    assignment): codegen'd, no UDF, oracle-reproducible. All-pairs at
-    500 vectors; the scale path is the LSH variant in
-    operators/similarity.
+
+def embedding_pairs_for(
+    emb: DataFrame, block_rows: int = EMB_BLOCK_ROWS
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) for a
+    (vec_id, embedding) DataFrame — fully distributed block-tiled
+    matmul; the DRIVER NEVER HOLDS THE CORPUS.
+
+    Stage 1 — PREFILTER: pack the corpus into B = ⌈n/block_rows⌉ block
+    rows (collect_list per block — bounded at ~32 MB each), take the
+    B(B+1)/2 unordered block pairs via crossJoin + blk≤blk filter (a
+    CartesianProduct at scale: each task streams exactly TWO blocks, so
+    peak task memory is 2·block_rows·dim·8 B regardless of n), and run
+    one numpy matmul per block pair, keeping sim ≥ threshold − 1e-6.
+    The guard band is ~10⁷× the worst-case difference between numpy's
+    pairwise summation and strict left-to-right order, so no qualifying
+    pair can be lost.
+
+    Stage 2 — EXACT verify on the surviving pairs only, with the same
+    left-to-right double arithmetic as the SQL oracle, so reported
+    cosines (and the ≥ threshold cut) are bit-identical cross-engine.
+    Equi-joins back to the embeddings are left to AQE: broadcast at
+    validator scale, shuffle-hash at 100 TB (a forced broadcast of the
+    full table would die there).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     dim, threshold, band = 64, 0.95, 1e-6
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Stage 1 — PREFILTER, distributed block-matmul: broadcast the
-    # normalized corpus matrix (n×dim floats — 1.25 MB at validator
-    # scale; tile it at production scale), stream partitions of A
-    # through numpy S = Aₙ @ Bₙᵀ, keep pairs with sim ≥ threshold−band.
-    # The 1e-6 guard band is ~10⁷× the worst-case difference between
-    # numpy's pairwise summation and strict left-to-right order, so no
-    # qualifying pair can be lost.
-    bc = spark.sparkContext.broadcast(
-        [(int(r.vec_id), list(r.embedding)) for r in emb.collect()]
+    n = emb.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    packed = (
+        emb.groupBy(F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("i"), F.col("embedding").alias("e")
+                )
+            ).alias("v")
+        )
+        # ~one block per partition so the cartesian pairs tasks hold
+        # exactly two blocks
+        .repartition(n_blocks, "blk")
+    )
+    grid = (
+        packed.select(
+            F.col("blk").alias("xb"), F.col("v").alias("xv")
+        )
+        .crossJoin(
+            packed.select(F.col("blk").alias("yb"), F.col("v").alias("yv"))
+        )
+        .filter(F.col("xb") <= F.col("yb"))
     )
 
-    def prefilter(it):
-        ids_b = np.array([i for i, _ in bc.value], dtype=np.int64)
-        mat_b = np.array([v for _, v in bc.value], dtype=np.float64)
-        mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+    def block_pairs(it):
         for pdf in it:
-            ids_a = pdf["vec_id"].to_numpy()
-            mat_a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
-            sim = mat_a @ mat_b.T
-            ai, bi = np.nonzero(sim >= threshold - band)
-            keep = ids_a[ai] < ids_b[bi]
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for xb, xv, yb, yv in zip(
+                pdf["xb"], pdf["xv"], pdf["yb"], pdf["yv"]
+            ):
+                ids_x = np.array([r["i"] for r in xv], dtype=np.int64)
+                mat_x = np.array([r["e"] for r in xv], dtype=np.float64)
+                mat_x /= np.linalg.norm(mat_x, axis=1, keepdims=True)
+                if xb == yb:
+                    ids_y, mat_y = ids_x, mat_x
+                else:
+                    ids_y = np.array([r["i"] for r in yv], dtype=np.int64)
+                    mat_y = np.array([r["e"] for r in yv], dtype=np.float64)
+                    mat_y /= np.linalg.norm(mat_y, axis=1, keepdims=True)
+                sim = mat_x @ mat_y.T
+                ai, bi = np.nonzero(sim >= threshold - band)
+                a, b = ids_x[ai], ids_y[bi]
+                if xb == yb:
+                    keep = a < b  # same block: each unordered pair twice
+                    out_a.append(a[keep])
+                    out_b.append(b[keep])
+                else:
+                    keep = a != b
+                    out_a.append(np.minimum(a, b)[keep])
+                    out_b.append(np.maximum(a, b)[keep])
             yield pd.DataFrame(
-                {"id_a": ids_a[ai][keep], "id_b": ids_b[bi][keep]}
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                }
             )
 
-    par = spark.sparkContext.defaultParallelism
-    cand = emb.repartition(par).mapInPandas(prefilter, "id_a long, id_b long")
-    # Stage 2 — EXACT verify on the surviving pairs only, with the same
-    # left-to-right double arithmetic as the SQL oracle, so reported
-    # cosines (and the ≥ threshold cut) are bit-identical cross-engine.
+    cand = grid.mapInPandas(block_pairs, "id_a long, id_b long")
     from guagua_spark.functions.vector import cosine_expr
 
     cos = cosine_expr("ea", "eb", dim)
     return (
         cand.join(
-            F.broadcast(
-                emb.select(
-                    F.col("vec_id").alias("id_a"),
-                    F.col("embedding").alias("ea"),
-                )
+            emb.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("ea"),
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
-                emb.select(
-                    F.col("vec_id").alias("id_b"),
-                    F.col("embedding").alias("eb"),
-                )
+            emb.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("eb"),
             ),
             "id_b",
         )
@@ -451,6 +530,15 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) over embeddings —
+    see embedding_pairs_for for the block-tiled distributed plan.
+    O(n²/B) compute remains quadratic by nature; the sub-quadratic
+    scale path is the LSH variant in operators/similarity."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_pairs_for(emb)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

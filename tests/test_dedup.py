@@ -48,6 +48,70 @@ def test_lsh_recall_vs_allpairs(spark, oracle_sf_dir):
     assert not missed, f"LSH missed {len(missed)}/{len(truth)}: {missed}"
 
 
+def test_ngram_jaccard_hot_shingle_adversarial(spark):
+    """A shingle present in EVERY doc must not blow up the prefix join:
+    with df-ordered (rarest-first) prefixes the hot shingle sits at the
+    end of every doc's ordering and outside every prefix here. The
+    result must still equal the naive all-pairs truth."""
+    import pytest as _pytest
+
+    from guagua_spark.operators.dedup import ngram_jaccard_pairs_for
+
+    docs = []
+    for i in range(40):
+        # the "aa bb cc" shingle is common to all docs; tails are unique
+        docs.append((i, " ".join(["aa", "bb", "cc"] + [f"w{i}x{j}" for j in range(8)])))
+    docs.append((100, "aa bb cc dd ee ff gg"))
+    docs.append((101, "aa bb cc dd ee ff gg hh"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_for(df, 8).collect()
+    }
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    truth = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            a, b = shingles(ta), shingles(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                truth[(min(ida, idb), max(ida, idb))] = j
+    assert truth, "fixture must contain at least one true pair"
+    assert set(got) == set(truth)
+    for k, v in truth.items():
+        assert got[k] == _pytest.approx(v)
+
+
+def test_embedding_pairs_tiling_invariant(spark):
+    """The block-tiled all-pairs matmul must return identical pairs
+    regardless of block count — the tiling is a pure execution detail.
+    (The testdata embeddings contain no cos ≥ 0.95 pairs, so build a
+    corpus with planted near-dups: base vectors + tiny perturbations.)"""
+    import random
+
+    from guagua_spark.operators.dedup import embedding_pairs_for
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i * 2, base))
+        # id 2i+1 is a near-dup of 2i; every third pair is far instead
+        if i % 3:
+            rows.append((i * 2 + 1, [x + rng.uniform(-1e-3, 1e-3) for x in base]))
+        else:
+            rows.append((i * 2 + 1, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = embedding_pairs_for(emb, block_rows=1_000_000).collect()
+    tiled = embedding_pairs_for(emb, block_rows=25).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in tiled]
+    assert len(one) >= 30  # the planted near-dups must all surface
+
+
 def test_connected_components_chain_and_island(spark):
     """Min-label propagation must traverse a 5-node chain (diameter 4 >
     one propagation round — exercises the fixpoint loop) and keep a
