@@ -705,6 +705,41 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def _simhash_oracle() -> str:
+    """SimHash is deterministic md5 bit votes — fully SQL-expressible.
+
+    ``'0x' || substr(md5(tok),1,16)`` cast to UBIGINT equals Python's
+    ``int.from_bytes(md5(tok).digest()[:8], 'big')`` (verified bit-for-
+    bit); votes and the two's-complement fold mirror the UDF exactly.
+    """
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok),1,16)) AS UBIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(0,64)) AS i) bits
+  GROUP BY doc_id, i
+),
+vals AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << CAST(i AS INT))
+             ELSE 0::HUGEINT END) AS v
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= (1::HUGEINT << 63) THEN v - (1::HUGEINT << 64)
+            ELSE v END AS BIGINT) AS simhash
+FROM vals ORDER BY doc_id
+""".strip()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_stats": dedup_exact_stats,
@@ -728,5 +763,5 @@ ORACLE_SQL = {
     "dedup_clusters": _clusters_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
     "dedup_embedding_pairs": _embedding_oracle(),
-    # dedup_simhash: pandas-UDF path, rows-only by design
+    "dedup_simhash": _simhash_oracle(),
 }

@@ -174,16 +174,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Resize' each asset to 8×8 by nearest-neighbor sampling the
     payload (stand-in for a real image resample — same batch shape);
-    emits the new dims + a checksum of sampled bytes."""
+    emits the new dims + a checksum of sampled bytes.
+
+    Sample positions use exact integer arithmetic — j·(n−1) // 63 for
+    j in 0..63 — rather than float linspace, so the positions (and the
+    DuckDB oracle) are reproducible with no float-rounding hazard."""
     assets = media_assets(spark, sf_dir)
     target = 8
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        steps = np.arange(target * target, dtype=np.int64)
         for pdf in it:
             sums = []
             for m in pdf["media"]:
                 _, _, _, px = _decode(m)
-                idx = np.linspace(0, len(px) - 1, target * target).astype(int)
+                idx = steps * (len(px) - 1) // (target * target - 1)
                 sums.append(int(px[idx].sum()))
             yield pd.DataFrame(
                 {
@@ -226,9 +231,16 @@ FROM documents,
 WHERE doc_id % 24 <> 0
 ORDER BY doc_id, frame_idx
 """.strip(),
-    # multimodal_resize: nearest-neighbor index arithmetic (np.linspace
-    # rounding) is not worth replicating in SQL — rows-only check;
-    # exactness is covered by tests/test_multimodal.py golden rows.
+    "multimodal_resize": f"""
+WITH p AS (
+  SELECT doc_id, {_PAYLOAD} AS pl, 10 + doc_id % 50 AS nb FROM documents
+)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, 64),
+            j -> pl[CAST(j * (nb - 1) // 63 AS INT) + 1])) AS BIGINT)
+         AS checksum
+FROM p ORDER BY doc_id
+""".strip(),
 }
 
 QUERIES = {

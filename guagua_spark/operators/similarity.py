@@ -116,34 +116,12 @@ def _with_tables(df: DataFrame, vec_col: str, planes: np.ndarray) -> DataFrame:
     )
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH approximate top-k, OR-construction: the corpus is bucketed
-    once into L tables; a query's candidate set is the union of its L
-    buckets; exact cosine + top-k over candidates only.
-
-    Deterministic (seeded planes) — rows-only driver check; recall vs
-    brute force is asserted in tests.
-    """
-    planes = _planes()
-    q, emb = _queries_and_corpus(spark, sf_dir)
-    corpus_b = _with_tables(emb.select("vec_id", "embedding"), "embedding", planes)
-    q_b = _with_tables(q, "qe", planes).select(
-        "query_id",
-        "qe",
-        F.col("table").alias("qtable"),
-        F.col("bucket").alias("qbucket"),
-    )
-    cand = (
-        corpus_b.join(
-            F.broadcast(q_b.select("query_id", "qtable", "qbucket")),
-            (F.col("table") == F.col("qtable"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "vec_id")
-        .distinct()
-    )
-    # join embeddings back onto the (small) candidate set, then score
+def exact_rescore_topk(cand: DataFrame, emb: DataFrame, q: DataFrame) -> DataFrame:
+    """EXACT stage shared by the approximate paths: given a candidate
+    pair set (query_id, vec_id) — however approximately it was generated
+    — join embeddings back, score left-to-right cosine, window top-k.
+    Bit-identical to the SQL rescoring oracle given the same candidates
+    (asserted in tests/test_similarity.py)."""
     scored = (
         cand.join(emb, "vec_id")
         .join(F.broadcast(q.select("query_id", "qe")), "query_id")
@@ -162,6 +140,67 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+RESCORE_ORACLE_SQL = f"""
+WITH scored AS (
+  SELECT cand.query_id, c.vec_id AS neighbor_id,
+         {sql_cosine("c.embedding", "q.embedding", DIM)} AS cosine
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""".strip()
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id) LSH candidate pairs — the approximate stage."""
+    planes = _planes()
+    q, emb = _queries_and_corpus(spark, sf_dir)
+    corpus_b = _with_tables(emb.select("vec_id", "embedding"), "embedding", planes)
+    q_b = _with_tables(q, "qe", planes).select(
+        "query_id",
+        "qe",
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    return (
+        corpus_b.join(
+            F.broadcast(q_b.select("query_id", "qtable", "qbucket")),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH approximate top-k, OR-construction: the corpus is bucketed
+    once into L tables; a query's candidate set is the union of its L
+    buckets; exact cosine + top-k over candidates only.
+
+    Deterministic (seeded planes) — rows-only driver check; recall vs
+    brute force AND bit-exactness of the rescoring stage (vs the DuckDB
+    oracle given the same candidates) are asserted in tests.
+    """
+    # rescore joins touch only the small candidate set — no need for the
+    # corpus repartition that the bucketing stage uses
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return exact_rescore_topk(lsh_candidates(spark, sf_dir), emb, q)
 
 
 QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
@@ -223,6 +262,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through that shuffle would shuffle the full corpus to feed a
     ``limit``.
     """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return exact_rescore_topk(ivf_candidates(spark, sf_dir), emb, q)
+
+
+def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id) IVF candidate pairs — the approximate stage."""
     n_cells, nprobe = 8, 3
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
@@ -244,26 +292,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = np.array(r.qe, dtype=np.float64)
         d = np.linalg.norm(centroids - qv, axis=1)
         for cell in np.argsort(d)[:nprobe]:
-            probe_rows.append((r.query_id, int(cell), [float(x) for x in qv]))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, pcell int, qe array<double>"
-    )
-    pairs = corpus_c.join(
+            probe_rows.append((r.query_id, int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, pcell int")
+    return corpus_c.join(
         F.broadcast(probes),
         (F.col("cell") == F.col("pcell"))
         & (F.col("vec_id") != F.col("query_id")),
-    )
-    cos = cosine_expr("embedding", "qe", DIM).alias("cosine")
-    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    ).select("query_id", "vec_id")
 
 
 def _bruteforce_oracle() -> str:

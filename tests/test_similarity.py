@@ -44,6 +44,28 @@ def test_approx_variants_recall(spark, oracle_sf_dir, truth, name):
 
 
 @pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_rescoring_stage_matches_oracle(spark, oracle_sf_dir, duck, name):
+    """The EXACT part of the approximate paths: given the candidate set
+    the Spark pipeline actually generated, DuckDB's rescoring (cosine +
+    window top-k) must hash-match the full Spark query output — i.e.
+    only candidate GENERATION is approximate, nothing downstream."""
+    from guagua_spark.operators.similarity import (
+        RESCORE_ORACLE_SQL,
+        ivf_candidates,
+        lsh_candidates,
+    )
+
+    gen = lsh_candidates if name == "ann_lsh_topk" else ivf_candidates
+    cand_pdf = gen(spark, oracle_sf_dir).toPandas()
+    duck.register("cand", cand_pdf)
+    try:
+        df = QUERIES[name](spark, oracle_sf_dir)
+        assert_matches_oracle(df, duck, RESCORE_ORACLE_SQL)
+    finally:
+        duck.unregister("cand")
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
 def test_approx_variants_deterministic(spark, oracle_sf_dir, name):
     a = QUERIES[name](spark, oracle_sf_dir).collect()
     b = QUERIES[name](spark, oracle_sf_dir).collect()
