@@ -107,8 +107,10 @@ class KMeansWorker(WorkerComputable):
                 return KMeansPartial(
                     np.zeros((self.k, 1)), np.zeros(self.k), candidates=None
                 )
+            # every (n//k)-th record, UNCAPPED — the reference keeps all
+            # stride hits (indices 0, m, 2m, …), which can exceed k
             stride = max(1, x.shape[0] // self.k)
-            cands = x[::stride][: self.k]
+            cands = x[::stride]
             return KMeansPartial(
                 np.zeros((self.k, x.shape[1])),
                 np.zeros(self.k),
@@ -153,10 +155,7 @@ class KMeansMaster(MasterComputable):
                     f"k-means init needs >= k={self.k} candidates, got "
                     f"{0 if cands is None else cands.shape[0]}"
                 )
-            order = np.argsort(np.linalg.norm(cands, axis=1), kind="stable")
-            cands = cands[order]
-            stride = max(1, cands.shape[0] // self.k)
-            centroids = cands[::stride][: self.k].copy()
+            centroids = select_centroids_by_norm(cands, self.k)
             return KMeansModel(
                 centroids=centroids, iteration=context.current_iteration
             )
@@ -172,6 +171,67 @@ class KMeansMaster(MasterComputable):
             halt=movement < self.tolerance,
             iteration=context.current_iteration,
         )
+
+
+def select_centroids_by_norm(cands: np.ndarray, k: int) -> np.ndarray:
+    """Master-side init selection (KMeansMaster.java:77-89): stable-sort
+    all candidates by L2 norm ascending, pick k evenly spaced
+    (index i·(total//k)). Shared by the engine master and the
+    DataFrame-native init so there is exactly one implementation."""
+    order = np.argsort(np.linalg.norm(cands, axis=1), kind="stable")
+    cands = cands[order]
+    step = max(1, cands.shape[0] // k)
+    return cands[[i * step for i in range(k)]].copy()
+
+
+def kmeans_reference_init(
+    df: DataFrame, k: int, vector_col: str = "embedding"
+) -> np.ndarray:
+    """Reference-parity init in DataFrame ops (KMeansWorker.java:116-137 +
+    KMeansMaster.java:60-96): each partition contributes every
+    (n_p // k)-th record; the driver sorts ALL candidates by L2 norm
+    (stable) and picks k evenly spaced.
+
+    Scale shape: pass 1 is a per-partition count (map-side agg on
+    spark_partition_id — no data movement beyond k·P tiny rows); pass 2
+    streams each partition through mapInPandas keeping a running index —
+    O(batch) memory, never buffers a partition (the reference buffers to
+    MemoryDiskList; the two-pass form is the streaming equivalent). The
+    collected candidate set is ≤ ~2k per partition — driver-bounded like
+    the engine's AllReduce result, not O(n).
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    sizes = {
+        r.pid: r.cnt
+        for r in df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    def sample(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        m = max(1, sizes.get(pid, 0) // k)
+        seen = 0
+        for pdf in pdfs:
+            idx = np.arange(seen, seen + len(pdf))
+            seen += len(pdf)
+            out = pdf[idx % m == 0]
+            if len(out):
+                yield out[[vector_col]]
+
+    cands_pdf = (
+        df.select(vector_col)
+        .mapInPandas(sample, df.select(vector_col).schema)
+        .toPandas()
+    )
+    if len(cands_pdf) < k:
+        raise ValueError(
+            f"k-means init needs >= k={k} candidates, got {len(cands_pdf)}"
+        )
+    cands = np.stack(cands_pdf[vector_col].to_numpy()).astype(np.float64)
+    return select_centroids_by_norm(cands, k)
 
 
 # ---------------------------------------------------------------------------
@@ -233,11 +293,10 @@ def kmeans_dataframe(
     No Python on the hot path; the collected aggregate is k×(dim+1).
     """
     if init_centroids is None:
-        # deterministic init: first k rows by a stable key (cheap, seedless)
-        first = (
-            df.select(vector_col).limit(k).toPandas()[vector_col].to_numpy()
-        )
-        init_centroids = np.stack(first).astype(np.float64)
+        # reference-parity init: per-partition stride sample → driver
+        # norm-sort → k evenly spaced (deterministic for a fixed
+        # partitioning, unlike limit(k) on an unordered DataFrame)
+        init_centroids = kmeans_reference_init(df, k, vector_col)
     centroids = np.asarray(init_centroids, dtype=np.float64)
     iterations = 0
     for _ in range(max_iterations):

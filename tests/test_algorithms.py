@@ -104,8 +104,12 @@ def cluster_df(spark):
     )
     rng.shuffle(pts)
     rows = [([float(v) for v in p],) for p in pts]
+    # parallelize = contiguous slices: a KNOWN deterministic partition
+    # layout (repartition's round-robin depends on scan chunking), so the
+    # reference-parity init samples a reproducible candidate set
+    rdd = spark.sparkContext.parallelize(rows, 4)
     return (
-        spark.createDataFrame(rows, "embedding array<double>").repartition(4),
+        spark.createDataFrame(rdd, "embedding array<double>"),
         centers,
     )
 
@@ -150,6 +154,50 @@ def test_kmeans_dataframe_matches_engine(spark, cluster_df):
         np.sort(centroids, axis=0),
         np.sort(engine_model.centroids, axis=0),
         rtol=1e-6,
+    )
+
+
+def test_kmeans_reference_init_golden(spark):
+    """DataFrame-native AND engine init must equal a local simulation of
+    the reference scheme (KMeansWorker.java:116-137 stride sampling,
+    KMeansMaster.java:60-96 norm-sort + pick k evenly) on data with a
+    KNOWN partition layout (sc.parallelize contiguous slices)."""
+    from guagua_spark.algorithms.kmeans import kmeans_reference_init
+
+    k, dim, n, parts = 4, 6, 103, 4
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-5, 5, size=(n, dim))
+    rows = [([float(v) for v in p],) for p in pts]
+    rdd = spark.sparkContext.parallelize(rows, parts)
+    df = spark.createDataFrame(rdd, "embedding array<double>")
+
+    # --- local simulation, faithful to the Java: the reference defines
+    # init per worker SPLIT, so feed the sim the actual partition
+    # contents (glom), whatever pyspark's batching produced ---
+    splits = df.rdd.glom().collect()
+    assert len(splits) == parts and sum(len(s) for s in splits) == n
+    cands = []
+    for split in splits:
+        chunk = np.array([r.embedding for r in split])
+        m = max(1, len(chunk) // k)
+        cands.extend(chunk[i] for i in range(0, len(chunk)) if i % m == 0)
+    cands = np.array(cands)
+    order = np.argsort(np.linalg.norm(cands, axis=1), kind="stable")
+    cands = cands[order]
+    step = max(1, len(cands) // k)
+    want = cands[[i * step for i in range(k)]]
+
+    got = kmeans_reference_init(df, k)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    engine_model_init = IterativeEngine(spark).run(
+        KMeansMaster(k=k, tolerance=1e-8),
+        KMeansWorker(k=k),
+        df,
+        total_iteration=1,
+    )
+    np.testing.assert_allclose(
+        engine_model_init.centroids, want, rtol=0, atol=0
     )
 
 
