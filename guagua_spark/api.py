@@ -165,6 +165,39 @@ class MasterInterceptor:
         pass
 
 
+class WorkerInterceptor:
+    """Lifecycle hooks around worker computation, run ON EXECUTORS.
+
+    Reference: worker/WorkerInterceptor.java:49-81 — four hooks with
+    FIFO ``pre_*`` / FILO ``post_*`` ordering (the call-stack contract
+    described at WorkerInterceptor.java:33-38, same as the master side
+    at GuaguaMasterService.java:63-65).
+
+    Spark mapping (tasks are stateless between iterations, see module
+    docstring): a worker's "application" span is tied to the iteration
+    counter — ``pre_application`` fires in the first iteration's task
+    (before ``pre_iteration``), ``post_application`` in the
+    ``total_iteration``-th task (after ``post_iteration``). When the
+    master halts the loop EARLY, executor-side ``post_application``
+    cannot fire (a task can't see the future); guaranteed end-of-run
+    cleanup belongs in a driver-side ``MasterInterceptor``. Interceptors
+    are pickled into the task closure — keep them small and stateless
+    (state written to instance fields does not survive the task).
+    """
+
+    def pre_application(self, context: WorkerContext) -> None:  # noqa: B027
+        pass
+
+    def pre_iteration(self, context: WorkerContext) -> None:  # noqa: B027
+        pass
+
+    def post_iteration(self, context: WorkerContext) -> None:  # noqa: B027
+        pass
+
+    def post_application(self, context: WorkerContext) -> None:  # noqa: B027
+        pass
+
+
 def combine_all(results: Iterable[Any]) -> Any:
     """Left-fold a sequence of Combinable results into one."""
     it = iter(results)

@@ -56,6 +56,7 @@ from guagua_spark.api import (
     MasterInterceptor,
     WorkerComputable,
     WorkerContext,
+    WorkerInterceptor,
     is_halt,
 )
 
@@ -93,11 +94,16 @@ def _make_worker_fn(
     total_iteration: int,
     props: dict[str, Any],
     bc_master,
+    worker_interceptors: Sequence["WorkerInterceptor"] = (),
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Build the mapInArrow function for one iteration.
 
-    The worker object and props are serialized into the task closure; the
-    (potentially large) master result rides the broadcast.
+    The worker object, props and interceptors are serialized into the
+    task closure; the (potentially large) master result rides the
+    broadcast. Executor-side hook order per task (the reference's
+    call-stack contract, worker/WorkerInterceptor.java:33-38):
+    [iter 1: pre_application FIFO] → pre_iteration FIFO → init/compute →
+    post_iteration FILO → [iter N: post_application FILO].
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -109,8 +115,18 @@ def _make_worker_fn(
             props=props,
             partition_id=tc.partitionId() if tc is not None else -1,
         )
+        if iteration == 1:
+            for icpt in worker_interceptors:
+                icpt.pre_application(ctx)
+        for icpt in worker_interceptors:
+            icpt.pre_iteration(ctx)
         worker.init(ctx)
         result = worker.compute(ctx, batches)
+        for icpt in reversed(worker_interceptors):
+            icpt.post_iteration(ctx)
+        if iteration == total_iteration:
+            for icpt in reversed(worker_interceptors):
+                icpt.post_application(ctx)
         halt = bool(getattr(result, "halt", False))
         payload = pickle.dumps((result, halt), protocol=pickle.HIGHEST_PROTOCOL)
         yield pa.RecordBatch.from_pydict({"result": [payload]})
@@ -237,6 +253,7 @@ class IterativeEngine:
         df: DataFrame,
         total_iteration: int = DEFAULT_TOTAL_ITERATION,
         interceptors: Sequence[MasterInterceptor] = (),
+        worker_interceptors: Sequence[WorkerInterceptor] = (),
         worker_halt_enable: bool = False,
         combine_executor_side: bool | None = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
@@ -315,7 +332,8 @@ class IterativeEngine:
                 prev_bc = bc
                 bc = sc.broadcast(master_result)
                 fn = _make_worker_fn(
-                    worker, iteration, total_iteration, self.props, bc
+                    worker, iteration, total_iteration, self.props, bc,
+                    worker_interceptors,
                 )
                 out = df.mapInArrow(fn, "result binary")
 

@@ -185,3 +185,71 @@ def test_interceptor_ordering(spark):
         "postIter:b", "postIter:a",
         "postApp:b", "postApp:a",
     ]
+
+
+def test_worker_interceptor_ordering(spark, tmp_path):
+    """Executor-side hooks: FIFO pre, FILO post, application hooks on the
+    first/last iteration's task (worker/WorkerInterceptor.java:33-38).
+    Single partition + local mode ⇒ tasks share the driver filesystem and
+    run one-at-a-time, so an append-only trace file observes exact order."""
+    from guagua_spark.api import WorkerInterceptor
+
+    trace = str(tmp_path / "trace.log")
+
+    class Tracker(WorkerInterceptor):
+        def __init__(self, name: str, path: str) -> None:
+            self.name = name
+            self.path = path
+
+        def _mark(self, hook: str, ctx) -> None:
+            with open(self.path, "a") as f:
+                f.write(f"{hook}:{self.name}:it{ctx.current_iteration}\n")
+
+        def pre_application(self, ctx):
+            self._mark("preApp", ctx)
+
+        def pre_iteration(self, ctx):
+            self._mark("preIter", ctx)
+
+        def post_iteration(self, ctx):
+            self._mark("postIter", ctx)
+
+        def post_application(self, ctx):
+            self._mark("postApp", ctx)
+
+    rdd = spark.sparkContext.parallelize([(1,), (2,), (3,)], 1)
+    df = spark.createDataFrame(rdd, "value long")
+    IterativeEngine(spark).run(
+        SumMaster(), SumWorker(), df, total_iteration=2,
+        worker_interceptors=[Tracker("a", trace), Tracker("b", trace)],
+    )
+    calls = open(trace).read().splitlines()
+    assert calls == [
+        "preApp:a:it1", "preApp:b:it1",
+        "preIter:a:it1", "preIter:b:it1",
+        "postIter:b:it1", "postIter:a:it1",
+        "preIter:a:it2", "preIter:b:it2",
+        "postIter:b:it2", "postIter:a:it2",
+        "postApp:b:it2", "postApp:a:it2",
+    ]
+
+
+def test_memory_stats_interceptors(spark):
+    """Default profiling interceptors run on both sides without disturbing
+    the computation (MemoryStatsMasterInterceptor.java analogues)."""
+    from guagua_spark.interceptors import (
+        MemoryStatsMasterInterceptor,
+        MemoryStatsWorkerInterceptor,
+        memory_stats,
+    )
+
+    stats = memory_stats()
+    assert stats["max_rss_kb"] > 0 and len(stats["gc_collections"]) == 3
+
+    df = _two_partition_df(spark)
+    r = IterativeEngine(spark).run(
+        SumMaster(), SumWorker(), df, total_iteration=10,
+        interceptors=[MemoryStatsMasterInterceptor()],
+        worker_interceptors=[MemoryStatsWorkerInterceptor()],
+    )
+    assert r.value == 15345
