@@ -112,12 +112,22 @@ def minhash_pairs_for(docs: DataFrame) -> DataFrame:
     dedup_minhash_pairs (adds the presentation sort), dedup_clusters
     (feeds connected components), and pipeline_clean_corpus (dedups the
     quality-filtered corpus). Callers should repartition small inputs
-    first; signature hashing runs below the first exchange."""
+    first; signature hashing runs below the first exchange.
+
+    The signature table is localCheckpoint'ed: it feeds FOUR plan
+    branches (both sides of the bucket self-join + both verify
+    join-backs), and without materialization each branch re-evaluates
+    the k·|shingles| md5 folds — AQE reuses the scan Exchange but not
+    expressions above it (measured ~30%% warm win at sf0.1, and the gap
+    grows with k). Compute-once-store-the-sketch is also the 100 TB
+    play; storage is the signature table, freed when the RDD is GC'd.
+    On a multi-node cluster prefer persist(MEMORY_AND_DISK) + explicit
+    unpersist where lineage-free blocks would forfeit task retry."""
     sig = with_signature(docs).select(
         "doc_id",
         "__shingles",
         *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
-    )
+    ).localCheckpoint()
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"__mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
