@@ -127,9 +127,45 @@ def _kmeans_oracle() -> str:
     )
 
 
+def _lr_train_oracle() -> str:
+    """5 full-batch gradient steps as a DuckDB recursive CTE.
+
+    Mirrors the engine exactly (gradient.py GradientDescentMaster):
+    err = sigmoid(w·x) − y per row, then w ← w − lr·Σ(err·x)/n and
+    loss = Σerr²/n, iterated 5 times from w = 0⃗.  The anchor must be
+    CAST AS DOUBLE or DuckDB types the whole CTE DECIMAL(2,1).
+    """
+    lr = 0.5
+    return f"""
+WITH RECURSIVE it AS (
+  SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS loss
+  UNION ALL
+  SELECT i + 1,
+         w0 - {lr} * SUM(err) / COUNT(*),
+         w1 - {lr} * SUM(err * l_quantity) / COUNT(*),
+         w2 - {lr} * SUM(err * l_discount) / COUNT(*),
+         SUM(err * err) / COUNT(*)
+  FROM (
+    SELECT i, w0, w1, w2,
+           1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount)))
+             - (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS err,
+           l_quantity, l_discount
+    FROM it, lineitem
+    WHERE i < 5
+  ) s
+  GROUP BY i, w0, w1, w2
+)
+SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_qty, ROUND(w2, 6) AS w_disc,
+       ROUND(loss, 6) AS loss, CAST(i AS INT) AS iterations
+FROM it WHERE i = 5
+""".strip()
+
+
 def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine-based LR training (5 iterations) — rows-only check
-    (non-SQL-expressible: iterative convergence, SURVEY.md §2.10 Q6)."""
+    """Full engine-based LR training (5 iterations), oracle-checked
+    against a DuckDB recursive-CTE replay of the same update rule
+    (SURVEY.md §2.10 Q6; lr/LogisticRegressionMaster.java:78-100)."""
     import numpy as np
 
     from guagua_spark.algorithms.gradient import (
@@ -149,9 +185,12 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         total_iteration=5,
     )
-    w = [float(x) for x in model.weights]
+    # round 6dp on BOTH sides (see _lr_train_oracle): the engine sums
+    # gradients via treeReduce (partition order), DuckDB sequentially —
+    # bit-exact equality is not guaranteed, 1e-6 agreement is
+    w = [round(float(x), 6) for x in model.weights]
     return spark.createDataFrame(
-        [(w[0], w[1], w[2], float(model.loss), int(model.iteration))],
+        [(w[0], w[1], w[2], round(float(model.loss), 6), int(model.iteration))],
         "w_bias double, w_qty double, w_disc double, loss double, iterations int",
     )
 
@@ -240,5 +279,8 @@ QUERIES = {
 ORACLE_SQL = {
     "lr_gradient_step": _lr_oracle(),
     "kmeans_assign_counts": _kmeans_oracle(),
-    # lr_train / kmeans_train: iterative, rows-only by design
+    "lr_train": _lr_train_oracle(),
+    # kmeans_train / nn_train: rows-only by design — their init depends
+    # on partition layout (stride sampling per worker), which SQL can't
+    # replay deterministically
 }
