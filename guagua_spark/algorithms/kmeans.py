@@ -134,9 +134,19 @@ class KMeansMaster(MasterComputable):
     Iterate: new centroid = sum/count per cluster; halt when max centroid
     movement < tolerance."""
 
-    def __init__(self, k: int, tolerance: float = 1e-6) -> None:
+    def __init__(
+        self,
+        k: int,
+        tolerance: float = 1e-6,
+        init_centroids: np.ndarray | None = None,
+    ) -> None:
         self.k = k
         self.tolerance = tolerance
+        #: explicit initial centroids — bypasses the candidate-sampling
+        #: init on iteration 1. Used by the driver-contract entry, whose
+        #: init must be partition-layout-independent so a SQL oracle can
+        #: replay it (see operators/iterative.py kmeans_train).
+        self.init_centroids = init_centroids
 
     def compute(self, context: MasterContext) -> KMeansModel:
         prev: KMeansModel | None = context.master_result
@@ -149,6 +159,11 @@ class KMeansMaster(MasterComputable):
                 centroids=None, halt=True, iteration=context.current_iteration
             )
         if prev is None or prev.centroids is None:
+            if self.init_centroids is not None:
+                return KMeansModel(
+                    centroids=np.asarray(self.init_centroids, dtype=np.float64),
+                    iteration=context.current_iteration,
+                )
             cands = total.candidates
             if cands is None or cands.shape[0] < self.k:
                 raise ValueError(

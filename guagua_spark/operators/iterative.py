@@ -195,27 +195,136 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 4
+KMEANS_UPDATE_ROUNDS = 4  # engine total_iteration=5 ⇒ 1 init + 4 updates
+
+
+def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """Deterministic, SQL-replayable init for the contract entry: the
+    reference's sampling scheme applied at corpus level instead of per
+    worker — every (n//k)-th record in vec_id order (vec_id is dense, so
+    ``vec_id % (n//k) == 0`` is a pushed-down filter, no global sort),
+    then the master-side norm-sort + pick-k-evenly
+    (KMeansMaster.java:77-89 via select_centroids_by_norm).
+
+    The per-partition variant (kmeans_reference_init) is closer to the
+    reference's physical layout but depends on partition boundaries,
+    which no SQL oracle can replay; this global form keeps the same
+    selection *rule* while being a pure function of the data. Collected
+    set is ~k rows — driver-bounded.
+    """
+    import numpy as np
+
+    from guagua_spark.algorithms.kmeans import select_centroids_by_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    m = max(1, n // KMEANS_K)
+    cands_rows = (
+        emb.filter(F.col("vec_id") % m == 0).orderBy("vec_id").collect()
+    )
+    cands = np.array(
+        [[float(v) for v in r["embedding"]] for r in cands_rows],
+        dtype=np.float64,
+    )
+    return select_centroids_by_norm(cands, KMEANS_K)
+
+
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine-based k-means on embeddings (k=4, 5 iterations) —
-    rows-only check; returns (tag, cnt, c0..c3 head of centroid)."""
+    """Full engine-based k-means on embeddings (k=4, 1 init + 4 update
+    rounds), oracle-checked against a DuckDB recursive-CTE replay of the
+    same assignment + mean-update rule (KMeansWorker.java:151-196,
+    KMeansMaster.java:108-150). Init is the deterministic contract form
+    (_kmeans_contract_init) so both engines start from identical
+    centroids; returns (tag, c0..c3 head of centroid) rounded 6dp —
+    Spark sums partition-parallel, DuckDB sequentially (same tolerance
+    story as lr_train)."""
     from guagua_spark.algorithms.kmeans import KMeansMaster, KMeansWorker
     from guagua_spark.engine import IterativeEngine
 
+    init = _kmeans_contract_init(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     engine = IterativeEngine(spark)
     model = engine.run(
-        KMeansMaster(k=4, tolerance=1e-9),
-        KMeansWorker(k=4),
+        KMeansMaster(k=KMEANS_K, tolerance=1e-9, init_centroids=init),
+        KMeansWorker(k=KMEANS_K),
         emb,
-        total_iteration=5,
+        total_iteration=1 + KMEANS_UPDATE_ROUNDS,
     )
     rows = [
-        (int(i), *[float(v) for v in c[:4]])
+        (int(i), *[round(float(v), 6) for v in c[:4]])
         for i, c in enumerate(model.centroids)
     ]
     return spark.createDataFrame(
         rows, "tag int, c0 double, c1 double, c2 double, c3 double"
     )
+
+
+def _kmeans_train_oracle() -> str:
+    """kmeans_train as one DuckDB recursive CTE: the anchor derives the
+    deterministic init (stride filter on dense vec_id → norm-sort →
+    pick k evenly — exactly _kmeans_contract_init); each recursive round
+    assigns every point to its arg-min-distance centroid and averages
+    per cluster, LEFT JOIN carrying empty clusters forward unchanged
+    (the engine's counts>0 mask). Generated: 64-dim distance/sum
+    expressions are unrolled programmatically.
+
+    Tie caveat (documented, not handled): arg_min ties between two
+    exactly-equidistant centroids are broken by lowest index in numpy
+    and arbitrarily in DuckDB — impossible with continuous random
+    embeddings short of duplicate vectors.
+    """
+    k, dim, rounds = KMEANS_K, KMEANS_DIM, KMEANS_UPDATE_ROUNDS
+    dist = " + ".join(
+        f"((CAST(p.embedding[{j+1}] AS DOUBLE) - c.c{j}) * "
+        f"(CAST(p.embedding[{j+1}] AS DOUBLE) - c.c{j}))"
+        for j in range(dim)
+    )
+    norm = " + ".join(
+        f"(CAST(embedding[{j+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE))"
+        for j in range(dim)
+    )
+    init_cols = ", ".join(
+        f"CAST(embedding[{j+1}] AS DOUBLE) AS c{j}" for j in range(dim)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(emb[{j+1}] AS DOUBLE)) AS s{j}" for j in range(dim)
+    )
+    upd = ", ".join(
+        f"CASE WHEN a.cnt IS NULL THEN prev.c{j} ELSE a.s{j} / a.cnt END"
+        for j in range(dim)
+    )
+    return f"""
+WITH RECURSIVE
+params AS (SELECT GREATEST(COUNT(*) // {k}, 1) AS m FROM embeddings),
+cand AS (
+  SELECT vec_id, embedding, ROW_NUMBER() OVER (
+           ORDER BY ({norm}), vec_id) - 1 AS crn,
+         COUNT(*) OVER () AS nc
+  FROM embeddings WHERE vec_id % (SELECT m FROM params) = 0
+),
+it AS (
+  SELECT 0 AS i, CAST(crn // GREATEST(nc // {k}, 1) AS INT) AS tag, {init_cols}
+  FROM cand
+  WHERE crn % GREATEST(nc // {k}, 1) = 0 AND crn // GREATEST(nc // {k}, 1) < {k}
+  UNION ALL
+  SELECT prev.i + 1, prev.tag, {upd}
+  FROM (SELECT * FROM it WHERE i < {rounds}) prev
+  LEFT JOIN (
+    SELECT i, atag, COUNT(*) AS cnt, {sums}
+    FROM (
+      SELECT c.i, p.vec_id, arg_min(c.tag, ({dist})) AS atag,
+             any_value(p.embedding) AS emb
+      FROM (SELECT * FROM it WHERE i < {rounds}) c, embeddings p
+      GROUP BY c.i, p.vec_id
+    ) asg
+    GROUP BY i, atag
+  ) a ON a.i = prev.i AND a.atag = prev.tag
+)
+SELECT tag, ROUND(c0, 6) AS c0, ROUND(c1, 6) AS c1, ROUND(c2, 6) AS c2,
+       ROUND(c3, 6) AS c3
+FROM it WHERE i = {rounds} ORDER BY tag
+""".strip()
 
 
 def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +389,9 @@ ORACLE_SQL = {
     "lr_gradient_step": _lr_oracle(),
     "kmeans_assign_counts": _kmeans_oracle(),
     "lr_train": _lr_train_oracle(),
-    # kmeans_train / nn_train: rows-only by design — their init depends
-    # on partition layout (stride sampling per worker), which SQL can't
-    # replay deterministically
+    "kmeans_train": _kmeans_train_oracle(),
+    # nn_train: rows-only by design — resilient propagation's sign-based
+    # per-weight state makes a float-rounded SQL replay numerically
+    # fragile (sign flips at near-zero gradients), and the validation
+    # split is worker-local
 }
