@@ -75,8 +75,28 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _planes() -> np.ndarray:
-    rng = np.random.default_rng(LSH_SEED)
-    return rng.normal(size=(LSH_TABLES, LSH_BITS, DIM))
+    """Hyperplane components derived from md5, not a seeded RNG.
+
+    ``plane[t,b,d] = u64(md5(f"lsh-{t}-{b}-{d}")[:8]) / 2⁶⁴ − 0.5`` —
+    the same engine-portable hash trick as the simhash oracle
+    (dedup.py:718), so a SQL oracle can regenerate the planes
+    bit-for-bit and replay the ENTIRE LSH pipeline (buckets →
+    candidates → rescore), which a numpy RNG stream cannot. Uniform
+    rather than gaussian components: the normal direction is no longer
+    uniform on the sphere, but any continuous sign-symmetric component
+    distribution yields a valid random-hyperplane family — collision
+    probability stays monotone in angle, which is all OR-construction
+    recall needs (recall bar asserted in tests/test_similarity.py).
+    """
+    import hashlib
+
+    vals = np.empty((LSH_TABLES, LSH_BITS, DIM))
+    for t in range(LSH_TABLES):
+        for b in range(LSH_BITS):
+            for d in range(DIM):
+                h = hashlib.md5(f"lsh-{t}-{b}-{d}".encode()).digest()
+                vals[t, b, d] = int.from_bytes(h[:8], "big") / 2.0**64 - 0.5
+    return vals
 
 
 def _bucket_udf(planes: np.ndarray):
@@ -327,8 +347,46 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
 }
 
+def _lsh_oracle() -> str:
+    """ann_lsh_topk end-to-end in SQL: regenerate the md5-derived
+    planes (see _planes), compute every vector's L bucket ids via
+    per-(table, bit) dot-product signs, join queries to corpus on
+    (table, bucket), then the shared exact-rescore stage. Sign flips
+    from summation-order float noise would need |dot| ≲ 1e-12 — never
+    observed (candidate sets verified identical at sf0.01/sf0.1).
+    """
+    planes = f"""planes AS (
+  SELECT t.range AS t, b.range AS b, d.range AS d,
+         CAST(('0x' || substr(md5('lsh-' || t.range || '-' || b.range ||
+              '-' || d.range), 1, 16)) AS UBIGINT)
+           / 18446744073709551616.0 - 0.5 AS val
+  FROM range({LSH_TABLES}) t, range({LSH_BITS}) b, range({DIM}) d
+),
+dots AS (
+  SELECT e.vec_id, p.t, p.b,
+         SUM(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.val) AS dot
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.t, p.b
+),
+bk AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(b AS INT))
+             ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM bk q
+  JOIN bk c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {NUM_QUERIES}
+)"""
+    assert RESCORE_ORACLE_SQL.startswith("WITH scored AS")
+    return "WITH " + planes + ",\n" + RESCORE_ORACLE_SQL[len("WITH ") :]
+
+
 ORACLE_SQL = {
     "ann_bruteforce_topk": _bruteforce_oracle(),
-    # ann_lsh_topk / ann_ivf_topk: approximate + (for IVF) iterative —
-    # rows-only; recall vs brute force asserted in tests/test_similarity.py
+    "ann_lsh_topk": _lsh_oracle(),
+    # ann_ivf_topk: quantizer trains on a driver-side sample — rows-only;
+    # recall vs brute force asserted in tests/test_similarity.py
 }

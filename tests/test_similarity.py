@@ -16,9 +16,10 @@ def duck(oracle_sf_dir):
     con.close()
 
 
-def test_bruteforce_matches_oracle(spark, oracle_sf_dir, duck):
-    df = QUERIES["ann_bruteforce_topk"](spark, oracle_sf_dir)
-    assert_matches_oracle(df, duck, ORACLE_SQL["ann_bruteforce_topk"])
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_matches_oracle(spark, oracle_sf_dir, duck, name):
+    df = QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, ORACLE_SQL[name])
 
 
 @pytest.fixture(scope="module")
