@@ -35,7 +35,9 @@ NUM_QUERIES = 5  # vec_id < 5 are the query vectors
 # table gives ≈ 0.05. B should grow with log(N) to keep buckets small.
 LSH_TABLES = 10
 LSH_BITS = 3
-LSH_SEED = 42
+IVF_CELLS = 8
+IVF_NPROBE = 3
+QUANT_ITERS = 10
 
 
 def _queries_and_corpus(
@@ -226,10 +228,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
 
 
-def _sample_kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
-    """Lloyd's k-means on a driver-side sample, deterministic init."""
-    rng = np.random.default_rng(LSH_SEED)
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+def _sample_kmeans(
+    sample: np.ndarray, k: int, iters: int = QUANT_ITERS
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample.
+
+    Init is the deterministic stride + norm-sort rule shared with the
+    engine master (select_centroids_by_norm over every (n//k)-th sample
+    row) rather than an RNG draw — a SQL oracle can replay the rule but
+    not a numpy RNG stream. ``sample`` must arrive in vec_id order.
+    Empty cells keep their previous centroid (same carry as the engine).
+    """
+    from guagua_spark.algorithms.kmeans import select_centroids_by_norm
+
+    m = max(1, len(sample) // k)
+    centroids = select_centroids_by_norm(sample[::m], k)
     for _ in range(iters):
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         tags = d.argmin(axis=1)
@@ -290,8 +303,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id) IVF candidate pairs — the approximate stage."""
-    n_cells, nprobe = 8, 3
+    """(query_id, vec_id) IVF candidate pairs — the approximate stage.
+
+    The quantizer sample is ``vec_id < QUANT_SAMPLE`` (a pushed-down
+    filter on the dense id — deterministic, unlike ``limit`` on an
+    unordered DataFrame) collected in vec_id order, so the whole
+    pipeline is a pure function of the data and the SQL oracle can
+    replay it (see _ivf_oracle)."""
+    n_cells, nprobe = IVF_CELLS, IVF_NPROBE
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -299,7 +318,9 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = np.array(
         [
             r.embedding
-            for r in emb.select("embedding").limit(QUANT_SAMPLE).collect()
+            for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
         ],
         dtype=np.float64,
     )
@@ -311,7 +332,7 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in qrows:
         qv = np.array(r.qe, dtype=np.float64)
         d = np.linalg.norm(centroids - qv, axis=1)
-        for cell in np.argsort(d)[:nprobe]:
+        for cell in np.argsort(d, kind="stable")[:nprobe]:
             probe_rows.append((r.query_id, int(cell)))
     probes = spark.createDataFrame(probe_rows, "query_id long, pcell int")
     return corpus_c.join(
@@ -384,9 +405,93 @@ cand AS (
     return "WITH " + planes + ",\n" + RESCORE_ORACLE_SQL[len("WITH ") :]
 
 
+def _ivf_oracle() -> str:
+    """ann_ivf_topk end-to-end in SQL: a recursive CTE replays the
+    quantizer's Lloyd iterations over the deterministic sample (stride +
+    norm-sort init, empty cells carried — the same replay machinery as
+    the kmeans_train oracle), then assigns every corpus vector to its
+    arg-min cell, probes each query's IVF_NPROBE nearest cells, and
+    hands the candidate set to the shared exact-rescore stage.
+    Candidate-set equality with the numpy path verified at
+    sf0.01/sf0.1; distance ties (the only divergence hazard) need
+    exactly-equal doubles."""
+    dim, k, iters = DIM, IVF_CELLS, QUANT_ITERS
+
+    def dist(e: str, c: str) -> str:
+        return " + ".join(
+            f"((CAST({e}[{j+1}] AS DOUBLE) - {c}.c{j}) * "
+            f"(CAST({e}[{j+1}] AS DOUBLE) - {c}.c{j}))"
+            for j in range(dim)
+        )
+
+    norm = " + ".join(
+        f"(CAST(embedding[{j+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE))"
+        for j in range(dim)
+    )
+    init_cols = ", ".join(
+        f"CAST(embedding[{j+1}] AS DOUBLE) AS c{j}" for j in range(dim)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(emb[{j+1}] AS DOUBLE)) AS s{j}" for j in range(dim)
+    )
+    upd = ", ".join(
+        f"CASE WHEN a.cnt IS NULL THEN prev.c{j} ELSE a.s{j} / a.cnt END"
+        for j in range(dim)
+    )
+    quantizer = f"""smp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {QUANT_SAMPLE}
+),
+params AS (SELECT GREATEST(COUNT(*) // {k}, 1) AS m FROM smp),
+cnd AS (
+  SELECT vec_id, embedding, ROW_NUMBER() OVER (
+           ORDER BY ({norm}), vec_id) - 1 AS crn,
+         COUNT(*) OVER () AS nc
+  FROM smp WHERE vec_id % (SELECT m FROM params) = 0
+),
+cells AS (
+  SELECT 0 AS i, CAST(crn // GREATEST(nc // {k}, 1) AS INT) AS tag, {init_cols}
+  FROM cnd
+  WHERE crn % GREATEST(nc // {k}, 1) = 0 AND crn // GREATEST(nc // {k}, 1) < {k}
+  UNION ALL
+  SELECT prev.i + 1, prev.tag, {upd}
+  FROM (SELECT * FROM cells WHERE i < {iters}) prev
+  LEFT JOIN (
+    SELECT i, atag, COUNT(*) AS cnt, {sums}
+    FROM (
+      SELECT c.i, p.vec_id, arg_min(c.tag, ({dist('p.embedding', 'c')})) AS atag,
+             any_value(p.embedding) AS emb
+      FROM (SELECT * FROM cells WHERE i < {iters}) c, smp p
+      GROUP BY c.i, p.vec_id
+    ) asg
+    GROUP BY i, atag
+  ) a ON a.i = prev.i AND a.atag = prev.tag
+),
+cf AS (SELECT * FROM cells WHERE i = {iters}),
+asg AS (
+  SELECT e.vec_id, arg_min(cf.tag, ({dist('e.embedding', 'cf')})) AS cell
+  FROM embeddings e, cf GROUP BY e.vec_id
+),
+probes AS (
+  SELECT query_id, pcell FROM (
+    SELECT q.vec_id AS query_id, cf.tag AS pcell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ({dist('q.embedding', 'cf')}), cf.tag) AS rn
+    FROM embeddings q, cf WHERE q.vec_id < {NUM_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN asg a ON a.cell = p.pcell AND a.vec_id <> p.query_id
+)"""
+    assert RESCORE_ORACLE_SQL.startswith("WITH scored AS")
+    return (
+        "WITH RECURSIVE " + quantizer + ",\n"
+        + RESCORE_ORACLE_SQL[len("WITH ") :]
+    )
+
+
 ORACLE_SQL = {
     "ann_bruteforce_topk": _bruteforce_oracle(),
     "ann_lsh_topk": _lsh_oracle(),
-    # ann_ivf_topk: quantizer trains on a driver-side sample — rows-only;
-    # recall vs brute force asserted in tests/test_similarity.py
+    "ann_ivf_topk": _ivf_oracle(),
 }
