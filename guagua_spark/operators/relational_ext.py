@@ -10,7 +10,7 @@ plan, noted per operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guagua_spark.sources.tables import load_table
@@ -97,22 +97,49 @@ RANGE_BOUNDS = [0.0, 50_000.0, 100_000.0, 200_000.0, float("inf")]
 
 
 def rx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-customer count + approximate totalprice quantiles.
+    """HLL distinct-customer count + approximate totalprice quantiles,
+    emitted as a sketch-accuracy CERTIFICATE.
 
     The 100 TB answer to rx_distinct_agg: approx_count_distinct keeps a
     fixed-size HLL sketch per partition (merged map-side — no expand,
-    no second shuffle), approx_percentile a bounded-error QDigest-style
-    sketch. Sketches are engine-specific ⇒ rows-only in the driver
-    contract; accuracy vs the exact answers is asserted in
-    tests/test_relational_ext.py.
+    no second shuffle), approx_percentile a bounded-error GK-style
+    sketch. Sketch *values* are engine-specific, so they can never
+    hash-match a DuckDB oracle; what CAN be hash-checked is (a) the
+    exact answers, computed in the same aggregate, and (b) booleans
+    asserting each sketch landed within its documented error bound
+    (3·rsd for HLL, 5% relative for the quantile sketch — generous vs
+    the rank-error guarantee n/accuracy). Both are deterministic
+    functions of the data, so the driver row is green iff the sketches
+    actually deliver their bounds. n_customers stays the HLL estimate
+    for API parity; the certificate columns carry the check.
     """
     orders = load_table(spark, sf_dir, "orders")
-    pq = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers"),
-        pq.getItem(0).alias("p50"),
-        pq.getItem(1).alias("p90"),
-        pq.getItem(2).alias("p99"),
+    pa = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
+    pe = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    agg = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("hll"),
+        F.countDistinct("o_custkey").alias("n_customers_exact"),
+        pa.alias("pa"),
+        pe.alias("pe"),
+    )
+
+    def q_ok(i: int) -> Column:
+        a, e = F.col("pa").getItem(i), F.col("pe").getItem(i)
+        return F.abs(a - e) / e <= 0.05
+
+    return agg.select(
+        "n_customers_exact",
+        (
+            F.abs(F.col("hll") - F.col("n_customers_exact"))
+            / F.col("n_customers_exact")
+            <= 0.06
+        ).alias("hll_ok"),
+        F.col("pe").getItem(0).alias("p50"),
+        F.col("pe").getItem(1).alias("p90"),
+        F.col("pe").getItem(2).alias("p99"),
+        q_ok(0).alias("p50_ok"),
+        q_ok(1).alias("p90_ok"),
+        q_ok(2).alias("p99_ok"),
     )
 
 
@@ -311,5 +338,17 @@ SELECT bucket, COUNT(*) AS n_orders,
 FROM orders JOIN bounds
   ON o_totalprice > lo AND o_totalprice <= hi
 GROUP BY bucket ORDER BY bucket
+""".strip(),
+    # certificate form (see rx_approx_distinct docstring): the oracle
+    # carries the exact answers plus TRUE for every within-bound flag —
+    # the row hash-matches iff Spark's sketches deliver their bounds
+    "rx_approx_distinct": """
+SELECT COUNT(DISTINCT o_custkey) AS n_customers_exact,
+       TRUE AS hll_ok,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders
 """.strip(),
 }
