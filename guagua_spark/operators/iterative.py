@@ -345,18 +345,8 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there), backprop is ~0.35 s per 200k-row partition, so on a
     # 3-partition scan the round time is compute-bound and the one-time
     # shuffle amortizes over 5 rounds
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            (F.col("l_quantity") / 50.0).alias("f1"),
-            (F.col("l_discount") * 10.0).alias("f2"),
-            (F.col("l_extendedprice") / 100000.0).alias("f3"),
-            (F.col("l_tax") * 10.0).alias("f4"),
-            F.when(F.col("l_returnflag") == "R", 1.0)
-            .otherwise(0.0)
-            .alias("target"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+    li = _nn_features(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
     engine = IterativeEngine(spark)
     model = engine.run(
@@ -377,12 +367,169 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NN_GD_LAYERS = [4, 8, 1]
+NN_GD_LR = 0.1
+NN_GD_MOMENTUM = 0.5  # update_backprop default
+NN_GD_ROUNDS = 5
+
+
+def _nn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lineitem feature projection for the NN contract entries."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("f1"),
+        (F.col("l_discount") * 10.0).alias("f2"),
+        (F.col("l_extendedprice") / 100000.0).alias("f3"),
+        (F.col("l_tax") * 10.0).alias("f4"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("target"),
+    )
+
+
+def nn_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-based NN training with PLAIN backprop + momentum
+    (Weight.java BACK_PROPAGATION path) — the hash-checked counterpart
+    of nn_train: no validation split (worker-local, partition-
+    dependent) and a smooth update rule, so a generated recursive-CTE
+    SQL oracle can replay all 5 full-batch forward/backward/update
+    rounds exactly (resilient propagation's sign-based steps amplify
+    float noise discontinuously; momentum GD does not). Init weights
+    are seeded constants, inlined as literals in the oracle. Output:
+    final train error + the output-layer weights, rounded 6dp (engine
+    sums gradients partition-parallel, DuckDB sequentially).
+    """
+    from guagua_spark.algorithms.nn import NNMaster, NNWorker
+    from guagua_spark.engine import IterativeEngine
+
+    li = _nn_features(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    engine = IterativeEngine(spark)
+    model = engine.run(
+        NNMaster(NN_GD_LAYERS, learning_rate=NN_GD_LR, algorithm="backprop"),
+        NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.0),
+        li,
+        total_iteration=NN_GD_ROUNDS,
+    )
+    (_, _), (w2, b2) = model.weights
+    hidden = NN_GD_LAYERS[1]
+    row = (
+        [round(float(model.train_error), 6), int(model.iteration)]
+        + [round(float(w2[j, 0]), 6) for j in range(hidden)]
+        + [round(float(b2[0]), 6)]
+    )
+    schema = (
+        "train_error double, iterations int, "
+        + ", ".join(f"w2_{j} double" for j in range(hidden))
+        + ", b2 double"
+    )
+    return spark.createDataFrame([tuple(row)], schema)
+
+
+def _nn_train_gd_oracle() -> str:
+    """nn_train_gd as one generated DuckDB recursive CTE.
+
+    The CTE threads all 49 weights and their 49 momentum velocities as
+    columns; each recursive round cross-joins the state row with the
+    feature table, computes the 8 hidden sigmoids, the output sigmoid,
+    and the output delta per row, aggregates the 49 gradient sums + SSE
+    in one GROUP BY, and applies v ← μ·v − lr·g/n, w ← w + v — exactly
+    NNWorker.backprop + update_backprop (nn.py:67-85, :215-228). The
+    Xavier init constants are data-independent, so they are inlined
+    verbatim from init_weights(seed=42); repr() round-trips float64
+    exactly.
+    """
+    from guagua_spark.algorithms.nn import init_weights
+
+    (w1, b1), (w2, b2) = init_weights(NN_GD_LAYERS, 42)
+    n_in, hidden = NN_GD_LAYERS[0], NN_GD_LAYERS[1]
+    lr, mom, rounds = NN_GD_LR, NN_GD_MOMENTUM, NN_GD_ROUNDS
+
+    cols = (
+        [f"w1_{i}_{j}" for i in range(n_in) for j in range(hidden)]
+        + [f"b1_{j}" for j in range(hidden)]
+        + [f"w2_{j}" for j in range(hidden)]
+        + ["b2"]
+    )
+    init_vals = {
+        **{
+            f"w1_{i}_{j}": w1[i, j]
+            for i in range(n_in)
+            for j in range(hidden)
+        },
+        **{f"b1_{j}": b1[j] for j in range(hidden)},
+        **{f"w2_{j}": w2[j, 0] for j in range(hidden)},
+        "b2": b2[0],
+    }
+    anchor = (
+        "SELECT 0 AS it, CAST(0.0 AS DOUBLE) AS err, "
+        + ", ".join(f"CAST({init_vals[c]!r} AS DOUBLE) AS {c}" for c in cols)
+        + ", "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS v_{c}" for c in cols)
+    )
+    hs = ", ".join(
+        "1.0/(1.0+EXP(-(s.b1_%d + " % j
+        + " + ".join(f"f.f{i+1}*s.w1_{i}_{j}" for i in range(n_in))
+        + f"))) AS h{j}"
+        for j in range(hidden)
+    )
+    o_expr = (
+        "1.0/(1.0+EXP(-(s2.b2 + "
+        + " + ".join(f"s2.h{j}*s2.w2_{j}" for j in range(hidden))
+        + ")))"
+    )
+    anyv = ", ".join(
+        f"any_value({c}) AS {c}, any_value(v_{c}) AS v_{c}" for c in cols
+    )
+    gsum = [f"SUM(d*h{j}) AS g_w2_{j}" for j in range(hidden)]
+    gsum.append("SUM(d) AS g_b2")
+    for j in range(hidden):
+        dh = f"(d*w2_{j}*h{j}*(1.0-h{j}))"
+        gsum += [f"SUM({dh}*f{i+1}) AS g_w1_{i}_{j}" for i in range(n_in)]
+        gsum.append(f"SUM({dh}) AS g_b1_{j}")
+    gsum += ["SUM(e*e) AS sse", "COUNT(*) AS n"]
+    w_upd = ", ".join(
+        f"{c} + ({mom}*v_{c} - {lr}*(g_{c}/n)) AS {c}" for c in cols
+    )
+    v_upd = ", ".join(f"{mom}*v_{c} - {lr}*(g_{c}/n) AS v_{c}" for c in cols)
+    return f"""
+WITH RECURSIVE feats AS (
+  SELECT l_quantity/50.0 AS f1, l_discount*10.0 AS f2,
+         l_extendedprice/100000.0 AS f3, l_tax*10.0 AS f4,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+),
+it AS (
+  {anchor}
+  UNION ALL
+  SELECT it + 1, sse/n, {w_upd}, {v_upd}
+  FROM (
+    SELECT it, {anyv}, {", ".join(gsum)}
+    FROM (
+      SELECT s2.*, ({o_expr}) - s2.y AS e,
+             (({o_expr}) - s2.y) * ({o_expr}) * (1.0 - ({o_expr})) AS d
+      FROM (
+        SELECT s.*, f.y, f.f1, f.f2, f.f3, f.f4, {hs}
+        FROM (SELECT * FROM it WHERE it < {rounds}) s, feats f
+      ) s2
+    ) s3
+    GROUP BY it
+  ) a
+)
+SELECT ROUND(err, 6) AS train_error, CAST(it AS INT) AS iterations,
+       {", ".join(f"ROUND(w2_{j}, 6) AS w2_{j}" for j in range(hidden))},
+       ROUND(b2, 6) AS b2
+FROM it WHERE it = {rounds}
+""".strip()
+
+
 QUERIES = {
     "lr_gradient_step": lr_gradient_step,
     "kmeans_assign_counts": kmeans_assign_counts,
     "lr_train": lr_train,
     "kmeans_train": kmeans_train,
     "nn_train": nn_train,
+    "nn_train_gd": nn_train_gd,
 }
 
 ORACLE_SQL = {
@@ -390,8 +537,9 @@ ORACLE_SQL = {
     "kmeans_assign_counts": _kmeans_oracle(),
     "lr_train": _lr_train_oracle(),
     "kmeans_train": _kmeans_train_oracle(),
+    "nn_train_gd": _nn_train_gd_oracle(),
     # nn_train: rows-only by design — resilient propagation's sign-based
     # per-weight state makes a float-rounded SQL replay numerically
     # fragile (sign flips at near-zero gradients), and the validation
-    # split is worker-local
+    # split is worker-local; nn_train_gd is the hash-checked NN entry
 }
