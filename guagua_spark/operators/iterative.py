@@ -245,12 +245,15 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = _kmeans_contract_init(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     engine = IterativeEngine(spark)
+    # tolerance=0.0: the oracle replays exactly KMEANS_UPDATE_ROUNDS
+    # rounds, so the engine must never halt early on convergence
     model = engine.run(
-        KMeansMaster(k=KMEANS_K, tolerance=1e-9, init_centroids=init),
+        KMeansMaster(k=KMEANS_K, tolerance=0.0, init_centroids=init),
         KMeansWorker(k=KMEANS_K),
         emb,
         total_iteration=1 + KMEANS_UPDATE_ROUNDS,
     )
+    assert model.iteration == 1 + KMEANS_UPDATE_ROUNDS
     rows = [
         (int(i), *[round(float(v), 6) for v in c[:4]])
         for i, c in enumerate(model.centroids)
@@ -463,7 +466,11 @@ def _nn_train_gd_oracle() -> str:
     }
     anchor = (
         "SELECT 0 AS it, CAST(0.0 AS DOUBLE) AS err, "
-        + ", ".join(f"CAST({init_vals[c]!r} AS DOUBLE) AS {c}" for c in cols)
+        # repr(float(...)): numpy>=2 would repr scalars as
+        # 'np.float64(x)' — invalid SQL; a plain float round-trips
+        + ", ".join(
+            f"CAST({float(init_vals[c])!r} AS DOUBLE) AS {c}" for c in cols
+        )
         + ", "
         + ", ".join(f"CAST(0.0 AS DOUBLE) AS v_{c}" for c in cols)
     )
@@ -523,23 +530,41 @@ FROM it WHERE it = {rounds}
 """.strip()
 
 
+#: driver-contract surface (the driver runs at most 50 queries).  The
+#: full training runs subsume the single-step entries — lr_train's
+#: recursive-CTE oracle replays 5 of exactly the gradient passes
+#: lr_gradient_step certifies, kmeans_train replays 4 of the assignment
+#: rounds kmeans_assign_counts certifies — so the steps live in
+#: LOCAL_QUERIES (oracle-tested in tests/test_iterative_ops.py) and the
+#: contract slots go to the strictly-stronger full runs.  nn_train
+#: (resilient propagation) is likewise retired from the contract in
+#: favor of the hash-checked nn_train_gd: RPROP's sign-based per-weight
+#: state makes a float-rounded SQL replay numerically fragile (sign
+#: flips at near-zero gradients) and its validation split is
+#: worker-local, so it could only ever be a rows-only row; the RPROP
+#: update rules stay unit-tested (tests/test_nn.py) and engine-run
+#: locally (test_nn_train_rows).
 QUERIES = {
-    "lr_gradient_step": lr_gradient_step,
-    "kmeans_assign_counts": kmeans_assign_counts,
     "lr_train": lr_train,
     "kmeans_train": kmeans_train,
-    "nn_train": nn_train,
     "nn_train_gd": nn_train_gd,
 }
 
 ORACLE_SQL = {
-    "lr_gradient_step": _lr_oracle(),
-    "kmeans_assign_counts": _kmeans_oracle(),
     "lr_train": _lr_train_oracle(),
     "kmeans_train": _kmeans_train_oracle(),
     "nn_train_gd": _nn_train_gd_oracle(),
-    # nn_train: rows-only by design — resilient propagation's sign-based
-    # per-weight state makes a float-rounded SQL replay numerically
-    # fragile (sign flips at near-zero gradients), and the validation
-    # split is worker-local; nn_train_gd is the hash-checked NN entry
+}
+
+#: oracle-tested locally, not registered with the driver (see above)
+LOCAL_QUERIES = {
+    "lr_gradient_step": lr_gradient_step,
+    "kmeans_assign_counts": kmeans_assign_counts,
+    "nn_train": nn_train,
+}
+
+LOCAL_ORACLE_SQL = {
+    "lr_gradient_step": _lr_oracle(),
+    "kmeans_assign_counts": _kmeans_oracle(),
+    # nn_train: rows-only (see module docstring above)
 }

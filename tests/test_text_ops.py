@@ -4,9 +4,17 @@ from __future__ import annotations
 
 import pytest
 
-from guagua_spark.operators.text import ORACLE_SQL, QUERIES
+from guagua_spark.operators.text import (
+    LOCAL_ORACLE_SQL,
+    LOCAL_QUERIES,
+    ORACLE_SQL,
+    QUERIES,
+)
 
 from oracle import assert_matches_oracle, duck_connection
+
+ALL_QUERIES = {**QUERIES, **LOCAL_QUERIES}
+ALL_ORACLE_SQL = {**ORACLE_SQL, **LOCAL_ORACLE_SQL}
 
 
 @pytest.fixture(scope="module")
@@ -16,7 +24,7 @@ def duck(oracle_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_text_op_matches_oracle(spark, oracle_sf_dir, duck, name):
-    df = QUERIES[name](spark, oracle_sf_dir)
-    assert_matches_oracle(df, duck, ORACLE_SQL[name])
+    df = ALL_QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, ALL_ORACLE_SQL[name])
