@@ -20,7 +20,7 @@ if _REPO not in sys.path:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--repeat", type=int, default=2)
+    parser.add_argument("--repeat", type=int, default=3)
     parser.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -48,14 +48,20 @@ def main() -> None:
     for name, fn in queries.items():
         fn(spark, sf_dir).limit(1).collect()
 
+    # median of N runs per query: single-run numbers on a shared sandbox
+    # drifted ±45% round-to-round on untouched queries, making regression
+    # analysis unattributable; the median of 3 is noise-robust in both
+    # directions (min would hide genuine slowdowns behind one lucky run)
+    import statistics
+
     times: dict[str, float] = {}
     for name, fn in queries.items():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(args.repeat):
             t0 = time.monotonic()
             fn(spark, sf_dir).collect()
-            best = min(best, time.monotonic() - t0)
-        times[name] = round(best, 4)
+            samples.append(time.monotonic() - t0)
+        times[name] = round(statistics.median(samples), 4)
 
     total = round(sum(times.values()), 4)
     print(

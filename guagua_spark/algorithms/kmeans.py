@@ -78,9 +78,16 @@ def _batch_matrix(
     mats = []
     for batch in batches:
         col = batch.column(vector_col)
-        pdcol = col.to_pandas()
-        if len(pdcol):
-            mats.append(np.stack(pdcol.to_numpy()).astype(np.float64))
+        n = len(col)
+        if not n:
+            continue
+        # flatten() honors list offsets/slices; reshape is valid because
+        # embedding vectors are fixed-width per table. Direct Arrow→numpy
+        # (no pandas hop) — same per-iteration rationale as gradient.py.
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        mats.append(
+            flat.astype(np.float64, copy=False).reshape(n, len(flat) // n)
+        )
     if not mats:
         return np.zeros((0, 0))
     return np.concatenate(mats)

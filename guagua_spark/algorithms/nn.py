@@ -149,9 +149,18 @@ class NNWorker(WorkerComputable):
         model: NNModel = context.last_master_result
         xs, ys = [], []
         for batch in batches:
-            pdf = batch.to_pandas()
-            xs.append(pdf[list(self.feature_cols)].to_numpy(np.float64))
-            ys.append(pdf[self.label_col].to_numpy(np.float64))
+            # direct column→numpy, no pandas hop (see gradient.py
+            # _features_matrix — same per-iteration latency rationale)
+            cols = [
+                batch.column(c).to_numpy(zero_copy_only=False)
+                for c in self.feature_cols
+            ]
+            xs.append(np.column_stack(cols).astype(np.float64, copy=False))
+            ys.append(
+                batch.column(self.label_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+            )
         if not xs:
             return NNGradient(grads=[])
         x = np.concatenate(xs)

@@ -343,14 +343,7 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guagua_spark.algorithms.nn import NNMaster, NNWorker
     from guagua_spark.engine import IterativeEngine
 
-    # repartition to the core count: unlike the LR gradient (trivial
-    # per-row math, scheduling-bound — repartition measured SLOWER
-    # there), backprop is ~0.35 s per 200k-row partition, so on a
-    # 3-partition scan the round time is compute-bound and the one-time
-    # shuffle amortizes over 5 rounds
-    li = _nn_features(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    li = _nn_features(spark, sf_dir).repartition(_nn_partitions(spark))
     engine = IterativeEngine(spark)
     model = engine.run(
         NNMaster([4, 8, 1], learning_rate=0.1, algorithm="resilient"),
@@ -374,6 +367,18 @@ NN_GD_LAYERS = [4, 8, 1]
 NN_GD_LR = 0.1
 NN_GD_MOMENTUM = 0.5  # update_backprop default
 NN_GD_ROUNDS = 5
+
+
+def _nn_partitions(spark: SparkSession) -> int:
+    """Partition count for the NN training input. Unlike the LR gradient
+    (trivial per-row math, scheduling-bound — repartition measured SLOWER
+    there), backprop is compute-bound on the native 3-partition scan
+    (~2 s/round at sf0.1). Measured steady-state round latency on
+    local[32]: 3 parts → 1.99 s, 8 → 0.51 s, 16 → 0.33 s, 32 → 0.51 s
+    (full core count over-schedules Python workers), so target half the
+    cores with a floor of 8; the one-time shuffle amortizes over the
+    training rounds."""
+    return max(8, spark.sparkContext.defaultParallelism // 2)
 
 
 def _nn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,9 +409,7 @@ def nn_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guagua_spark.algorithms.nn import NNMaster, NNWorker
     from guagua_spark.engine import IterativeEngine
 
-    li = _nn_features(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    li = _nn_features(spark, sf_dir).repartition(_nn_partitions(spark))
     engine = IterativeEngine(spark)
     model = engine.run(
         NNMaster(NN_GD_LAYERS, learning_rate=NN_GD_LR, algorithm="backprop"),

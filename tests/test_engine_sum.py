@@ -234,6 +234,23 @@ def test_worker_interceptor_ordering(spark, tmp_path):
     ]
 
 
+def test_iteration_latency_budget(spark):
+    """Regression guard for per-round engine latency (the engine's whole
+    cost model: a 50-round training run pays this 50×). On the tiny sum
+    fixture a steady-state round is pure fixed overhead — broadcast +
+    job + collect ≈ 0.1-0.3 s on local[32]. The budget is the MEDIAN of
+    the post-warmup rounds at 0.75 s: loose enough for sandbox noise,
+    tight enough to catch the class of 2-3× regression seen when extra
+    per-round work creeps into the shared path."""
+    import statistics
+
+    df = _two_partition_df(spark)
+    engine = IterativeEngine(spark)
+    engine.run(SumMaster(), SumWorker(), df, total_iteration=8)
+    steady = engine.iteration_seconds[1:]
+    assert statistics.median(steady) < 0.75, engine.iteration_seconds
+
+
 def test_memory_stats_interceptors(spark):
     """Default profiling interceptors run on both sides without disturbing
     the computation (MemoryStatsMasterInterceptor.java analogues)."""
