@@ -291,7 +291,13 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each (cohort_day, day_offset ≤ 7) the count of distinct users
     active that day. Two aggregations: per-user first day (shuffle on
     user), then distinct users per cohort cell over the already-tiny
-    (user, day) relation — the raw events never join themselves."""
+    (user, day) relation — the raw events never join themselves.
+
+    No broadcast hint on the cohorts join: cohorts has one row per USER,
+    a data-proportional cardinality that would OOM a forced broadcast at
+    100×; both sides are already partitioned by user_id from their
+    aggregations, and AQE may still pick a broadcast when the side is
+    genuinely small."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
@@ -300,7 +306,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("cohort_day")
     )
     return (
-        user_days.join(F.broadcast(cohorts), "user_id")
+        user_days.join(cohorts, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -319,8 +325,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchased at/after that first qualifying click.
 
     Each stage aggregates BEFORE joining (one row per user), so the
-    joins are small-side broadcastable and the raw events table is
-    scanned, never self-joined row-to-row.
+    raw events table is scanned, never self-joined row-to-row. No
+    broadcast hints: the per-user stage aggregates grow with the data
+    (a forced broadcast of them is exactly the 100× OOM anti-pattern);
+    the joins and aggregations all hash on user_id so consecutive
+    stages reuse one partitioning, and AQE still converts to broadcast
+    at runtime when a side is genuinely under the threshold.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
@@ -332,14 +342,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .filter(F.col("ts") >= F.col("signup_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") >= F.col("click_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))

@@ -81,6 +81,22 @@ def test_cube_is_one_shuffle_with_expand(spark, oracle_sf_dir):
     assert p.count("Scan parquet") == 1, p
 
 
+@pytest.mark.parametrize("name", ["events_funnel", "events_retention"])
+def test_no_forced_broadcast_of_per_user_relations(spark, oracle_sf_dir, name):
+    """Funnel/retention join per-user aggregates whose cardinality grows
+    with the data — a FORCED broadcast of those would OOM executors at
+    100×. The logical plan must carry no broadcast hint at all (AQE may
+    still choose a broadcast at runtime when a side is actually small —
+    that's fine and self-correcting; the hint is not)."""
+    from guagua_spark.operators import events
+
+    df = events.QUERIES[name](spark, oracle_sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical, (
+        logical
+    )
+
+
 def test_pipeline_antijoin_is_broadcast(spark, oracle_sf_dir):
     """The clean-corpus drop-list anti-join must broadcast the tiny
     drop list, never shuffle the corpus."""
