@@ -190,8 +190,9 @@ class IterativeEngine:
         timeout_s: float,
         iteration: int,
     ) -> list[_Partial]:
-        """Emulate guagua's partial barrier: one Spark job per partition,
-        driver-side gather with a deadline, cancel the stragglers.
+        """Emulate guagua's partial barrier: a BOUNDED number of Spark
+        jobs (≤ pool width, 64), driver-side gather with a deadline,
+        cancel the straggler job groups.
 
         Reference semantics (BasicCoordinator.isTerminated,
         BasicCoordinator.java:649-662): proceed when all workers reported,
@@ -199,47 +200,68 @@ class IterativeEngine:
         workers' results simply don't contribute this iteration — the
         master must tolerate a shorter result list (it already must, since
         results are unordered and possibly pre-combined).
+
+        Partitions are batched round-robin into ≤64 job groups so the
+        per-iteration scheduling cost is O(pool width), not
+        O(num partitions): at the reference's own scale (thousands of
+        workers, GuaguaMapReduceClient.java split planning) one job per
+        partition would push thousands of jobs through the scheduler
+        every iteration. The tradeoff is cancellation granularity — a
+        straggler drops its whole batch (≈ num_partitions/64 workers)
+        for the iteration, still within the reference's semantics where
+        any subset ≥ ratio may proceed. The arrived/total ratio is
+        accounted in PARTITIONS, not batches.
         """
         from concurrent.futures import ThreadPoolExecutor
 
         sc = self.spark.sparkContext
 
-        def run_one(p: int) -> list[_Partial]:
-            group = f"guagua-barrier-it{iteration}-p{p}"
-            sc.setJobGroup(group, f"iteration {iteration} partition {p}",
+        pool_width = min(num_partitions, 64)
+        batches: list[list[int]] = [[] for _ in range(pool_width)]
+        for p in range(num_partitions):
+            batches[p % pool_width].append(p)
+
+        def run_batch(b: int) -> list[_Partial]:
+            group = f"guagua-barrier-it{iteration}-b{b}"
+            sc.setJobGroup(group, f"iteration {iteration} batch {b}",
                            interruptOnCancel=True)
-            return sc.runJob(partials, lambda it: list(it), [p])
+            return sc.runJob(partials, lambda it: list(it), batches[b])
 
         arrived: list[_Partial] = []
-        with ThreadPoolExecutor(max_workers=min(num_partitions, 64)) as ex:
-            futures = {ex.submit(run_one, p): p for p in range(num_partitions)}
+        arrived_parts = 0
+        with ThreadPoolExecutor(max_workers=pool_width) as ex:
+            futures = {ex.submit(run_batch, b): b for b in range(pool_width)}
             deadline = time.monotonic() + timeout_s
             pending = dict(futures)
             while pending:
                 for f in [f for f in pending if f.done()]:
-                    p = pending.pop(f)
+                    b = pending.pop(f)
                     try:
                         arrived.extend(f.result())
-                    except Exception:  # cancelled or failed partition
-                        log.warning("partition %d dropped this iteration", p)
+                        arrived_parts += len(batches[b])
+                    except Exception:  # cancelled or failed batch
+                        log.warning(
+                            "batch %d (%d partitions) dropped this "
+                            "iteration", b, len(batches[b]),
+                        )
                 if not pending:
                     break
                 if (
                     time.monotonic() >= deadline
-                    and (num_partitions - len(pending)) / num_partitions
-                    >= ratio
+                    and arrived_parts / num_partitions >= ratio
                 ):
-                    for f, p in pending.items():
-                        sc.cancelJobGroup(f"guagua-barrier-it{iteration}-p{p}")
+                    for f, b in pending.items():
+                        sc.cancelJobGroup(f"guagua-barrier-it{iteration}-b{b}")
                     # cancelled jobs error out their futures promptly; the
                     # executor shutdown below reaps the threads
-                    for f, p in pending.items():
+                    for f, b in pending.items():
                         try:
                             arrived.extend(f.result(timeout=10))
+                            arrived_parts += len(batches[b])
                         except Exception:
                             log.info(
-                                "straggler partition %d cancelled at "
-                                "iteration %d", p, iteration,
+                                "straggler batch %d cancelled at "
+                                "iteration %d", b, iteration,
                             )
                     pending.clear()
                 else:
@@ -274,10 +296,13 @@ class IterativeEngine:
         after ``min_workers_timeout`` seconds the master proceeds once
         ``arrived/total >= ratio``, dropping the stragglers' results for
         that iteration. Spark stages are all-or-nothing, so this path
-        emulates the barrier by running ONE JOB PER PARTITION from driver
-        threads and cancelling unfinished job groups at the deadline —
-        higher scheduling overhead, so it is opt-in; the default path is
-        a single job per iteration.
+        emulates the barrier by batching partitions round-robin into at
+        most 64 job groups run from driver threads and cancelling
+        unfinished groups at the deadline — bounded scheduling overhead
+        (≤64 jobs/iteration at any partition count), but a cancelled
+        straggler drops its whole batch (≈ partitions/64 workers). The
+        extra scheduling cost keeps it opt-in; the default path is a
+        single job per iteration.
         """
         sc = self.spark.sparkContext
         from guagua_spark.shipping import ensure_shipped

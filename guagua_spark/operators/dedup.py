@@ -204,24 +204,37 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str, b_col: str, max_rounds: int = 50
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_rounds: int = 50,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (node, label)
     where label is the smallest node id reachable from node.
 
-    Distributed min-label propagation: labels start as each node's own
-    id; every round each node takes the min of its label and its
-    neighbors' labels, until a fixpoint. Per round that is one
-    edges⋈labels shuffle join + a groupBy min — no driver-side graph.
-    Labels decrease monotonically, so SUM(label) is a convergence
-    certificate: an unchanged sum IS the fixpoint (collected as one
-    scalar per round, O(1) driver traffic). Rounds = graph diameter;
-    near-dup components are tiny cliques, so 2-3 rounds in practice.
-    localCheckpoint truncates the per-round lineage growth that would
-    otherwise make round N replan rounds 1..N-1. For adversarial
-    long-chain graphs switch to the large-star/small-star contraction
-    (Kiveris et al., SoCC'14), which converges in O(log² n) rounds.
+    ``algorithm="propagate"`` (default) — distributed min-label
+    propagation: labels start as each node's own id; every round each
+    node takes the min of its label and its neighbors' labels, until a
+    fixpoint. Per round that is one edges⋈labels shuffle join + a
+    groupBy min — no driver-side graph. Labels decrease monotonically,
+    so SUM(label) is a convergence certificate: an unchanged sum IS the
+    fixpoint (collected as one scalar per round, O(1) driver traffic).
+    Rounds = graph diameter; near-dup components are tiny cliques, so
+    2-3 rounds in practice. localCheckpoint truncates the per-round
+    lineage growth that would otherwise make round N replan rounds
+    1..N-1. Raises RuntimeError instead of returning partial labels if
+    the diameter exceeds ``max_rounds``.
+
+    ``algorithm="star"`` — alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log² n) rounds on ANY graph
+    (~log n observed on paths), the scale path for adversarial
+    diameters where propagation would need O(diameter) shuffles.
     """
+    if algorithm == "star":
+        labels, _ = star_components(pairs, a_col, b_col, max_rounds)
+        return labels
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -236,6 +249,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -254,10 +268,110 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not reach a fixpoint in "
+            f"{max_rounds} rounds (graph diameter exceeds the budget); "
+            f"use algorithm='star' for long-chain graphs"
+        )
     return labels
+
+
+def star_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_rounds: int = 60
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14) → ((node, label) DataFrame, rounds used).
+
+    Each round rewires edges toward local minima while preserving
+    connectivity:
+
+    - large-star: every neighbor v > u is re-linked to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: every neighbor v ≤ u, and u itself, is re-linked
+      to m(u).
+
+    The edge set converges in O(log² n) rounds to a star forest whose
+    centers are the component minima, so label(u) = min(u, min Γ(u)).
+    Everything is equi-join + groupBy (shuffle-friendly, no driver
+    graph); the canonical edge set is localCheckpoint'd per round to
+    truncate lineage. Convergence is detected EXACTLY (count equality +
+    empty anti-join), not by fingerprint.
+    """
+    und = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = und.count()
+    rounds = 0
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("x"), F.col("y")).alias("a"),
+                F.greatest(F.col("x"), F.col("y")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: for each edge (u,v), v > u, emit (v, m(u))
+        sym = _sym(und)
+        large = _canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        ).localCheckpoint()
+        # small-star: for each u emit (u, m(u)) and (v, m(u)) ∀ v < u
+        sym2 = _sym(large)
+        mins2 = _mins(sym2)
+        small = _canon(
+            sym2.filter(F.col("v") < F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        ).localCheckpoint()
+        cnt = small.count()
+        if cnt == prev_cnt and small.join(
+            und, ["a", "b"], "left_anti"
+        ).isEmpty():
+            und = small
+            break
+        und, prev_cnt = small, cnt
+    labels = (
+        _sym(und)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("mn")).alias("label")
+        )
+    )
+    return labels, rounds
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +545,7 @@ EMB_BLOCK_ROWS = 65_536
 
 
 def embedding_pairs_for(
-    emb: DataFrame, block_rows: int = EMB_BLOCK_ROWS
+    emb: DataFrame, block_rows: int = EMB_BLOCK_ROWS, n_rows: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) for a
     (vec_id, embedding) DataFrame — fully distributed block-tiled
@@ -460,7 +574,23 @@ def embedding_pairs_for(
     import pandas as pd
 
     dim, threshold, band = 64, 0.95, 1e-6
-    n = emb.count()
+    # Block-count sizing only affects task memory, never results (every
+    # unordered block pair is enumerated whatever n_blocks is), so an
+    # ESTIMATED row count is sufficient — take it from Catalyst's
+    # relation statistics (parquet file bytes) instead of spending an
+    # extra count() job per invocation. Fall back to count() only when
+    # the plan has no usable statistic (Spark reports defaultSizeInBytes
+    # ≈ 2^63 for unknown relations, e.g. local test DataFrames).
+    if n_rows is None:
+        est_bytes = int(
+            emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est_bytes < (1 << 50):
+            # ~8 B/double parquet-encoded (random doubles don't compress)
+            n_rows = max(1, est_bytes // (dim * 8 + 8))
+        else:
+            n_rows = emb.count()
+    n = n_rows
     n_blocks = max(1, math.ceil(n / block_rows))
     packed = (
         emb.groupBy(F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))

@@ -65,13 +65,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = SESSION_GAP_MINUTES * 60
+    # interval comparison, not epoch casts: TIMESTAMP_NTZ (how Spark 4
+    # reads timezone-less parquet timestamps) forbids cast-to-long, while
+    # ts - lag(ts) > INTERVAL works identically for NTZ and LTZ
     with_flag = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(by_user)
-            > gap_s,
+            F.col("ts") - F.lag("ts").over(by_user)
+            > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES"),
             1,
         ).otherwise(0),
     )

@@ -110,8 +110,11 @@ def rx_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3·rsd for HLL, 5% relative for the quantile sketch — generous vs
     the rank-error guarantee n/accuracy). Both are deterministic
     functions of the data, so the driver row is green iff the sketches
-    actually deliver their bounds. n_customers stays the HLL estimate
-    for API parity; the certificate columns carry the check.
+    actually deliver their bounds. The output row carries the exact
+    answers (n_customers_exact, p50/p90/p99_exact) plus the hll_ok /
+    q_ok certificate booleans; the raw sketch estimates themselves are
+    folded into the booleans rather than emitted, since their values
+    are engine-specific.
     """
     orders = load_table(spark, sf_dir, "orders")
     pa = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)

@@ -413,8 +413,14 @@ def _ivf_oracle() -> str:
     arg-min cell, probes each query's IVF_NPROBE nearest cells, and
     hands the candidate set to the shared exact-rescore stage.
     Candidate-set equality with the numpy path verified at
-    sf0.01/sf0.1; distance ties (the only divergence hazard) need
-    exactly-equal doubles."""
+    sf0.01/sf0.1. Divergence hazard: the numpy path computes
+    nearest-cell via the expanded form ||c||² − 2x·c (one matmul per
+    batch) while this oracle sums (x_j − c_j)² directly — two float
+    expressions whose results differ by cancellation/summation-order
+    noise (~1e-12 relative), so an assignment can flip whenever two
+    cell distances are within that noise of each other, not only on
+    exactly-equal doubles. The synthetic embeddings keep cell gaps
+    ≫ 1e-12, which is what the sf0.01/sf0.1 verification confirms."""
     dim, k, iters = DIM, IVF_CELLS, QUANT_ITERS
 
     def dist(e: str, c: str) -> str:

@@ -89,3 +89,51 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "a", "b").collect()
     }
     assert got == set(_cc_reference(edges).items())
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_star_components_matches_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.node, r.label)
+        for r in connected_components(
+            df, "a", "b", algorithm="star"
+        ).collect()
+    }
+    assert got == set(_cc_reference(edges).items())
+
+
+def test_adversarial_path_graph(spark):
+    """10k-node path graph: diameter-bound propagation must REFUSE
+    (raise) rather than silently return partial labels, while the
+    large-star/small-star contraction (Kiveris et al., SoCC'14)
+    converges in ~log2(n) rounds."""
+    import math
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from guagua_spark.operators.dedup import star_components
+
+    n = 10_000
+    path = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(path, "a", "b", max_rounds=8)
+
+    labels, rounds = star_components(path, "a", "b")
+    # measured 15 rounds at n=10k (≈ log2 n + 2); 2·log2(n) is the
+    # regression ceiling, far under the O(log² n) worst-case bound
+    assert rounds <= 2 * math.ceil(math.log2(n))
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)

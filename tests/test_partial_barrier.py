@@ -83,6 +83,24 @@ def test_straggler_dropped_and_loop_completes(spark):
     assert result.n == 30
 
 
+def test_many_partitions_batched_into_bounded_jobs(spark):
+    """256 partitions flow through ≤64 batched job groups with the same
+    semantics as the per-partition path (reference scale: thousands of
+    workers per job, GuaguaMapReduceClient split planning)."""
+    master = CountMaster()
+    result = IterativeEngine(spark).run(
+        master,
+        FastWorker(),
+        _df(spark, partitions=256, rows_per=2),
+        total_iteration=1,
+        min_workers_ratio=0.5,
+        min_workers_timeout=120.0,
+    )
+    # every partition contributed exactly once
+    assert master.arrived_history == [256]
+    assert result.n == 512
+
+
 def test_full_barrier_when_all_fast(spark):
     master = CountMaster()
     result = IterativeEngine(spark).run(
