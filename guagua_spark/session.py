@@ -21,6 +21,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM hop (mapInArrow / pandas UDF / toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pin the session timezone: results must not depend on whatever tz
+    # the driver/executor hosts happen to run in (and it keeps LTZ
+    # streaming wall-clocks equal to the batch reader's NTZ values).
+    "spark.sql.session.timeZone": "UTC",
     # Parquet pushdown is on by default; be explicit so a config regression
     # is visible in diffs.
     "spark.sql.parquet.filterPushdown": "true",

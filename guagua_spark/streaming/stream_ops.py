@@ -32,10 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: events.ts is parquet TIMESTAMP(NANOS); streaming scans need an
-#: explicit schema, so declare it long and convert (see sources/tables).
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+#: streaming scans need an explicit schema; the ts field is declared
+#: per-file in _events_stream because testdata generations have used
+#: both TIMESTAMP(NANOS) (read as raw long + convert) and
+#: TIMESTAMP(MICROS) (read as LTZ for watermark compatibility).
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -45,16 +47,37 @@ WINDOW = "1 hour"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the physical ts type varies across testdata generations — probe
+    # the footer once (driver-side, metadata-only) and match the batch
+    # reader's behavior (sources/tables.load_table)
+    import pyarrow.parquet as pq
+
+    ts_type = str(
+        pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+        .field("ts")
+        .type
+    )
+    nanos = ts_type == "timestamp[ns]"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # watermarks demand TIMESTAMP (LTZ), so micros-typed files are read
+    # with an LTZ schema: raw micros become UTC instants, and the
+    # session timezone is pinned to UTC (session.py) so wall-clock
+    # results agree with the batch reader's TIMESTAMP_NTZ values
+    schema = EVENTS_SCHEMA_TEMPLATE.format(
+        ts_type="long" if nanos else "timestamp"
+    )
     # file-stream sources demand a DIRECTORY; select the one table out
     # of the shared testdata dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
