@@ -1,0 +1,122 @@
+"""Dataset sinks: partitioned / compacted parquet writers and the
+streaming file sink.
+
+The reference's only output surface is driver-side model files plus the
+tagged-row KMeansDataOutput (guagua-examples/.../kmeans/
+KMeansDataOutput.java) — sinks.py covers those. This module is the
+extension for DATASET output, the half a training-data pipeline needs:
+
+- ``write_partitioned`` — hive-style ``partitionBy`` layout so later
+  reads prune whole directories (PartitionFilters in the scan, verified
+  in tests/test_writers.py). One shuffle on the partition columns keeps
+  writers-per-partition-value at 1 instead of #tasks (the classic
+  small-files explosion: T tasks × P partition values = T·P files
+  without it).
+- ``write_compacted`` — sizes output file count from Catalyst relation
+  statistics (no count job) so files land near a target size; the
+  100 TB knob for downstream scan parallelism.
+- ``write_stream_parquet`` — exactly-once file sink for the streaming
+  twins: parquet + checkpointed offsets, availableNow-drainable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: default target bytes per output file — a comfortable scan split
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of the relation (bytes) — parquet file
+    bytes for scans, propagated estimates above them. Returns the
+    unknown-size default (~8 EiB) for in-memory relations; callers
+    must treat absurd values as 'no statistic'."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hive-partitioned parquet dataset.
+
+    Repartitions on the partition columns first so each partition value
+    is written by ``files_per_partition`` tasks — without this, every
+    task holding rows of a value opens its own file and a 10k-task job
+    over 100 partition values emits up to a million files. For skewed
+    partition values raise ``files_per_partition`` (splits each value
+    across that many writers via a salt).
+    """
+    if files_per_partition > 1:
+        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        df = df.repartition(
+            *[F.col(c) for c in partition_cols], salt.alias("__salt")
+        )
+    else:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with file count sized from plan statistics —
+    ceil(estimated bytes / target) files. Returns the file count used.
+
+    Uses coalesce (no shuffle) when shrinking the partition count and
+    repartition (one round-robin shuffle) when growing it; the estimate
+    falls back to the current partition count when the plan carries no
+    statistic (in-memory relations report ~8 EiB).
+    """
+    current = df.rdd.getNumPartitions()
+    est = plan_size_bytes(df)
+    if est < (1 << 50):
+        n_files = max(1, math.ceil(est / target_file_bytes))
+    else:
+        n_files = current
+    if n_files < current:
+        df = df.coalesce(n_files)
+    elif n_files > current:
+        df = df.repartition(n_files)
+    df.write.mode(mode).parquet(path)
+    return n_files
+
+
+def write_stream_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Start an exactly-once parquet file sink for a streaming
+    DataFrame; returns the StreamingQuery. With ``available_now`` the
+    query drains the current backlog and stops (deterministic, used by
+    tests); without it, it runs continuously. The checkpoint directory
+    carries source offsets + the file-sink metadata log that makes
+    re-runs idempotent."""
+    writer = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a hive-partitioned dataset (partition columns inferred
+    from directory names; equality filters on them prune directories —
+    check .explain for PartitionFilters)."""
+    return spark.read.parquet(path)
