@@ -108,16 +108,26 @@ def sigmoid(z: np.ndarray) -> np.ndarray:
 class LogisticGradientWorker(WorkerComputable):
     """Per-partition logistic gradient: Xᵀ(σ(Xw) − y), loss = squared error
     (the reference accumulates squared error, not log-loss —
-    lr/LogisticRegressionWorker.java:120-126)."""
+    lr/LogisticRegressionWorker.java:120-126).
+
+    Implements the load-once fast path: ``prepare`` converts the
+    partition to (X, y) numpy matrices ONCE; every iteration's
+    ``compute_prepared`` is then pure BLAS over the cached matrices
+    (exactly the reference's MemoryDiskList iterate-many contract)."""
 
     def __init__(self, feature_cols: Sequence[str], label_col: str) -> None:
         self.feature_cols = tuple(feature_cols)
         self.label_col = label_col
 
-    def compute(
-        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    def prepare(
+        self, batches: Iterator[pa.RecordBatch]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _features_matrix(batches, self.feature_cols, self.label_col)
+
+    def compute_prepared(
+        self, context: WorkerContext, data: tuple[np.ndarray, np.ndarray]
     ) -> GradientState:
-        x, y = _features_matrix(batches, self.feature_cols, self.label_col)
+        x, y = data
         w = context.last_master_result.weights
         if x.shape[0] == 0:
             return GradientState(np.zeros_like(w))
@@ -129,6 +139,11 @@ class LogisticGradientWorker(WorkerComputable):
             count=x.shape[0],
         )
 
+    def compute(
+        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    ) -> GradientState:
+        return self.compute_prepared(context, self.prepare(batches))
+
 
 class LinearGradientWorker(WorkerComputable):
     """Per-partition linear-regression gradient: Xᵀ(Xw − y)."""
@@ -137,10 +152,15 @@ class LinearGradientWorker(WorkerComputable):
         self.feature_cols = tuple(feature_cols)
         self.label_col = label_col
 
-    def compute(
-        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    def prepare(
+        self, batches: Iterator[pa.RecordBatch]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _features_matrix(batches, self.feature_cols, self.label_col)
+
+    def compute_prepared(
+        self, context: WorkerContext, data: tuple[np.ndarray, np.ndarray]
     ) -> GradientState:
-        x, y = _features_matrix(batches, self.feature_cols, self.label_col)
+        x, y = data
         w = context.last_master_result.weights
         if x.shape[0] == 0:
             return GradientState(np.zeros_like(w))
@@ -150,6 +170,11 @@ class LinearGradientWorker(WorkerComputable):
             loss=float(np.sum(err * err)),
             count=x.shape[0],
         )
+
+    def compute(
+        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    ) -> GradientState:
+        return self.compute_prepared(context, self.prepare(batches))
 
 
 class GradientDescentMaster(MasterComputable):

@@ -103,10 +103,18 @@ class KMeansWorker(WorkerComputable):
         self.k = k
         self.vector_col = vector_col
 
+    def prepare(self, batches: Iterator[pa.RecordBatch]) -> np.ndarray:
+        """Load-once fast path: the partition's vectors as one matrix."""
+        return _batch_matrix(batches, self.vector_col)
+
     def compute(
         self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
     ) -> KMeansPartial:
-        x = _batch_matrix(batches, self.vector_col)
+        return self.compute_prepared(context, self.prepare(batches))
+
+    def compute_prepared(
+        self, context: WorkerContext, x: np.ndarray
+    ) -> KMeansPartial:
         model: KMeansModel | None = context.last_master_result
         if model is None or model.centroids is None:
             # init round: sample every (n/k)-th record (KMeansWorker.java:116-146)

@@ -143,14 +143,14 @@ class NNWorker(WorkerComputable):
         self.label_col = label_col
         self.validation_rate = validation_rate
 
-    def compute(
-        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
-    ) -> NNGradient:
-        model: NNModel = context.last_master_result
+    def prepare(
+        self, batches: Iterator[pa.RecordBatch]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Load-once fast path: (X, y) matrices converted once per
+        partition (direct column→numpy, no pandas hop — see gradient.py
+        _features_matrix for the per-iteration latency rationale)."""
         xs, ys = [], []
         for batch in batches:
-            # direct column→numpy, no pandas hop (see gradient.py
-            # _features_matrix — same per-iteration latency rationale)
             cols = [
                 batch.column(c).to_numpy(zero_copy_only=False)
                 for c in self.feature_cols
@@ -162,9 +162,21 @@ class NNWorker(WorkerComputable):
                 .astype(np.float64, copy=False)
             )
         if not xs:
+            return np.zeros((0, len(self.feature_cols))), np.zeros((0, 1))
+        return np.concatenate(xs), np.concatenate(ys).reshape(-1, 1)
+
+    def compute(
+        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    ) -> NNGradient:
+        return self.compute_prepared(context, self.prepare(batches))
+
+    def compute_prepared(
+        self, context: WorkerContext, data: tuple[np.ndarray, np.ndarray]
+    ) -> NNGradient:
+        model: NNModel = context.last_master_result
+        x, y = data
+        if x.shape[0] == 0:
             return NNGradient(grads=[])
-        x = np.concatenate(xs)
-        y = np.concatenate(ys).reshape(-1, 1)
         if self.validation_rate > 0:
             # deterministic split: row-index hash, stable across iterations
             # for a cached (thus stable) partition

@@ -132,6 +132,18 @@ class WorkerComputable(abc.ABC):
     Implementations MUST handle an empty batch iterator (a partition can
     be empty) and MUST NOT rely on instance state surviving between
     iterations.
+
+    LOAD-ONCE FAST PATH: a worker may additionally override ``prepare``
+    (one-time Arrow→anything conversion per partition) and
+    ``compute_prepared``. The engine then scans the input ONCE, persists
+    each partition's prepared object (pickled, block manager,
+    MEMORY_AND_DISK), and every iteration calls ``compute_prepared``
+    with that object instead of re-decoding rows→Arrow→numpy per round.
+    This is the faithful analogue of the reference's load-once worker
+    cache (worker/AbstractWorkerComputable.java:66-104,
+    util/MemoryDiskList.java): data crosses the JVM→Python boundary as
+    one opaque blob per round (memcpy-speed pickle of e.g. numpy
+    arrays), not as rows to re-convert.
     """
 
     def init(self, context: WorkerContext) -> None:  # noqa: B027
@@ -142,6 +154,19 @@ class WorkerComputable(abc.ABC):
         self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
     ) -> Any:
         """Fold the partition's record batches into one worker result."""
+
+    #: sentinel: engine detects an overridden prepare by identity
+    def prepare(self, batches: Iterator[pa.RecordBatch]) -> Any:
+        """One-time per-partition conversion for the load-once fast
+        path (optional override; must be picklable and handle an empty
+        iterator). Return the partition's data in whatever form
+        ``compute_prepared`` wants (e.g. numpy matrices)."""
+        raise NotImplementedError
+
+    def compute_prepared(self, context: WorkerContext, data: Any) -> Any:
+        """Per-iteration fold over the ``prepare``-converted partition
+        data (required iff ``prepare`` is overridden)."""
+        raise NotImplementedError
 
 
 class MasterInterceptor:

@@ -1,14 +1,22 @@
 """The iterative BSP engine: driver = master, executors = workers.
 
-One Spark job per iteration over a persisted DataFrame:
+One Spark job per iteration over the (load-once) partition data:
 
-    persist(df) → loop:
-        broadcast(master_result)
-        df.mapInArrow(worker.compute)          # per-partition fold, Arrow
+    prepare/persist input → loop:
+        ship(master_result)                     # inline pickle | broadcast
+        per-partition fold                      # Arrow | blob | local file
         treeReduce(combine) | collect           # AllReduce up
         master.compute(worker_results)          # model update, driver-side
         halt? → break
-    unpersist / destroy broadcasts
+    unpersist / cleanup
+
+Per-iteration latency model (measured, local[32], pyspark 4.1.2): any
+job that executes Python tasks carries a fixed ~0.2 s scheduling floor
+regardless of task count (1-32); on top of that, data movement per
+round is (a) Arrow re-decode of the persisted rows (default path), (b)
+a pickled-numpy blob ship (~270 ms per 3×5 MB, blob path), or (c) zero
+(host-local file cache — marker job + page-cache read). The engine
+picks per workload: see the prepared-mode comments in run().
 
 This single loop replaces the reference's entire coordination layer
 (~4,000 LoC of ZooKeeper/Netty master-worker barriers — SURVEY.md §2.6):
@@ -66,6 +74,40 @@ log = logging.getLogger("guagua_spark.engine")
 #: (GuaguaConstants.java:35-37)
 DEFAULT_TOTAL_ITERATION = 50
 
+#: models at or below this pickled size ride the task closure instead of
+#: a TorrentBroadcast: a broadcast write+read round-trip costs ~150 ms
+#: per iteration on local mode (measured), pure overhead for the
+#: few-KB models of LR/k-means/small NN. Above it (wide NN, big
+#: centroid sets) broadcast amortizes across tasks as usual. Kept small
+#: because an inlined model is shipped once PER TASK via the scheduler.
+INLINE_MODEL_BYTES = 256 * 1024
+
+#: minimum (remaining) iterations before the host-local file cache pays
+#: for its fixed prepare/cleanup jobs — see the file-cache comment in
+#: IterativeEngine.run
+FILE_CACHE_MIN_ROUNDS = 8
+
+
+class _ModelRef:
+    """Master-result carrier for the down-link: inline pickle for small
+    models, TorrentBroadcast otherwise (the reference's equivalent knob
+    is its 1 MB ZK znode chunking, GuaguaConstants.java:140-142)."""
+
+    __slots__ = ("payload", "bc")
+
+    def __init__(self, payload: bytes | None = None, bc=None) -> None:
+        self.payload = payload
+        self.bc = bc
+
+    def get(self) -> Any:
+        if self.bc is not None:
+            return self.bc.value
+        return pickle.loads(self.payload)
+
+    def destroy(self) -> None:
+        if self.bc is not None:
+            self.bc.destroy()
+
 
 class _Partial:
     """Internal wrapper combined executor-side: carries the user result,
@@ -111,7 +153,7 @@ def _make_worker_fn(
         ctx = WorkerContext(
             current_iteration=iteration,
             total_iteration=total_iteration,
-            last_master_result=bc_master.value,
+            last_master_result=bc_master.get(),
             props=props,
             partition_id=tc.partitionId() if tc is not None else -1,
         )
@@ -130,6 +172,165 @@ def _make_worker_fn(
         halt = bool(getattr(result, "halt", False))
         payload = pickle.dumps((result, halt), protocol=pickle.HIGHEST_PROTOCOL)
         yield pa.RecordBatch.from_pydict({"result": [payload]})
+
+    return fn
+
+
+def _make_prepare_fn(
+    worker: WorkerComputable,
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """One-time per-partition conversion for the load-once fast path:
+    emit exactly ONE pickled blob per partition (empty partitions
+    included — prepare() sees an empty iterator and must return its
+    empty representation)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        data = worker.prepare(batches)
+        yield pa.RecordBatch.from_pydict(
+            {"blob": [pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)]}
+        )
+
+    return fn
+
+
+def _prep_cache_dir(run_id: str) -> str:
+    """Host-local directory for prepared-partition files — the direct
+    analogue of the reference's MemoryDiskList (util/MemoryDiskList.java:
+    42-155): hot data lives in the OS page cache, cold spills to disk.
+    Rooted in the executor's Spark scratch space when available."""
+    import tempfile
+
+    base = os.environ.get("SPARK_LOCAL_DIRS")
+    base = base.split(",")[0] if base else tempfile.gettempdir()
+    d = os.path.join(base, f"guagua-prep-{run_id}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _make_prepare_write_fn(
+    worker: WorkerComputable, run_id: str
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """Prepare + persist to a host-local file; emit only the partition
+    id. Atomic tmp+rename so concurrent (speculative) attempts can't
+    interleave partial writes."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        data = worker.prepare(batches)
+        d = _prep_cache_dir(run_id)
+        tmp = os.path.join(d, f"p{pid}.pkl.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, os.path.join(d, f"p{pid}.pkl"))
+        yield pa.RecordBatch.from_pydict({"pid": [pid]})
+
+    return fn
+
+
+def _make_file_iter_fn(
+    worker: WorkerComputable,
+    iteration: int,
+    total_iteration: int,
+    props: dict[str, Any],
+    bc_master,
+    worker_interceptors: Sequence["WorkerInterceptor"],
+    run_id: str,
+):
+    """Per-iteration task over the host-local prepared files. Ships NO
+    partition data through the JVM (the input is a cached 8-byte
+    marker); yields (pid, pickled result) or (pid, None) when the file
+    is absent on this host — the driver then falls back (re-prepare via
+    the scan, or the direct Arrow path)."""
+
+    def fn(markers) -> Iterator[tuple]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        path = os.path.join(_prep_cache_dir(run_id), f"p{pid}.pkl")
+        if not os.path.exists(path):
+            yield (pid, None)
+            return
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        ctx = WorkerContext(
+            current_iteration=iteration,
+            total_iteration=total_iteration,
+            last_master_result=bc_master.get(),
+            props=props,
+            partition_id=pid,
+        )
+        if iteration == 1:
+            for icpt in worker_interceptors:
+                icpt.pre_application(ctx)
+        for icpt in worker_interceptors:
+            icpt.pre_iteration(ctx)
+        worker.init(ctx)
+        result = worker.compute_prepared(ctx, data)
+        for icpt in reversed(worker_interceptors):
+            icpt.post_iteration(ctx)
+        if iteration == total_iteration:
+            for icpt in reversed(worker_interceptors):
+                icpt.post_application(ctx)
+        halt = bool(getattr(result, "halt", False))
+        yield (pid, pickle.dumps((result, halt), protocol=pickle.HIGHEST_PROTOCOL))
+
+    return fn
+
+
+def _make_cleanup_fn(run_id: str):
+    """Best-effort removal of this run's prepared file on the host that
+    executes each marker partition (locality sends it where the file
+    was written)."""
+
+    def fn(markers) -> Iterator[int]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        try:
+            os.remove(os.path.join(_prep_cache_dir(run_id), f"p{pid}.pkl"))
+        except OSError:
+            pass
+        yield 0
+
+    return fn
+
+
+def _make_prepared_iter_fn(
+    worker: WorkerComputable,
+    iteration: int,
+    total_iteration: int,
+    props: dict[str, Any],
+    bc_master,
+    worker_interceptors: Sequence["WorkerInterceptor"] = (),
+) -> Callable[[Iterator[bytes]], Iterator[bytes]]:
+    """Per-iteration task over the persisted prepared blobs — same
+    lifecycle-hook contract as _make_worker_fn, but the partition data
+    arrives as one pickle.loads (memcpy for numpy) instead of an Arrow
+    decode."""
+
+    def fn(blobs: Iterator[bytes]) -> Iterator[bytes]:
+        tc = TaskContext.get()
+        ctx = WorkerContext(
+            current_iteration=iteration,
+            total_iteration=total_iteration,
+            last_master_result=bc_master.get(),
+            props=props,
+            partition_id=tc.partitionId() if tc is not None else -1,
+        )
+        if iteration == 1:
+            for icpt in worker_interceptors:
+                icpt.pre_application(ctx)
+        for icpt in worker_interceptors:
+            icpt.pre_iteration(ctx)
+        worker.init(ctx)
+        data = pickle.loads(next(iter(blobs)))
+        result = worker.compute_prepared(ctx, data)
+        for icpt in reversed(worker_interceptors):
+            icpt.post_iteration(ctx)
+        if iteration == total_iteration:
+            for icpt in reversed(worker_interceptors):
+                icpt.post_application(ctx)
+        halt = bool(getattr(result, "halt", False))
+        yield pickle.dumps((result, halt), protocol=pickle.HIGHEST_PROTOCOL)
 
     return fn
 
@@ -181,6 +382,57 @@ class IterativeEngine:
             return None
         with open(path, "rb") as f:
             return pickle.load(f)
+
+    def _collect_file_cached(
+        self,
+        worker: WorkerComputable,
+        iteration: int,
+        total_iteration: int,
+        bc,
+        worker_interceptors: Sequence["WorkerInterceptor"],
+        run_id: str,
+        marker_rdd,
+        ensure_df: DataFrame,
+        df: DataFrame,
+        num_partitions: int,
+    ) -> list[_Partial]:
+        """One iteration over host-local prepared files (see the
+        file-cache comments in run()). Miss ladder when a host lost its
+        file: (1) re-run prepare for the missing partitions (rewrites
+        the file where the task lands), retry once; (2) any partition
+        still missing computes via the direct Arrow path — always
+        correct, just not cached."""
+        sc = self.spark.sparkContext
+        ffn = _make_file_iter_fn(
+            worker, iteration, total_iteration, self.props, bc,
+            worker_interceptors, run_id,
+        )
+        raw = marker_rdd.mapPartitions(ffn).collect()
+        got = {pid: payload for pid, payload in raw if payload is not None}
+        missing = sorted(set(range(num_partitions)) - set(got))
+        if missing:
+            log.warning(
+                "prepared files missing for partitions %s at iteration "
+                "%d; re-preparing", missing, iteration,
+            )
+            sc.runJob(ensure_df.rdd, lambda it: list(it), missing)
+            retried = sc.runJob(
+                marker_rdd, lambda it: list(ffn(it)), missing
+            )
+            for pid, payload in retried:
+                if payload is not None:
+                    got[pid] = payload
+            still = sorted(set(range(num_partitions)) - set(got))
+            if still:
+                arrow_fn = _make_worker_fn(
+                    worker, iteration, total_iteration, self.props, bc,
+                    worker_interceptors,
+                )
+                out = df.mapInArrow(arrow_fn, "result binary")
+                rows = sc.runJob(out.rdd, lambda it: list(it), still)
+                for pid, row in zip(still, rows):
+                    got[pid] = bytes(row.result)
+        return [_unwrap_partial(got[pid]) for pid in sorted(got)]
 
     def _collect_partial_barrier(
         self,
@@ -308,16 +560,75 @@ class IterativeEngine:
         from guagua_spark.shipping import ensure_shipped
 
         ensure_shipped(sc)
-        if persist:
-            df = df.persist(storage_level)
-        num_partitions = df.rdd.getNumPartitions()
-
         master_result: Any = None
         start_iteration = 1
         ckpt = self._load_checkpoint()
         if ckpt is not None:
             start_iteration, master_result = ckpt[0] + 1, ckpt[1]
             log.info("resuming from checkpoint at iteration %d", start_iteration)
+
+        # LOAD-ONCE FAST PATH (reference MemoryDiskList parity — see
+        # WorkerComputable.prepare): scan + convert each partition once;
+        # every iteration then reuses the converted form instead of
+        # re-decoding rows→Arrow→numpy.
+        prepared_mode = (
+            type(worker).prepare is not WorkerComputable.prepare
+        )
+        # Short runs stay on the persisted-Arrow path: bench A/B at
+        # sf0.1 showed the load-once variants' fixed costs (prepare
+        # pass, blob materialization, cleanup) outweigh their per-round
+        # savings below ~8 rounds, while the reference's actual training
+        # jobs (50-200 rounds) amortize them many times over.
+        if prepared_mode and (
+            total_iteration - start_iteration + 1 < FILE_CACHE_MIN_ROUNDS
+        ):
+            prepared_mode = False
+        prep_rdd = None
+        marker_rdd = None
+        ensure_df = None
+        run_id = None
+        use_file_cache = False
+        if prepared_mode:
+            num_partitions = df.rdd.getNumPartitions()
+            # FILE-CACHE variant: rounds ship ZERO partition data — the
+            # job maps over an 8-byte cached marker per partition and
+            # reads the prepared file from the host-local page cache.
+            # Its fixed costs (a prepare+write first round, a cleanup
+            # pass) only amortize on long runs: measured on local[32],
+            # ~+0.4 s fixed vs ~0.05-0.1 s saved per round, so it wins
+            # beyond ~FILE_CACHE_MIN_ROUNDS rounds (the reference's real
+            # training jobs run 50-200). Short runs and the treeReduce
+            # (>32 partitions) / partial-barrier paths use the blob RDD,
+            # which has no fixed-job overhead.
+            remaining = total_iteration - start_iteration + 1
+            use_file_cache = (
+                min_workers_ratio >= 1.0
+                and num_partitions <= 32
+                and combine_executor_side is not True
+                and remaining >= FILE_CACHE_MIN_ROUNDS
+            )
+            if use_file_cache:
+                import uuid
+
+                run_id = uuid.uuid4().hex[:12]
+                ensure_df = df.mapInArrow(
+                    _make_prepare_write_fn(worker, run_id), "pid long"
+                )
+                marker_rdd = ensure_df.rdd.map(
+                    lambda row: row.pid
+                ).persist(storage_level)
+            else:
+                prep_fn = _make_prepare_fn(worker)
+                prep_rdd = (
+                    df.mapInArrow(prep_fn, "blob binary")
+                    .rdd.map(lambda row: bytes(row.blob))
+                    .persist(storage_level)
+                )
+            persist = False  # raw df no longer re-read after prepare
+        else:
+            if persist:
+                df = df.persist(storage_level)
+            num_partitions = df.rdd.getNumPartitions()
 
         mctx = MasterContext(
             current_iteration=0,
@@ -355,20 +666,44 @@ class IterativeEngine:
                 )
 
                 prev_bc = bc
-                bc = sc.broadcast(master_result)
-                fn = _make_worker_fn(
-                    worker, iteration, total_iteration, self.props, bc,
-                    worker_interceptors,
+                payload = pickle.dumps(
+                    master_result, protocol=pickle.HIGHEST_PROTOCOL
                 )
-                out = df.mapInArrow(fn, "result binary")
+                if len(payload) <= INLINE_MODEL_BYTES:
+                    bc = _ModelRef(payload=payload)
+                else:
+                    bc = _ModelRef(bc=sc.broadcast(master_result))
+                if prepared_mode and not use_file_cache:
+                    out_rdd = prep_rdd.mapPartitions(
+                        _make_prepared_iter_fn(
+                            worker, iteration, total_iteration, self.props,
+                            bc, worker_interceptors,
+                        )
+                    )
+                    partials_rdd = out_rdd.map(_unwrap_partial)
+                elif not prepared_mode:
+                    fn = _make_worker_fn(
+                        worker, iteration, total_iteration, self.props, bc,
+                        worker_interceptors,
+                    )
+                    out = df.mapInArrow(fn, "result binary")
+                    out_rdd = None
+                    partials_rdd = None
+                else:  # file-cache variant: handled in the collect branch
+                    out_rdd = None
+                    partials_rdd = None
 
                 combinable = combine_executor_side
                 if combinable is None:
                     combinable = num_partitions > 32
                 results: list[Any]
                 if min_workers_ratio < 1.0:
+                    if partials_rdd is None:
+                        partials_rdd = out.rdd.map(
+                            lambda row: _unwrap_partial(row.result)
+                        )
                     collected = self._collect_partial_barrier(
-                        out.rdd.map(lambda row: _unwrap_partial(row.result)),
+                        partials_rdd,
                         num_partitions,
                         min_workers_ratio,
                         min_workers_timeout,
@@ -382,20 +717,35 @@ class IterativeEngine:
                 elif combinable:
                     # probe combinability lazily: only tree-reduce when the
                     # user result actually implements combine()
-                    reduced = out.rdd.map(
-                        lambda row: _unwrap_partial(row.result)
-                    ).treeReduce(lambda a, b: _combine_or_list(a, b), depth=2)
+                    if partials_rdd is None:
+                        partials_rdd = out.rdd.map(
+                            lambda row: _unwrap_partial(row.result)
+                        )
+                    reduced = partials_rdd.treeReduce(
+                        lambda a, b: _combine_or_list(a, b), depth=2
+                    )
                     results = _flatten_partial(reduced)
                     all_halt = reduced.all_halt and reduced.n > 0
                     mctx.arrived_workers = num_partitions
                 else:
-                    # DataFrame collect, driver-side unpickle: skips the
+                    # direct collect, driver-side unpickle: skips the
                     # df.rdd conversion's extra serializer stage —
                     # measured ~25% lower per-iteration latency, which
                     # compounds over a 50-round training loop
-                    collected = [
-                        _unwrap_partial(r.result) for r in out.collect()
-                    ]
+                    if use_file_cache:
+                        collected = self._collect_file_cached(
+                            worker, iteration, total_iteration, bc,
+                            worker_interceptors, run_id, marker_rdd,
+                            ensure_df, df, num_partitions,
+                        )
+                    elif prepared_mode:
+                        collected = [
+                            _unwrap_partial(b) for b in out_rdd.collect()
+                        ]
+                    else:
+                        collected = [
+                            _unwrap_partial(r.result) for r in out.collect()
+                        ]
                     results = [p.result for p in collected]
                     all_halt = bool(collected) and all(
                         p.all_halt for p in collected
@@ -430,6 +780,24 @@ class IterativeEngine:
                 bc.destroy()
             if persist:
                 df.unpersist()
+            if prep_rdd is not None:
+                prep_rdd.unpersist()
+            if marker_rdd is not None:
+                if not sc.master.startswith("local"):
+                    try:
+                        # locality routes each cleanup task to the host
+                        # that wrote the partition's file; best-effort
+                        marker_rdd.mapPartitions(
+                            _make_cleanup_fn(run_id)
+                        ).collect()
+                    except Exception:  # noqa: BLE001 — must not mask
+                        pass
+                marker_rdd.unpersist()
+                # on local mode the driver shares the host: rmtree alone
+                # removes every file with zero extra Spark jobs
+                import shutil
+
+                shutil.rmtree(_prep_cache_dir(run_id), ignore_errors=True)
             sc.setJobDescription(None)
         return master_result
 
