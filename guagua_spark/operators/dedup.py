@@ -264,7 +264,11 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence-sum job below materializes the
+            # checkpoint in the SAME Spark job — an eager checkpoint
+            # would cost a second full job per round (each Python-task
+            # job carries ~0.2 s fixed scheduling latency, measured)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -344,7 +348,7 @@ def star_components(
             sym.filter(F.col("v") > F.col("u"))
             .join(_mins(sym), "u")
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # small-star: for each u emit (u, m(u)) and (v, m(u)) ∀ v < u
         sym2 = _sym(large)
         mins2 = _mins(sym2)
@@ -355,7 +359,9 @@ def star_components(
             .unionByName(
                 mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
             )
-        ).localCheckpoint()
+            # both stars checkpoint lazily: the count() materializes
+            # them in one job (see the propagation-loop note)
+        ).localCheckpoint(eager=False)
         cnt = small.count()
         if cnt == prev_cnt and small.join(
             und, ["a", "b"], "left_anti"
