@@ -107,3 +107,132 @@ GROUP BY lang ORDER BY lang
 QUERIES = {"pipeline_clean_corpus": pipeline_clean_corpus}
 
 ORACLE_SQL = {"pipeline_clean_corpus": _pipeline_oracle()}
+
+
+# -- sampling / mixture operators ------------------------------------------
+
+#: per-language keep rates for the stratified sample (down-sample the
+#: over-represented languages, keep the rest whole — the standard
+#: language-balancing move in corpus construction)
+STRATIFIED_RATES: dict[str, float] = {"en": 0.5, "de": 0.75}
+DEFAULT_RATE = 1.0
+
+#: per-source character budget for the mixture (sources over budget are
+#: down-sampled proportionally; sources under budget kept whole)
+MIX_CHAR_BUDGET = 50_000
+
+
+def _u32(tag: str, key_col: str) -> F.Column:
+    """First 32 bits of md5(tag|key) as a bigint — a deterministic,
+    engine-portable uniform hash (same trick as the LSH planes /
+    simhash oracles: DuckDB replays it with a '0x'||substr cast, which
+    a seeded RNG stream could never offer). Bernoulli sampling keeps a
+    row iff u32 < rate·2³²: exactly reproducible on any engine, stable
+    under repartitioning, and join-free."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag + "|"), key_col)), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample of the documents
+    table: language ℓ keeps doc iff u32(md5('strat|doc_id')) <
+    rate(ℓ)·2³². Pure map-side scan predicate — no shuffle except the
+    presentation sort; at 100 TB this is a single codegen'd pass and
+    the sample is reproducible run-to-run and engine-to-engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATIFIED_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = _u32("strat", F.col("doc_id").cast("string")) < (
+        rate * float(2**32)
+    )
+    return docs.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r!r}"
+        for lang, r in STRATIFIED_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT)
+      < (CASE {cases} ELSE {DEFAULT_RATE!r} END) * 4294967296.0
+ORDER BY doc_id
+""".strip()
+
+
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture construction: each source gets keep rate
+    min(1, budget / total_chars(source)), applied with the same
+    deterministic u32 Bernoulli rule; reports per-source totals of the
+    mixed corpus.
+
+    Two-phase plan: (1) one partial-aggregated groupBy computes
+    per-source character totals; (2) the scan-side filter keeps
+    documents under the per-source rate. This is the standard
+    "down-sample over-represented domains to a token budget" step of
+    corpus mixing, expressed as two codegen'd passes. No forced
+    broadcast on the rate join: a mixture config is usually tens of
+    sources and AQE converts to broadcast at runtime, but `source`
+    could be a web-domain-cardinality column, where a mandatory hint
+    would be the per-user-aggregate OOM anti-pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars")
+    )
+    rates = totals.select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(float(MIX_CHAR_BUDGET)) / F.col("total_chars")
+        ).alias("rate"),
+    )
+    keep = _u32("mix", F.col("doc_id").cast("string")) < (
+        F.col("rate") * float(2**32)
+    )
+    mixed = docs.join(rates, "source").filter(keep)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_mix_oracle() -> str:
+    return f"""
+WITH rates AS (
+  SELECT source,
+         LEAST(1.0, {float(MIX_CHAR_BUDGET)!r} / SUM(n_chars)) AS rate
+  FROM documents GROUP BY source
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT)
+      < r.rate * 4294967296.0
+GROUP BY d.source ORDER BY d.source
+""".strip()
+
+
+#: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
+#: driver contract
+LOCAL_QUERIES = {
+    "pipeline_stratified_sample": pipeline_stratified_sample,
+    "pipeline_source_mix": pipeline_source_mix,
+}
+
+LOCAL_ORACLE_SQL = {
+    "pipeline_stratified_sample": _stratified_oracle(),
+    "pipeline_source_mix": _source_mix_oracle(),
+}

@@ -43,3 +43,65 @@ def test_pipeline_actually_filters_and_dedups(spark, oracle_sf_dir, duck):
     )
     assert filtered < total, "quality filter must drop rows"
     assert kept < filtered, "near-dup removal must drop rows"
+
+
+@pytest.mark.parametrize("name", ["pipeline_stratified_sample", "pipeline_source_mix"])
+def test_sampling_operators_match_oracle(spark, oracle_sf_dir, duck, name):
+    from guagua_spark.operators.pipeline import LOCAL_ORACLE_SQL, LOCAL_QUERIES
+
+    assert_matches_oracle(
+        LOCAL_QUERIES[name](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL[name],
+    )
+
+
+def test_stratified_sample_actually_downsamples(spark, oracle_sf_dir):
+    """Sampled language rates must land near their configured targets
+    (binomial noise bound) and un-configured languages stay whole."""
+    from guagua_spark.operators.pipeline import (
+        STRATIFIED_RATES,
+        pipeline_stratified_sample,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, oracle_sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in pipeline_stratified_sample(spark, oracle_sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in totals.items():
+        rate = STRATIFIED_RATES.get(lang, 1.0)
+        if rate == 1.0:
+            assert kept[lang] == n
+        else:
+            # 4-sigma binomial bound
+            import math
+
+            sigma = math.sqrt(n * rate * (1 - rate))
+            assert abs(kept[lang] - n * rate) <= 4 * sigma + 1
+
+
+def test_source_mix_respects_budget(spark, oracle_sf_dir):
+    from guagua_spark.operators.pipeline import (
+        MIX_CHAR_BUDGET,
+        pipeline_source_mix,
+    )
+
+    rows = pipeline_source_mix(spark, oracle_sf_dir).collect()
+    assert rows, "mixture must be non-empty"
+    for r in rows:
+        # sampled chars may overshoot by binomial noise, not by design:
+        # allow 2x headroom over the budget (tiny fixture, coarse docs)
+        assert r.sampled_chars <= 2 * MIX_CHAR_BUDGET
