@@ -472,6 +472,11 @@ def ngram_jaccard_pairs_for(raw_docs: DataFrame, par: int) -> DataFrame:
             F.transform("p", lambda s: s["tok"]).alias("sh"),
         )
     )
+    # NOT materialized, unlike the minhash signature table: `sized`
+    # also feeds four branches, but an A/B at sf0.1 showed no win
+    # (2.93 s vs 3.01 s, within noise) — here the join+verify dominates
+    # and AQE's ReusedExchange already covers the shuffled prefix data,
+    # so a checkpoint would only pin executor memory.
     sized = docs.select("doc_id", "sh", F.size("sh").alias("n"))
     # prefix length n − ⌈t·n⌉ + 1 (0 for empty sets — no tokens, no pairs)
     plen = F.when(
