@@ -417,12 +417,151 @@ SELECT rnk, bigram, n FROM ranked WHERE rnk <= {NGRAM_TOP_K} ORDER BY rnk
     ),
 }
 
+# -- repetition / boilerplate / redaction ----------------------------------
+
+#: n-gram width for the within-document repetition signal. 2 on the
+#: synthetic small-vocabulary corpus (wider grams never repeat there);
+#: real pipelines use 8-10 (the RefinedWeb/Gopher "repetition" filters).
+REP_GRAM = 2
+#: width + min-document threshold for cross-document boilerplate grams
+BOILER_GRAM = 3
+BOILER_MIN_DOCS = 3
+BOILER_TOP = 20
+#: deny-list scrub: stand-in for PII patterns (emails/phones/IPs match
+#: zero rows on the synthetic corpus, so the deny tokens carry the
+#: fixture's nonzero-redaction coverage; swap patterns at deployment)
+REDACT_PATTERN = (
+    r"\b(customer|value|secret)\b"
+    r"|[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    r"|\b(?:\d{1,3}\.){3}\d{1,3}\b"
+)
+REDACT_TOKEN = "<REDACTED>"
+
+
+def _grams_col(width: int, col: str = "text") -> Column:
+    """NON-distinct word n-grams (repetition needs multiplicity)."""
+    toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (width - 1))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, width), " ")
+    )
+    return F.when(n >= width, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _sql_grams(width: int, col: str = "text") -> str:
+    w = width
+    return (
+        f"CASE WHEN len(string_split({col},' ')) >= {w} THEN "
+        f"list_transform(generate_series(1, len(string_split({col},' '))-{w-1}), "
+        f"i -> array_to_string(string_split({col},' ')[i:i+{w-1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document n-gram repetition ratio (1 − distinct/total) —
+    the standard 'repetitious document' quality filter. Single codegen
+    scan, no shuffle beyond the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = _grams_col(REP_GRAM)
+    n = F.size(g)
+    d = F.size(F.array_distinct(g))
+    rep = F.when(
+        n > 0, F.round(F.lit(1.0) - d.cast("double") / n, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_grams"),
+        d.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+def _repetition_oracle() -> str:
+    g = _sql_grams(REP_GRAM)
+    return f"""
+WITH g AS (SELECT doc_id, {g} AS grams FROM documents)
+SELECT doc_id, len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id
+""".strip()
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: n-grams occurring in ≥
+    BOILER_MIN_DOCS distinct documents, top-K by document count (ties
+    by gram — deterministic). Per-doc array_distinct BEFORE the explode
+    keeps the shuffle one row per (doc, gram), so a gram repeated
+    inside one doc can't inflate its count, and the count is a plain
+    count(1), not a countDistinct expand."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = docs.select(
+        F.explode(F.array_distinct(_grams_col(BOILER_GRAM))).alias("gram")
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(BOILER_TOP)
+    )
+
+
+def _boilerplate_oracle() -> str:
+    g = _sql_grams(BOILER_GRAM)
+    return f"""
+WITH e AS (
+  SELECT doc_id, unnest(list_distinct({g})) AS gram FROM documents
+)
+SELECT gram, COUNT(*) AS n_docs FROM e
+GROUP BY gram HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+ORDER BY n_docs DESC, gram LIMIT {BOILER_TOP}
+""".strip()
+
+
+def redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list / PII scrub: replace pattern hits with a redaction
+    token; emit per-doc hit count + md5 of the scrubbed text (compact,
+    exactly checkable). Pure regexp codegen — the 100 TB shape is one
+    scan pass writing the scrubbed corpus (drop the md5, keep the
+    text)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    red = F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN)).alias(
+            "n_redacted"
+        ),
+        F.md5(red).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _redact_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS n_redacted,
+       md5(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g'))
+         AS redacted_md5
+FROM documents ORDER BY doc_id
+""".strip()
+
+
 #: standalone building-block queries kept oracle-tested locally
 #: (tests/test_text_ops.py) but not registered with the 50-slot driver
 #: contract — their outputs are certified there via the merged columns.
 LOCAL_QUERIES = {
     "text_bpe_token_counts": bpe_token_counts,
     "text_rolling_fingerprint": rolling_fingerprint,
+    "text_repetition_scores": repetition_scores,
+    "text_boilerplate_ngrams": boilerplate_ngrams,
+    "text_redact_denylist": redact_denylist,
 }
 
 LOCAL_ORACLE_SQL = {
@@ -434,4 +573,7 @@ LOCAL_ORACLE_SQL = {
         f"SELECT doc_id, {_ROLLING_FP_SQL} AS rolling_fp "
         "FROM documents ORDER BY doc_id"
     ),
+    "text_repetition_scores": _repetition_oracle(),
+    "text_boilerplate_ngrams": _boilerplate_oracle(),
+    "text_redact_denylist": _redact_oracle(),
 }

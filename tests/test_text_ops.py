@@ -28,3 +28,29 @@ def duck(oracle_sf_dir):
 def test_text_op_matches_oracle(spark, oracle_sf_dir, duck, name):
     df = ALL_QUERIES[name](spark, oracle_sf_dir)
     assert_matches_oracle(df, duck, ALL_ORACLE_SQL[name])
+
+
+def test_repetition_redaction_boilerplate_nonzero(spark, oracle_sf_dir):
+    """The fixture must actually exercise the new signals — a corpus
+    where every count is zero would green-light a broken operator."""
+    from pyspark.sql import functions as F
+
+    from guagua_spark.operators.text import (
+        boilerplate_ngrams,
+        redact_denylist,
+        repetition_scores,
+    )
+
+    assert (
+        repetition_scores(spark, oracle_sf_dir)
+        .filter(F.col("rep_ratio") > 0)
+        .count()
+        > 0
+    )
+    assert (
+        redact_denylist(spark, oracle_sf_dir)
+        .agg(F.sum("n_redacted"))
+        .collect()[0][0]
+        > 0
+    )
+    assert boilerplate_ngrams(spark, oracle_sf_dir).count() > 0
