@@ -104,3 +104,40 @@ def test_pipeline_antijoin_is_broadcast(spark, oracle_sf_dir):
 
     p = _plan(pipeline.QUERIES["pipeline_clean_corpus"](spark, oracle_sf_dir))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_stratified_sample_is_map_side_only(spark, oracle_sf_dir):
+    """The sampling predicate must run at the scan — no shuffle other
+    than the presentation sort, and the scan pruned to the two used
+    columns."""
+    from guagua_spark.operators.pipeline import pipeline_stratified_sample
+
+    p = _plan(pipeline_stratified_sample(spark, oracle_sf_dir))
+    # exactly one Exchange: the rangepartitioning of the final orderBy
+    assert p.count("Exchange") == 1 and "rangepartitioning" in p, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "text" not in m.group(1), p
+
+
+def test_source_mix_has_no_forced_broadcast(spark, oracle_sf_dir):
+    """`source` may be web-domain-cardinality at scale: the rate join
+    must carry no mandatory broadcast hint (AQE may still choose one —
+    assert on the analyzed plan, not the executed one)."""
+    from guagua_spark.operators.pipeline import pipeline_source_mix
+
+    logical = str(
+        pipeline_source_mix(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+    )
+    assert "ResolvedHint" not in logical, logical
+
+
+def test_boilerplate_ngrams_partial_agg_and_topk(spark, oracle_sf_dir):
+    """Gram counting must partial-aggregate map-side and the top-K must
+    plan as TakeOrderedAndProject, never a global sort of all grams."""
+    from guagua_spark.operators.text import boilerplate_ngrams
+
+    p = _plan(boilerplate_ngrams(spark, oracle_sf_dir))
+    assert p.count("HashAggregate") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
