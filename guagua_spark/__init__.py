@@ -26,8 +26,10 @@ from guagua_spark.api import (
     HaltableResult,
     MasterComputable,
     MasterContext,
+    MasterInterceptor,
     WorkerComputable,
     WorkerContext,
+    WorkerInterceptor,
 )
 from guagua_spark.engine import IterativeEngine
 from guagua_spark.monitor import ComputeTimeout, computable_monitor
@@ -40,8 +42,10 @@ __all__ = [
     "HaltableResult",
     "MasterComputable",
     "MasterContext",
+    "MasterInterceptor",
     "WorkerComputable",
     "WorkerContext",
+    "WorkerInterceptor",
     "IterativeEngine",
     "get_spark",
 ]
