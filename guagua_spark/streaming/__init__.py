@@ -3,6 +3,7 @@ from guagua_spark.streaming.stream_ops import (  # noqa: F401
     streaming_click_purchase_join,
     streaming_dedup_docs,
     streaming_sessionize,
+    streaming_stratified_sample,
     streaming_user_totals,
     streaming_windowed_counts,
 )

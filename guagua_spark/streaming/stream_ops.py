@@ -137,6 +137,34 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("fp", F.md5("text")).dropDuplicates(["fp"])
 
 
+def streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipeline_stratified_sample: the identical
+    md5-Bernoulli predicate applied to the document stream. Stateless
+    (no watermark, no store) — the sample decision is a pure function
+    of doc_id, so the streaming and batch corpora are IDENTICAL sets,
+    which is exactly why the hash-based rule beats RNG sampling in a
+    pipeline that must reprocess late or replayed data."""
+    from guagua_spark.operators.pipeline import (
+        DEFAULT_RATE,
+        STRATIFIED_RATES,
+        _u32,
+    )
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATIFIED_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = _u32("strat", F.col("doc_id").cast("string")) < (
+        rate * float(2**32)
+    )
+    return docs.filter(keep).select("doc_id", "lang")
+
+
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user lifetime event count and value
     total, maintained incrementally via applyInPandasWithState.

@@ -111,3 +111,16 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     )
     cols = ("user_id", "click_ts", "purchase_ts", "purchase_value")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_stratified_sample_matches_batch(spark, sf_dir):
+    """The md5-Bernoulli sample is a pure function of doc_id, so the
+    streaming drain must equal the batch operator's row set exactly."""
+    from guagua_spark.operators.pipeline import pipeline_stratified_sample
+    from guagua_spark.streaming import streaming_stratified_sample
+
+    got = run_available_now(
+        streaming_stratified_sample(spark, sf_dir), "s_strat", "append"
+    )
+    want = pipeline_stratified_sample(spark, sf_dir)
+    assert _rows(got, "doc_id", "lang") == _rows(want, "doc_id", "lang")
