@@ -918,3 +918,26 @@ ORACLE_SQL = {
     "dedup_embedding_pairs": _embedding_oracle(),
     "dedup_simhash": _simhash_oracle(),
 }
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by the large-star/small-star contraction
+    instead of min-label propagation — SAME semantics, same DuckDB
+    oracle, O(log² n) rounds on any graph shape. Locally oracle-tested
+    (tests/test_dedup.py); the propagation form keeps the contract slot
+    because near-dup components are tiny cliques where 2-3 propagation
+    rounds beat the star alternation."""
+    pairs = (
+        _minhash_pair_df(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+    pairs.unpersist()
+    return out
+
+
+#: oracle-tested locally, not in the 50-slot driver contract
+LOCAL_QUERIES = {"dedup_clusters_star": dedup_clusters_star}
+LOCAL_ORACLE_SQL = {"dedup_clusters_star": _clusters_oracle()}

@@ -142,3 +142,15 @@ def test_simhash_near_dups_have_close_hashes(spark, oracle_sf_dir):
     a, b = near[0].doc_a, near[0].doc_b
     ham = bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1")
     assert ham <= 12, f"hamming {ham} too large for near-dup pair"
+
+
+def test_clusters_star_matches_oracle(spark, oracle_sf_dir, duck):
+    """The star-contraction path must reproduce dedup_clusters exactly
+    against the same recursive-CTE oracle."""
+    from guagua_spark.operators.dedup import LOCAL_ORACLE_SQL, LOCAL_QUERIES
+
+    assert_matches_oracle(
+        LOCAL_QUERIES["dedup_clusters_star"](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL["dedup_clusters_star"],
+    )
