@@ -90,8 +90,10 @@ FILE_CACHE_MIN_ROUNDS = 8
 
 class _ModelRef:
     """Master-result carrier for the down-link: inline pickle for small
-    models, TorrentBroadcast otherwise (the reference's equivalent knob
-    is its 1 MB ZK znode chunking, GuaguaConstants.java:140-142)."""
+    models, TorrentBroadcast of the SAME payload bytes otherwise — the
+    model is serialized exactly once per iteration either way (the
+    reference's equivalent knob is its 1 MB ZK znode chunking,
+    GuaguaConstants.java:140-142)."""
 
     __slots__ = ("payload", "bc")
 
@@ -100,9 +102,8 @@ class _ModelRef:
         self.bc = bc
 
     def get(self) -> Any:
-        if self.bc is not None:
-            return self.bc.value
-        return pickle.loads(self.payload)
+        raw = self.bc.value if self.bc is not None else self.payload
+        return pickle.loads(raw)
 
     def destroy(self) -> None:
         if self.bc is not None:
@@ -278,17 +279,19 @@ def _make_file_iter_fn(
 
 
 def _make_cleanup_fn(run_id: str):
-    """Best-effort removal of this run's prepared file on the host that
-    executes each marker partition (locality sends it where the file
-    was written)."""
+    """Best-effort removal of this run's prepared files on the host that
+    executes each cleanup task: locality routes tasks to the hosts that
+    wrote the files, and each task removes the ENTIRE run directory on
+    its host (not just its own partition's file), so one task landing on
+    a host reclaims everything that host stored. A task landing on a
+    host with no files is a no-op. Residual risk — a host that stored
+    files but receives no cleanup task — is bounded by run_id-scoped
+    directories an operator can reap by age."""
 
     def fn(markers) -> Iterator[int]:
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else -1
-        try:
-            os.remove(os.path.join(_prep_cache_dir(run_id), f"p{pid}.pkl"))
-        except OSError:
-            pass
+        import shutil
+
+        shutil.rmtree(_prep_cache_dir(run_id), ignore_errors=True)
         yield 0
 
     return fn
@@ -672,7 +675,7 @@ class IterativeEngine:
                 if len(payload) <= INLINE_MODEL_BYTES:
                     bc = _ModelRef(payload=payload)
                 else:
-                    bc = _ModelRef(bc=sc.broadcast(master_result))
+                    bc = _ModelRef(bc=sc.broadcast(payload))
                 if prepared_mode and not use_file_cache:
                     out_rdd = prep_rdd.mapPartitions(
                         _make_prepared_iter_fn(

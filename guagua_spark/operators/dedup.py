@@ -340,6 +340,7 @@ def star_components(
             .distinct()
         )
 
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         # large-star: for each edge (u,v), v > u, emit (v, m(u))
@@ -367,8 +368,16 @@ def star_components(
             und, ["a", "b"], "left_anti"
         ).isEmpty():
             und = small
+            converged = True
             break
         und, prev_cnt = small, cnt
+    if not converged:
+        # same contract as the propagation path: never return labels
+        # from a partially-contracted edge set
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            f"(O(log² n) expected — raise max_rounds)"
+        )
     labels = (
         _sym(und)
         .groupBy(F.col("u").alias("node"))
@@ -377,7 +386,17 @@ def star_components(
             "node", F.least(F.col("node"), F.col("mn")).alias("label")
         )
     )
-    return labels, rounds
+    # nodes whose only edges are self-pairs are dropped by the a != b
+    # canonicalization but ARE labeled (with themselves) by the
+    # propagation path — keep the two algorithms row-identical
+    iso = (
+        pairs.filter(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("node"))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    return labels.unionByName(iso), rounds
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,9 +612,9 @@ def embedding_pairs_for(
     # the plan has no usable statistic (Spark reports defaultSizeInBytes
     # ≈ 2^63 for unknown relations, e.g. local test DataFrames).
     if n_rows is None:
-        est_bytes = int(
-            emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        from guagua_spark.sources.writers import plan_size_bytes
+
+        est_bytes = plan_size_bytes(emb)
         if est_bytes < (1 << 50):
             # ~8 B/double parquet-encoded (random doubles don't compress)
             n_rows = max(1, est_bytes // (dim * 8 + 8))

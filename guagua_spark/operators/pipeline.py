@@ -136,6 +136,18 @@ def _u32(tag: str, key_col: str) -> F.Column:
     ).cast("bigint")
 
 
+def stratified_keep() -> "F.Column":
+    """THE stratified-sample predicate — single definition shared by the
+    batch operator and its streaming twin so the two can never drift
+    (their row-set equality is asserted in tests/test_streaming.py)."""
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATIFIED_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return _u32("strat", F.col("doc_id").cast("string")) < (
+        rate * float(2**32)
+    )
+
+
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language Bernoulli sample of the documents
     table: language ℓ keeps doc iff u32(md5('strat|doc_id')) <
@@ -143,13 +155,11 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation sort; at 100 TB this is a single codegen'd pass and
     the sample is reproducible run-to-run and engine-to-engine."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    rate = F.lit(DEFAULT_RATE)
-    for lang, r in STRATIFIED_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    keep = _u32("strat", F.col("doc_id").cast("string")) < (
-        rate * float(2**32)
+    return (
+        docs.filter(stratified_keep())
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     )
-    return docs.filter(keep).select("doc_id", "lang").orderBy("doc_id")
 
 
 def _stratified_oracle() -> str:

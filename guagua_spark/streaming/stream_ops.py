@@ -144,11 +144,7 @@ def streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doc_id, so the streaming and batch corpora are IDENTICAL sets,
     which is exactly why the hash-based rule beats RNG sampling in a
     pipeline that must reprocess late or replayed data."""
-    from guagua_spark.operators.pipeline import (
-        DEFAULT_RATE,
-        STRATIFIED_RATES,
-        _u32,
-    )
+    from guagua_spark.operators.pipeline import stratified_keep
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -156,13 +152,7 @@ def streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    rate = F.lit(DEFAULT_RATE)
-    for lang, r in STRATIFIED_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    keep = _u32("strat", F.col("doc_id").cast("string")) < (
-        rate * float(2**32)
-    )
-    return docs.filter(keep).select("doc_id", "lang")
+    return docs.filter(stratified_keep()).select("doc_id", "lang")
 
 
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,3 +137,35 @@ def test_adversarial_path_graph(spark):
     rows = labels.collect()
     assert len(rows) == n
     assert all(r.label == 0 for r in rows)
+
+
+def test_star_raises_on_round_budget(spark):
+    """Like propagation, star must REFUSE rather than return labels
+    from a partially-contracted edge set."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from guagua_spark.operators.dedup import star_components
+
+    path = spark.range(500).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        star_components(path, "a", "b", max_rounds=2)
+
+
+def test_star_labels_self_loop_only_nodes(spark):
+    """A node whose only edge is a self-pair must appear (labeled with
+    itself) from BOTH algorithms — row-identical outputs."""
+    df = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
+    prop = {
+        (r.node, r.label)
+        for r in connected_components(df, "a", "b").collect()
+    }
+    star = {
+        (r.node, r.label)
+        for r in connected_components(
+            df, "a", "b", algorithm="star"
+        ).collect()
+    }
+    assert prop == star == {(1, 1), (2, 1), (5, 5)}
