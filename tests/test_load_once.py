@@ -162,3 +162,21 @@ def test_noprep_worker_class_unaffected():
 
     with pytest.raises(NotImplementedError):
         SumWorker().prepare(iter([]))
+
+
+def test_partial_barrier_with_prepared_worker(spark):
+    """min_workers_ratio < 1 excludes the file cache but rides the blob
+    RDD for long prepared runs — the barrier must deliver the same model
+    as the full-barrier run when nobody straggles."""
+    rounds = FILE_CACHE_MIN_ROUNDS + 1
+    engine = IterativeEngine(spark)
+    barrier = engine.run(
+        GradientDescentMaster(dim=2, learning_rate=0.5),
+        LogisticGradientWorker(("f1", "f2"), "label"),
+        _train_df(spark),
+        total_iteration=rounds,
+        min_workers_ratio=0.5,
+        min_workers_timeout=120.0,
+    )
+    full = _run(spark, rounds)
+    np.testing.assert_allclose(barrier.weights, full.weights, rtol=1e-9)
