@@ -953,6 +953,10 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+    # cut lineage BEFORE dropping pairs: the iso branch of the label
+    # output still references the pairs plan, so unpersisting first
+    # would re-run the whole minhash pair computation at collect time
+    out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out
 

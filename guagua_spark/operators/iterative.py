@@ -207,29 +207,55 @@ KMEANS_K = 4
 KMEANS_UPDATE_ROUNDS = 4  # engine total_iteration=5 ⇒ 1 init + 4 updates
 
 
-#: memo for the deterministic init: a pure function of the (static)
-#: table at sf_dir, so repeated invocations in one session (bench warm
-#: + timed runs, repeated driver checks) skip its two Spark jobs
-_KMEANS_INIT_CACHE: dict[str, "np.ndarray"] = {}
+#: memo for the deterministic init: a pure function of the table at
+#: sf_dir, so repeated invocations in one session (bench warm + timed
+#: runs, repeated driver checks) skip its two Spark jobs. Keyed on the
+#: table fingerprint so regenerated data invalidates the memo.
+_KMEANS_INIT_CACHE: dict[tuple, "np.ndarray"] = {}
 
-#: session-scoped persisted feature inputs, keyed by (entry, sf_dir):
-#: the training tables are static, but each invocation otherwise
-#: re-runs the projection (and for NN the repartition SHUFFLE) and
-#: re-materializes the block-manager cache. The engine is passed
-#: persist=False for these so it neither re-persists nor unpersists
-#: the shared DataFrame. ~24 MB pinned per (entry, sf) at sf0.1.
+#: session-scoped persisted feature inputs, keyed by (entry, sf_dir) →
+#: (table fingerprint, DataFrame): the training tables are static, but
+#: each invocation otherwise re-runs the projection (and for NN the
+#: repartition SHUFFLE) and re-materializes the block-manager cache.
+#: The engine is passed persist=False for these so it neither
+#: re-persists nor unpersists the shared DataFrame. ~24 MB pinned per
+#: (entry, sf) at sf0.1; bounded — one live entry per (entry, sf_dir),
+#: stale fingerprints are unpersisted on replace, and clear_caches()
+#: drops everything.
 _FEATURE_CACHE: dict = {}
 
 
-def _cached_persisted(key: str, sf_dir: str, build) -> DataFrame:
-    df = _FEATURE_CACHE.get((key, sf_dir))
-    if df is None:
-        from pyspark.storagelevel import StorageLevel
+def _cached_persisted(
+    key: str, sf_dir: str, build, table: str = "lineitem"
+) -> DataFrame:
+    from guagua_spark.sources.tables import table_fingerprint
 
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        _FEATURE_CACHE[(key, sf_dir)] = df
+    fp = table_fingerprint(sf_dir, table)
+    hit = _FEATURE_CACHE.get((key, sf_dir))
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        hit[1].unpersist()  # data regenerated under the same path
+    from pyspark.storagelevel import StorageLevel
+
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _FEATURE_CACHE[(key, sf_dir)] = (fp, df)
     return df
+
+
+def clear_caches() -> None:
+    """Unpersist and drop every session memo (feature inputs, k-means
+    init). The explicit invalidation / unpinning hook: bench and tests
+    can bound the otherwise session-pinned block-manager memory, and
+    data-regeneration paths can force cold state."""
+    for _, df in _FEATURE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _FEATURE_CACHE.clear()
+    _KMEANS_INIT_CACHE.clear()
 
 
 def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
@@ -249,8 +275,10 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     import numpy as np
 
     from guagua_spark.algorithms.kmeans import select_centroids_by_norm
+    from guagua_spark.sources.tables import table_fingerprint
 
-    cached = _KMEANS_INIT_CACHE.get(sf_dir)
+    memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    cached = _KMEANS_INIT_CACHE.get(memo_key)
     if cached is not None:
         return cached
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -264,7 +292,8 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
         dtype=np.float64,
     )
     init = select_centroids_by_norm(cands, KMEANS_K)
-    _KMEANS_INIT_CACHE[sf_dir] = init
+    _KMEANS_INIT_CACHE.clear()  # at most one live init per session
+    _KMEANS_INIT_CACHE[memo_key] = init
     return init
 
 
@@ -394,6 +423,7 @@ def nn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.2),
         li,
         total_iteration=5,
+        persist=False,
     )
     return spark.createDataFrame(
         [
@@ -466,6 +496,7 @@ def nn_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.0),
         li,
         total_iteration=NN_GD_ROUNDS,
+        persist=False,
     )
     (_, _), (w2, b2) = model.weights
     hidden = NN_GD_LAYERS[1]

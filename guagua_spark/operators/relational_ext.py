@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from guagua_spark.sources.tables import load_table
 
@@ -236,29 +237,86 @@ def rx_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERCENTILE_PROBES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
+
+
 def rx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (p25/p50/p90) of extended price per return
-    flag. Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
-    the linear-interpolation-at-(n−1)·p definition, so values are
-    bit-identical cross-engine — deterministic regardless of partition
-    count, unlike merge-order-dependent moments (corr/stddev). Exact
-    percentile sorts per group; at 100 TB swap in percentile_approx
-    (t-digest, mergeable map-side) and accept the documented error
-    bound — rx_approx_distinct shows that sketch pattern.
+    flag, computed WITHOUT per-group value buffering.
+
+    Spark's ``percentile`` aggregate collects every value of a group
+    into an in-memory map — with 3 return-flag groups each holding ~⅓
+    of the table, that's a guaranteed OOM at 100 TB. This form instead:
+
+    1. pre-aggregates to (flag, price) → count — map-side partial
+       combine collapses duplicate prices before any wide exchange;
+    2. one exchange on flag + disk-spilling sort of the *distinct*
+       prices; cumulative counts via a running-sum window give each
+       value its 0-based rank range [lo, hi];
+    3. picks the two bracketing values per probe with conditional
+       max() and interpolates with the same weighted form both Spark's
+       Percentile and DuckDB's quantile_cont use —
+       ``(crn−rn)·v_lo + (rn−frn)·v_hi`` at rn=(n−1)·p — so results
+       stay bit-identical cross-engine.
+
+    Worst case degrades to a disk-backed sort of distinct values per
+    flag (ExternalSorter spills), never an in-memory group buffer.
+    The final groupBy(flag) reuses the window's hash partitioning —
+    no third exchange. At extreme scale percentile_approx (t-digest,
+    mergeable map-side) remains the cheaper path; rx_approx_distinct
+    shows that certified-sketch pattern.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    p = F.expr(
-        "percentile(l_extendedprice, array(0.25, 0.5, 0.9))"
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(p.alias("pq"))  # ONE sort-based aggregate, three probes
-        .select(
-            "l_returnflag",
-            F.col("pq").getItem(0).alias("p25"),
-            F.col("pq").getItem(1).alias("p50"),
-            F.col("pq").getItem(2).alias("p90"),
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = (
+        counts.withColumn("hi", F.sum("c").over(w_cum))
+        .withColumn("lo", F.col("hi") - F.col("c"))  # 0-based first rank
+        .withColumn("n", F.sum("c").over(w_all))
+    )
+    # per probe: bracketing ranks frn=floor((n-1)p), crn=ceil((n-1)p);
+    # a value covers 0-based ranks [lo, hi-1]
+    aggs, finals = [], [F.col("l_returnflag")]
+    for name, p in PERCENTILE_PROBES:
+        rn = (F.col("n") - 1) * F.lit(p)
+        frn, crn = F.floor(rn), F.ceil(rn)
+        aggs.append(
+            F.max(
+                F.when(
+                    (frn >= F.col("lo")) & (frn < F.col("hi")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"_vl_{name}")
         )
+        aggs.append(
+            F.max(
+                F.when(
+                    (crn >= F.col("lo")) & (crn < F.col("hi")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"_vu_{name}")
+        )
+    aggs.append(F.max("n").alias("_n"))
+    for name, p in PERCENTILE_PROBES:
+        rn = (F.col("_n") - 1) * F.lit(p)
+        frn, crn = F.floor(rn), F.ceil(rn)
+        vl, vu = F.col(f"_vl_{name}"), F.col(f"_vu_{name}")
+        finals.append(
+            F.when(crn == frn, vl)
+            .otherwise((crn - rn) * vl + (rn - frn) * vu)
+            .alias(name)
+        )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(*aggs)
+        .select(*finals)
         .orderBy("l_returnflag")
     )
 

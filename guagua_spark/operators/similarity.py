@@ -227,8 +227,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
 
-#: per-sf_dir memo of trained quantizer centroids (see ivf_candidates)
+#: memo of trained quantizer centroids keyed by (sf_dir, embeddings
+#: table fingerprint) — regenerated testdata under the same path gets a
+#: fresh quantizer instead of silently-stale cells (see ivf_candidates)
 _IVF_CENTROID_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    """Drop the quantizer memo (tiny arrays; hook for data-regen paths)."""
+    _IVF_CENTROID_CACHE.clear()
 
 
 def _sample_kmeans(
@@ -322,7 +329,10 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized per sf_dir so repeated invocations skip the sample
     # collect + driver-side Lloyd loop (an index is trained once and
     # queried many times; same pattern as the FAISS design cited above)
-    centroids = _IVF_CENTROID_CACHE.get(sf_dir)
+    from guagua_spark.sources.tables import table_fingerprint
+
+    memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    centroids = _IVF_CENTROID_CACHE.get(memo_key)
     if centroids is None:
         sample = np.array(
             [
@@ -334,7 +344,8 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtype=np.float64,
         )
         centroids = _sample_kmeans(sample, n_cells)
-        _IVF_CENTROID_CACHE[sf_dir] = centroids
+        _IVF_CENTROID_CACHE.clear()  # at most one live quantizer
+        _IVF_CENTROID_CACHE[memo_key] = centroids
     corpus_c = emb.withColumn("cell", _cell_udf(centroids)(F.col("embedding")))
     # nprobe nearest cells per query, driver-side (queries are small)
     qrows = q.collect()

@@ -58,6 +58,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap content signature of a table's parquet files — sorted
+    (relpath, size, mtime_ns) triples. Memo caches (k-means init, IVF
+    quantizer centroids, persisted feature inputs) key on this so that
+    regenerating the testdata under an unchanged path invalidates them
+    instead of silently serving stale derived state."""
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    sig = []
+    if os.path.isdir(root):
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                sig.append((rel, st.st_size, st.st_mtime_ns))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        sig.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(sig))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

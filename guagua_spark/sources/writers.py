@@ -55,7 +55,12 @@ def write_partitioned(
     across that many writers via a salt).
     """
     if files_per_partition > 1:
-        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        # Deterministic, content-derived salt: rand() inside a
+        # repartition expression re-rolls on task retry, the classic
+        # duplicate/lost-row mechanism during shuffle recovery
+        # (SPARK-23207). hash(*columns) is stable per row across
+        # attempts, so retried maps re-produce identical shuffle blocks.
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition))
         df = df.repartition(
             *[F.col(c) for c in partition_cols], salt.alias("__salt")
         )

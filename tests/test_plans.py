@@ -141,3 +141,22 @@ def test_boilerplate_ngrams_partial_agg_and_topk(spark, oracle_sf_dir):
     p = _plan(boilerplate_ngrams(spark, oracle_sf_dir))
     assert p.count("HashAggregate") >= 2, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_percentiles_no_group_value_buffering(spark, oracle_sf_dir):
+    """Exact percentiles must NOT plan Spark's `percentile` sort
+    aggregate — it buffers every value of a group in memory (OOM at
+    scale with 3 giant flag groups). The scale-safe form is a
+    compressed (flag, price)->count histogram + running-sum window +
+    interpolation; also assert the window's flag exchange is reused by
+    the final aggregate (no third exchange)."""
+    from guagua_spark.operators.relational_ext import rx_percentiles
+
+    df = rx_percentiles(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "percentile(" not in p, p
+    assert p.count("Window") == 2, p
+    # exchanges: (flag, price) for the histogram, (flag) for the
+    # window, range for the final orderBy — never a 4th
+    assert p.count("Exchange") <= 3, p
+    assert p.count("HashAggregate") >= 3, p  # both aggs partial+final
