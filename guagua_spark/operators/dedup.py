@@ -403,16 +403,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash pair graph — each linked document labeled with the smallest
     doc_id reachable through near-dup edges (the cluster representative
-    a dedup pipeline would keep). See connected_components for the
-    distributed formulation.
+    a dedup pipeline would keep).
+
+    Runs the large-star/small-star contraction interior
+    (``algorithm="star"``, the O(log² n)-round path that survives ANY
+    graph shape) so the driver's oracle certifies the star algorithm on
+    the hard signal; the min-label propagation variant produces
+    identical labels and stays oracle-tested locally
+    (``dedup_clusters_prop``, tests/test_dedup.py).
     """
     pairs = (
         _minhash_pair_df(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+    # cut lineage BEFORE dropping pairs: the star iso branch still
+    # references the pairs plan (self-pair anti-join), so unpersisting
+    # first would re-run the minhash pair computation at collect time
+    out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out
 
@@ -939,28 +949,28 @@ ORACLE_SQL = {
 }
 
 
-def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_clusters computed by the large-star/small-star contraction
-    instead of min-label propagation — SAME semantics, same DuckDB
-    oracle, O(log² n) rounds on any graph shape. Locally oracle-tested
-    (tests/test_dedup.py); the propagation form keeps the contract slot
-    because near-dup components are tiny cliques where 2-3 propagation
-    rounds beat the star alternation."""
+def dedup_clusters_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by min-label propagation instead of the
+    star contraction the contract row runs — SAME semantics, same
+    DuckDB oracle. Kept oracle-tested locally (tests/test_dedup.py) so
+    both interiors stay certified; propagation is the lower-latency
+    choice when components are known-tiny cliques (2-3 rounds)."""
     pairs = (
         _minhash_pair_df(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
-    labels = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    labels = connected_components(pairs, "doc_a", "doc_b")
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
-    # cut lineage BEFORE dropping pairs: the iso branch of the label
-    # output still references the pairs plan, so unpersisting first
-    # would re-run the whole minhash pair computation at collect time
+    # propagation labels are localCheckpoint'd inside the loop, but the
+    # ISO (degree-0 under verification) handling may still reference
+    # the pairs plan — cut lineage before unpersisting, same as the
+    # contract row
     out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out
 
 
 #: oracle-tested locally, not in the 50-slot driver contract
-LOCAL_QUERIES = {"dedup_clusters_star": dedup_clusters_star}
-LOCAL_ORACLE_SQL = {"dedup_clusters_star": _clusters_oracle()}
+LOCAL_QUERIES = {"dedup_clusters_prop": dedup_clusters_prop}
+LOCAL_ORACLE_SQL = {"dedup_clusters_prop": _clusters_oracle()}

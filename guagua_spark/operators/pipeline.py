@@ -38,77 +38,6 @@ def _quality_pred():
     return (n_tokens >= MIN_TOKENS) & (alpha >= MIN_ALPHA_RATIO)
 
 
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language (n_docs, total_tokens, total_chars) of the cleaned
-    corpus: quality-filtered, near-dup-deduplicated documents."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "n_chars"
-    )
-    filtered = docs.filter(_quality_pred()).persist()
-    pairs = minhash_pairs_for(
-        filtered.select("doc_id", "text").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b")
-    drop = labels.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
-    )
-    clean = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
-    out = (
-        clean.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .orderBy("lang")
-    )
-    # labels are localCheckpoint'd (materialized) inside
-    # connected_components, so the cache is only needed during the CC
-    # loop; unpersisting now just means the final plan re-derives
-    # `filtered` from the scan — one cheap predicate pass — instead of
-    # pinning executor memory until the caller collects
-    filtered.unpersist()
-    return out
-
-
-def _pipeline_oracle() -> str:
-    return f"""
-WITH RECURSIVE filtered AS (
-  SELECT doc_id, text, lang, n_chars FROM documents
-  WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
-    AND CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        / LENGTH(text) >= {MIN_ALPHA_RATIO}
-),
-{_minhash_pair_ctes(source="filtered")},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-walk(node, label) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
-),
-drop_ids AS (
-  SELECT node FROM walk GROUP BY node HAVING node != MIN(label)
-)
-SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM filtered
-WHERE doc_id NOT IN (SELECT node FROM drop_ids)
-GROUP BY lang ORDER BY lang
-""".strip()
-
-
-QUERIES = {"pipeline_clean_corpus": pipeline_clean_corpus}
-
-ORACLE_SQL = {"pipeline_clean_corpus": _pipeline_oracle()}
-
-
 # -- sampling / mixture operators ------------------------------------------
 
 #: per-language keep rates for the stratified sample (down-sample the
@@ -146,6 +75,141 @@ def stratified_keep() -> "F.Column":
     return _u32("strat", F.col("doc_id").cast("string")) < (
         rate * float(2**32)
     )
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) stats of the cleaned corpus — quality filter →
+    near-dup dedup — plus certified columns for the two sampling stages
+    a real pipeline runs next (the driver contract caps at 50 rows, so
+    the standalone stratified-sample / source-mix operators are
+    certified through these columns):
+
+    - ``strat_docs`` / ``strat_id_sum``: how many clean docs the
+      per-language Bernoulli rule (stratified_keep — the SAME column
+      expression the standalone operator and its streaming twin use)
+      keeps, and the sum of their doc_ids (binds WHICH docs, not just
+      how many).
+    - ``mix_docs`` / ``mix_chars``: same certificates for the
+      source-mixture rule at rates min(1, budget/total_chars(source))
+      computed over the clean corpus.
+
+    Everything stays one declarative plan: the rates join is a small
+    per-source aggregate (AQE broadcasts it), the sampling predicates
+    are map-side conditional aggregates — no extra scan or shuffle
+    beyond the one rates groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    filtered = docs.filter(_quality_pred()).persist()
+    pairs = minhash_pairs_for(
+        filtered.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    clean = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
+    rates = clean.groupBy("source").agg(
+        F.least(
+            F.lit(1.0), F.lit(float(MIX_CHAR_BUDGET)) / F.sum("n_chars")
+        ).alias("rate")
+    )
+    strat = stratified_keep()
+    mix = _u32("mix", F.col("doc_id").cast("string")) < (
+        F.col("rate") * float(2**32)
+    )
+    out = (
+        clean.join(rates, "source")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(strat, 1).otherwise(0)).alias("strat_docs"),
+            F.sum(F.when(strat, F.col("doc_id")).otherwise(0)).alias(
+                "strat_id_sum"
+            ),
+            F.sum(F.when(mix, 1).otherwise(0)).alias("mix_docs"),
+            F.sum(F.when(mix, F.col("n_chars")).otherwise(0)).alias(
+                "mix_chars"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+    # labels are localCheckpoint'd (materialized) inside
+    # connected_components, so the cache is only needed during the CC
+    # loop; unpersisting now just means the final plan re-derives
+    # `filtered` from the scan — one cheap predicate pass — instead of
+    # pinning executor memory until the caller collects
+    filtered.unpersist()
+    return out
+
+
+def _pipeline_oracle() -> str:
+    strat_cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r!r}"
+        for lang, r in STRATIFIED_RATES.items()
+    )
+    strat_keep = (
+        "CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT)"
+        f" < (CASE {strat_cases} ELSE {DEFAULT_RATE!r} END) * 4294967296.0"
+    )
+    mix_keep = (
+        "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT) < rate * 4294967296.0"
+    )
+    return f"""
+WITH RECURSIVE filtered AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+    AND CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / LENGTH(text) >= {MIN_ALPHA_RATIO}
+),
+{_minhash_pair_ctes(source="filtered")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+drop_ids AS (
+  SELECT node FROM walk GROUP BY node HAVING node != MIN(label)
+),
+clean AS (
+  SELECT * FROM filtered
+  WHERE doc_id NOT IN (SELECT node FROM drop_ids)
+),
+rates AS (
+  SELECT source,
+         LEAST(1.0, {float(MIX_CHAR_BUDGET)!r} / SUM(n_chars)) AS rate
+  FROM clean GROUP BY source
+)
+SELECT lang, c.source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN {strat_keep} THEN 1 ELSE 0 END) AS BIGINT)
+         AS strat_docs,
+       CAST(SUM(CASE WHEN {strat_keep} THEN doc_id ELSE 0 END) AS BIGINT)
+         AS strat_id_sum,
+       CAST(SUM(CASE WHEN {mix_keep} THEN 1 ELSE 0 END) AS BIGINT)
+         AS mix_docs,
+       CAST(SUM(CASE WHEN {mix_keep} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS mix_chars
+FROM clean c JOIN rates r ON c.source = r.source
+GROUP BY lang, c.source ORDER BY lang, c.source
+""".strip()
+
+
+QUERIES = {"pipeline_clean_corpus": pipeline_clean_corpus}
+
+ORACLE_SQL = {"pipeline_clean_corpus": _pipeline_oracle()}
 
 
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

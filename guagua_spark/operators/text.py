@@ -33,6 +33,50 @@ def _tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+# -- repetition / boilerplate / redaction ----------------------------------
+
+#: n-gram width for the within-document repetition signal. 2 on the
+#: synthetic small-vocabulary corpus (wider grams never repeat there);
+#: real pipelines use 8-10 (the RefinedWeb/Gopher "repetition" filters).
+REP_GRAM = 2
+#: width + min-document threshold for cross-document boilerplate grams
+BOILER_GRAM = 3
+BOILER_MIN_DOCS = 3
+BOILER_TOP = 20
+#: deny-list scrub: stand-in for PII patterns (emails/phones/IPs match
+#: zero rows on the synthetic corpus, so the deny tokens carry the
+#: fixture's nonzero-redaction coverage; swap patterns at deployment)
+REDACT_PATTERN = (
+    r"\b(customer|value|secret)\b"
+    r"|[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    r"|\b(?:\d{1,3}\.){3}\d{1,3}\b"
+)
+REDACT_TOKEN = "<REDACTED>"
+
+
+def _grams_col(width: int, col: str = "text") -> Column:
+    """NON-distinct word n-grams (repetition needs multiplicity)."""
+    toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (width - 1))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, width), " ")
+    )
+    return F.when(n >= width, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _sql_grams(width: int, col: str = "text") -> str:
+    w = width
+    return (
+        f"CASE WHEN len(string_split({col},' ')) >= {w} THEN "
+        f"list_transform(generate_series(1, len(string_split({col},' '))-{w-1}), "
+        f"i -> array_to_string(string_split({col},' ')[i:i+{w-1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document: whitespace tokens, distinct tokens,
     and the BPE-ish pretokenizer estimate — one single-pass scan (the
@@ -52,7 +96,12 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: length, token stats, stopword ratio,
-    alpha ratio — the standard pre-filter feature set."""
+    alpha ratio — the standard pre-filter feature set — plus the n-gram
+    repetition signal (1 − distinct/total grams, the 'repetitious
+    document' filter). Repetition rides the same single codegen'd scan
+    as the other features, so merging costs nothing and the driver
+    certifies the standalone repetition_scores operator's math through
+    these columns (contract is capped at 50 rows)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n_tokens = F.size(toks)
@@ -60,6 +109,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    g = _grams_col(REP_GRAM)
+    n_grams = F.size(g)
+    n_distinct_g = F.size(F.array_distinct(g))
+    rep = F.when(
+        n_grams > 0,
+        F.round(F.lit(1.0) - n_distinct_g.cast("double") / n_grams, 6),
+    ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_text"),
@@ -67,6 +123,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        n_grams.alias("n_grams"),
+        rep.alias("rep_ratio"),
     ).orderBy("doc_id")
 
 
@@ -261,20 +319,51 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(NGRAM_TOP_K)
     )
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
+    ranked = (
         top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", "bigram", "n")
+    )
+    # boilerplate top-K zipped in by rank: per-doc array_distinct
+    # BEFORE the explode keeps the shuffle one row per (doc, gram), a
+    # plain count(1) not a countDistinct expand; top-K plans as
+    # TakeOrderedAndProject. Joining the two 20-row lists on rnk is a
+    # trivially-broadcast join — this certifies the standalone
+    # boilerplate_ngrams operator inside this contract row (50-row cap).
+    boiler = (
+        docs.select(
+            F.explode(F.array_distinct(_grams_col(BOILER_GRAM))).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("boiler_n_docs"))
+        .filter(F.col("boiler_n_docs") >= BOILER_MIN_DOCS)
+        .orderBy(F.col("boiler_n_docs").desc(), "gram")
+        .limit(BOILER_TOP)
+    )
+    wb = Window.orderBy(F.col("boiler_n_docs").desc(), "gram")
+    boiler_r = boiler.withColumn("rnk", F.row_number().over(wb)).select(
+        "rnk", F.col("gram").alias("boiler_gram"), "boiler_n_docs"
+    )
+    return (
+        ranked.join(F.broadcast(boiler_r), "rnk", "left")
+        .select("rnk", "bigram", "n", "boiler_gram", "boiler_n_docs")
         .orderBy("rnk")
     )
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How many documents contain each contamination probe substring.
+    """How many documents contain each contamination probe substring,
+    plus corpus-level deny-list redaction certificates.
 
     The probe set rides the plan as literals (a broadcast at scale);
     the corpus is scanned ONCE — each probe is a codegen'd contains()
     over the same text column, summed as conditional aggregates, so
     adding probes widens the aggregate, never adds a scan or a join.
+
+    The redaction columns certify the standalone redact_denylist
+    operator through this contract row (50-row cap): hit totals, the
+    doc_id-weighted hit sum (binds WHICH documents matched, not just
+    how many), and the total scrubbed-corpus length (binds the
+    replacement arithmetic).
     """
     docs = load_table(spark, sf_dir, "documents")
     aggs = [
@@ -282,6 +371,16 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").contains(p), 1).otherwise(0)
         ).alias(f"probe_{i}")
         for i, p in enumerate(CONTAMINATION_PROBES)
+    ]
+    n_red = F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN))
+    red_text = F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN)
+    aggs += [
+        F.sum(F.when(n_red > 0, 1).otherwise(0)).alias("redacted_docs"),
+        F.sum(n_red.cast("bigint")).alias("n_redacted_total"),
+        F.sum((F.col("doc_id") * n_red).cast("bigint")).alias(
+            "redact_id_sum"
+        ),
+        F.sum(F.length(red_text).cast("bigint")).alias("redacted_chars"),
     ]
     return docs.agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
 
@@ -323,6 +422,7 @@ def _lang_oracle() -> str:
 def _quality_oracle() -> str:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
+WITH g AS (SELECT *, {_sql_grams(REP_GRAM)} AS grams FROM documents)
 SELECT doc_id,
        LENGTH(text) AS n_chars_text,
        len({_sql_tokens()}) AS n_tokens,
@@ -331,8 +431,13 @@ SELECT doc_id,
             t -> list_contains([{stop_list}], t))) AS DOUBLE)
            / len({_sql_tokens()}) AS stopword_ratio,
        CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / LENGTH(text) AS alpha_ratio
-FROM documents ORDER BY doc_id
+           / LENGTH(text) AS alpha_ratio,
+       len(grams) AS n_grams,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id
 """.strip()
 
 
@@ -403,8 +508,24 @@ WITH grams AS (
 counted AS (SELECT bigram, COUNT(*) AS n FROM grams GROUP BY 1),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk FROM counted
+),
+be AS (
+  SELECT doc_id, unnest(list_distinct({_sql_grams(BOILER_GRAM)})) AS gram
+  FROM documents
+),
+bc AS (
+  SELECT gram, COUNT(*) AS boiler_n_docs FROM be
+  GROUP BY gram HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+),
+br AS (
+  SELECT gram, boiler_n_docs,
+         ROW_NUMBER() OVER (ORDER BY boiler_n_docs DESC, gram) AS rnk
+  FROM bc
 )
-SELECT rnk, bigram, n FROM ranked WHERE rnk <= {NGRAM_TOP_K} ORDER BY rnk
+SELECT r.rnk, r.bigram, r.n, b.gram AS boiler_gram, b.boiler_n_docs
+FROM ranked r
+LEFT JOIN (SELECT * FROM br WHERE rnk <= {BOILER_TOP}) b ON r.rnk = b.rnk
+WHERE r.rnk <= {NGRAM_TOP_K} ORDER BY r.rnk
 """.strip(),
     "text_contamination": (
         "SELECT COUNT(*) AS n_docs, "
@@ -413,53 +534,18 @@ SELECT rnk, bigram, n FROM ranked WHERE rnk <= {NGRAM_TOP_K} ORDER BY rnk
             f"AS BIGINT) AS probe_{i}"
             for i, p in enumerate(CONTAMINATION_PROBES)
         )
-        + " FROM documents"
+        + f", CAST(SUM(CASE WHEN len(regexp_extract_all(text,"
+        f" '{REDACT_PATTERN}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS redacted_docs"
+        f", CAST(SUM(len(regexp_extract_all(text, '{REDACT_PATTERN}')))"
+        f" AS BIGINT) AS n_redacted_total"
+        f", CAST(SUM(doc_id * len(regexp_extract_all(text,"
+        f" '{REDACT_PATTERN}'))) AS BIGINT) AS redact_id_sum"
+        f", CAST(SUM(LENGTH(regexp_replace(text, '{REDACT_PATTERN}',"
+        f" '{REDACT_TOKEN}', 'g'))) AS BIGINT) AS redacted_chars"
+        " FROM documents"
     ),
 }
-
-# -- repetition / boilerplate / redaction ----------------------------------
-
-#: n-gram width for the within-document repetition signal. 2 on the
-#: synthetic small-vocabulary corpus (wider grams never repeat there);
-#: real pipelines use 8-10 (the RefinedWeb/Gopher "repetition" filters).
-REP_GRAM = 2
-#: width + min-document threshold for cross-document boilerplate grams
-BOILER_GRAM = 3
-BOILER_MIN_DOCS = 3
-BOILER_TOP = 20
-#: deny-list scrub: stand-in for PII patterns (emails/phones/IPs match
-#: zero rows on the synthetic corpus, so the deny tokens carry the
-#: fixture's nonzero-redaction coverage; swap patterns at deployment)
-REDACT_PATTERN = (
-    r"\b(customer|value|secret)\b"
-    r"|[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    r"|\b(?:\d{1,3}\.){3}\d{1,3}\b"
-)
-REDACT_TOKEN = "<REDACTED>"
-
-
-def _grams_col(width: int, col: str = "text") -> Column:
-    """NON-distinct word n-grams (repetition needs multiplicity)."""
-    toks = F.split(F.col(col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (width - 1))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, width), " ")
-    )
-    return F.when(n >= width, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
-def _sql_grams(width: int, col: str = "text") -> str:
-    w = width
-    return (
-        f"CASE WHEN len(string_split({col},' ')) >= {w} THEN "
-        f"list_transform(generate_series(1, len(string_split({col},' '))-{w-1}), "
-        f"i -> array_to_string(string_split({col},' ')[i:i+{w-1}], ' ')) "
-        "ELSE [] END"
-    )
-
 
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document n-gram repetition ratio (1 − distinct/total) —

@@ -144,13 +144,14 @@ def test_simhash_near_dups_have_close_hashes(spark, oracle_sf_dir):
     assert ham <= 12, f"hamming {ham} too large for near-dup pair"
 
 
-def test_clusters_star_matches_oracle(spark, oracle_sf_dir, duck):
-    """The star-contraction path must reproduce dedup_clusters exactly
-    against the same recursive-CTE oracle."""
+def test_clusters_prop_matches_oracle(spark, oracle_sf_dir, duck):
+    """The propagation path must reproduce dedup_clusters (which runs
+    the star interior in the contract) against the same recursive-CTE
+    oracle — both interiors stay certified."""
     from guagua_spark.operators.dedup import LOCAL_ORACLE_SQL, LOCAL_QUERIES
 
     assert_matches_oracle(
-        LOCAL_QUERIES["dedup_clusters_star"](spark, oracle_sf_dir),
+        LOCAL_QUERIES["dedup_clusters_prop"](spark, oracle_sf_dir),
         duck,
-        LOCAL_ORACLE_SQL["dedup_clusters_star"],
+        LOCAL_ORACLE_SQL["dedup_clusters_prop"],
     )
