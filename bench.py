@@ -44,14 +44,24 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # warm-up: JIT/codegen + parquet footer caches, not measured
+    # COLD lane: the first full run per query, timed. This is the lap
+    # that used to be an unmeasured warm-up — but several entries carry
+    # legitimate per-dataset memo caches (k-means init, persisted LR/NN
+    # inputs, IVF quantizer centroids) that the first run populates, so
+    # discarding it made cold-start regressions in exactly those
+    # entries invisible. Cold also absorbs JIT/codegen + parquet footer
+    # caches; that's what a real first invocation pays too.
+    cold: dict[str, float] = {}
     for name, fn in queries.items():
-        fn(spark, sf_dir).limit(1).collect()
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        cold[name] = round(time.monotonic() - t0, 4)
 
-    # median of N runs per query: single-run numbers on a shared sandbox
-    # drifted ±45% round-to-round on untouched queries, making regression
-    # analysis unattributable; the median of 3 is noise-robust in both
-    # directions (min would hide genuine slowdowns behind one lucky run)
+    # WARM lane — median of N runs per query: single-run numbers on a
+    # shared sandbox drifted ±45% round-to-round on untouched queries,
+    # making regression analysis unattributable; the median of 3 is
+    # noise-robust in both directions (min would hide genuine
+    # slowdowns behind one lucky run)
     import statistics
 
     times: dict[str, float] = {}
@@ -71,6 +81,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )
