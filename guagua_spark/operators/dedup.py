@@ -223,8 +223,9 @@ def connected_components(
     Rounds = graph diameter; near-dup components are tiny cliques, so
     2-3 rounds in practice. localCheckpoint truncates the per-round
     lineage growth that would otherwise make round N replan rounds
-    1..N-1. Raises RuntimeError instead of returning partial labels if
-    the diameter exceeds ``max_rounds``.
+    1..N-1. If the diameter exceeds ``max_rounds``, the call
+    AUTO-ESCALATES to the star contraction (never returns partial
+    labels, never fails on a legal graph).
 
     ``algorithm="star"`` — alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -277,11 +278,14 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     if not converged:
-        raise RuntimeError(
-            f"min-label propagation did not reach a fixpoint in "
-            f"{max_rounds} rounds (graph diameter exceeds the budget); "
-            f"use algorithm='star' for long-chain graphs"
-        )
+        # Auto-escalate instead of failing: the graph's diameter
+        # exceeded the propagation budget (adversarial chain shapes a
+        # near-dup workload can still produce). Restart with the star
+        # contraction, which converges in O(log² n) rounds on ANY
+        # graph — identical (node, min-reachable-id) output contract,
+        # so callers never see the difference beyond latency.
+        labels, _ = star_components(pairs, a_col, b_col)
+        return labels
     return labels
 
 
