@@ -103,3 +103,144 @@ def bucketed_join(
     """Join two same-bucketed tables; with matching bucket specs the
     plan contains no Exchange (verify with .explain)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+# -- hot-key escapes for the WINDOW family ---------------------------------
+#
+# AQE splits skewed JOIN partitions and salted_agg covers groupBy, but a
+# Window.partitionBy(key) still funnels every row of a hot key into ONE
+# task's sort (SCALE.md names one-user-dominates as the window-family
+# hazard). The escape below decomposes per-key window computations into
+# (key, coarse-bucket) units — bounded by the bucket's row count — plus
+# a per-key pass over the tiny aggregated bucket relation.
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket_expr,
+    order_cols: list[str],
+    out_col: str = "running_value",
+) -> DataFrame:
+    """Running (cumulative) sum per key, skew-safe.
+
+    Equivalent to ``sum(value) over (partition by key order by
+    order_cols rows unbounded preceding)`` — but no task ever sorts a
+    whole key:
+
+    1. per-(key, bucket) totals via groupBy — map-side partial agg, so
+       the hot key's rows combine on every input partition first;
+    2. per-key running OFFSET over the aggregated bucket relation
+       (≤ #buckets rows per key — bounded however hot the key is);
+    3. within-bucket running sum with a window partitioned by
+       (key, bucket) + a join of the offsets — both sides already hash
+       on (key, bucket), and each sort unit is one bucket of one key.
+
+    ``bucket_expr`` must be monotone in ``ts_col`` (e.g.
+    ``F.date_trunc("hour", ...)``) and ``order_cols`` must start with
+    ``ts_col`` so the (bucket, order) sort equals the global order.
+    Floating-point caveat: the summation ORDER differs from the
+    single-window form, so double results can differ in final ulps —
+    use decimals (or round) where bit-equality matters.
+    """
+    from pyspark.sql.window import Window
+
+    b = df.withColumn("__bucket", bucket_expr)
+    totals = b.groupBy(key, "__bucket").agg(
+        F.sum(value_col).alias("__btot")
+    )
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        key,
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0.0)).alias(
+            "__offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy(key, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(offsets, [key, "__bucket"])
+        .withColumn(
+            out_col, F.col("__offset") + F.sum(value_col).over(w_in)
+        )
+        .drop("__bucket", "__offset")
+    )
+
+
+def bucketed_sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    gap_minutes: int,
+    bucket_expr,
+) -> DataFrame:
+    """Gap-based sessionization per key, skew-safe — same output
+    contract as a lag/cumsum sessionize over a whole-key window
+    (per-session key, session_seq, start, end, n_events, total_value).
+
+    1. sessionize WITHIN each (key, bucket): the lag/flag/cumsum
+       windows partition by (key, bucket), so the sort unit is one
+       bucket of one key, never the whole hot key;
+    2. condense each in-bucket session to ONE interval row;
+    3. merge intervals ACROSS buckets with a per-key window over the
+       session-level relation — sessions are disjoint and ordered, so
+       the same gap rule applies to interval endpoints. The per-key
+       pass now handles #sessions rows, not #events; a hot key with
+       millions of events in few sessions costs nothing. (Worst case —
+       every event its own session — degenerates to the original
+       cardinality; pick buckets ≫ gap so in-bucket condensation
+       bites.)
+    """
+    from pyspark.sql.window import Window
+
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    b = df.withColumn("__bucket", bucket_expr)
+    w_in = Window.partitionBy(key, "__bucket").orderBy(ts_col)
+    local = (
+        b.withColumn(
+            "__new",
+            F.when(
+                F.col(ts_col) - F.lag(ts_col).over(w_in) > gap, 1
+            ).otherwise(0),
+        )
+        .withColumn("__sid", F.sum("__new").over(w_in))
+        .groupBy(key, "__bucket", "__sid")
+        .agg(
+            F.min(ts_col).alias("__start"),
+            F.max(ts_col).alias("__end"),
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(value_col).alias("__v"),
+        )
+    )
+    # session-level merge: intervals are disjoint per key; a session
+    # continues the previous one iff its start is within gap of the
+    # previous end (exactly the event-level rule at the boundary)
+    w_key = Window.partitionBy(key).orderBy("__start")
+    merged = (
+        local.withColumn(
+            "__new",
+            F.when(
+                F.col("__start") - F.lag("__end").over(w_key) > gap, 1
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("__new").over(w_key) + 1)
+        .groupBy(key, "session_seq")
+        .agg(
+            F.min("__start").alias("session_start"),
+            F.max("__end").alias("session_end"),
+            F.sum("__n").alias("n_events"),
+            F.round(F.sum("__v"), 6).alias("total_value"),
+        )
+    )
+    return merged

@@ -95,3 +95,115 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _skewed_events(spark):
+    """6k events, user 0 holding 5/6 of all rows — the one-user-
+    dominates shape the window-family escape exists for."""
+    from pyspark.sql import functions as F
+
+    return spark.range(6000).select(
+        F.when(F.col("id") < 5000, 0)
+        .otherwise((F.col("id") % 20) + 1)
+        .alias("user_id"),
+        # ~1-minute cadence with a 2h jump every 97 rows → several
+        # gap-sessions per user
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + F.col("id") * 60
+            + (F.col("id") / 97).cast("int") * 7200
+        ).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+
+
+def test_bucketed_running_sum_matches_naive_and_plan(spark):
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from guagua_spark.functions.scale import bucketed_running_sum
+
+    ev = _skewed_events(spark)
+    safe = bucketed_running_sum(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        F.date_trunc("hour", F.col("ts")),
+        ["ts", "event_id"],
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = ev.withColumn("running_value", F.sum("value").over(w))
+    key = lambda r: (r.user_id, r.event_id)
+    got = {key(r): r.running_value for r in safe.collect()}
+    want = {key(r): r.running_value for r in naive.collect()}
+    # integer-valued doubles → order-independent summation → exact
+    assert got == want
+    # the hazard is a window partitioned by the key ALONE over the
+    # event-level relation; every event-level window here must carry
+    # __bucket in its partition spec
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan), plan
+    assert re.search(
+        r"windowspecdefinition\(user_id#\d+L?, __bucket#", plan
+    ), plan
+
+
+def test_bucketed_sessionize_matches_naive_and_plan(spark):
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from guagua_spark.functions.scale import bucketed_sessionize
+
+    ev = _skewed_events(spark)
+    gap_min = 30
+    safe = bucketed_sessionize(
+        ev, "user_id", "ts", "value", gap_min, F.date_trunc("day", F.col("ts"))
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    naive = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts") - F.lag("ts").over(by_user)
+                > F.expr(f"INTERVAL {gap_min} MINUTES"),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(by_user) + 1)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    key = lambda r: (r.user_id, r.session_seq)
+    got = {
+        key(r): (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in safe.collect()
+    }
+    want = {
+        key(r): (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in naive.collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        gs, ge, gn, gv = got[k]
+        ws, we, wn, wv = want[k]
+        assert (gs, ge, gn) == (ws, we, wn), k
+        assert abs(gv - wv) < 1e-6, k  # summation order may differ
+    # no event-level window partitioned by the key alone: the only
+    # per-key windows run over the condensed session-interval relation
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan), plan
