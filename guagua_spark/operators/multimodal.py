@@ -55,17 +55,136 @@ def _encode(doc_id: int) -> bytes:
     return struct.pack(">iii", w, h, nf) + payload
 
 
-def decode_with_real_codec(payload: bytes) -> "np.ndarray":
-    """Seam for a real image/audio decoder (PIL / soundfile / ffmpeg).
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    Those libraries are not available in this environment; at
-    deployment, swap this in for ``_decode`` inside the same mapInPandas
-    operators — batch shapes and schemas do not change.
-    """
+#: PNG color type → channel count (palette PNGs need PIL)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_decode(data: bytes) -> "np.ndarray":
+    """Minimal pure-stdlib PNG decoder: 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, all five scanline filters (spec §9 'Filtering').
+    zlib-inflates the IDAT stream and unfilters line by line — a REAL
+    decode of real PNG bytes, deployed as the no-dependency fallback
+    behind decode_with_real_codec (PIL, when installed, handles the
+    formats this doesn't: palette, 16-bit, interlaced, JPEG...)."""
+    import zlib
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, idat, dims = 8, [], None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    "stdlib PNG path handles 8-bit non-interlaced only"
+                )
+            nch = _PNG_CHANNELS.get(ctype)
+            if nch is None:
+                raise NotImplementedError("palette PNG needs PIL")
+            dims = (w, h, nch)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("PNG without IHDR")
+    w, h, nch = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    i = 0
+    for y in range(h):
+        f = raw[i]
+        line = np.frombuffer(
+            raw[i + 1 : i + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        i += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # sub / average / paeth need left context
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0  # left
+                b = int(prev[x])  # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        prev = cur
+        out[y] = cur
+    return out.reshape(h, w, nch)
+
+
+def decode_with_real_codec(payload: bytes) -> "np.ndarray":
+    """REAL media decode → (h, w, channels) uint8 array.
+
+    Tries PIL first (every raster format); without PIL, PNG streams
+    decode through the pure-stdlib path above — unit-tested on real
+    encoded fixtures across all five scanline filters
+    (tests/test_multimodal.py). Anything else raises: an honest seam,
+    never a silent fake. The synthetic contract operators keep using
+    _decode so driver rows stay engine-independent."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except ImportError:
+        pass
+    if payload[:8] == PNG_MAGIC:
+        return _png_decode(payload)
     raise NotImplementedError(
-        "real media codecs are not installed in this environment; "
-        "the deterministic fake codec (_decode) exercises the same "
-        "Spark plumbing"
+        "no codec available for this payload format (install PIL for "
+        "JPEG/WEBP/...); PNG decodes via the built-in stdlib path"
+    )
+
+
+def decode_image_batch(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas over a binary image column using the REAL codec:
+    (id, height, width, channels, mean_value) per image. Same batch
+    shape / partitioning contract as the synthetic decode operators —
+    this is the deployment path for actual image corpora."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            arrs = [decode_with_real_codec(m) for m in b[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "height": [a.shape[0] for a in arrs],
+                    "width": [a.shape[1] for a in arrs],
+                    "channels": [
+                        (a.shape[2] if a.ndim == 3 else 1) for a in arrs
+                    ],
+                    "mean_value": [float(a.mean()) for a in arrs],
+                }
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema=f"{id_col} long, height int, width int, channels int, "
+        "mean_value double",
     )
 
 

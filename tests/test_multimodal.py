@@ -72,3 +72,107 @@ def test_frame_sample_stride(spark, sf_dir):
 def test_real_codec_seam_is_marked():
     with pytest.raises(NotImplementedError):
         decode_with_real_codec(b"\x89PNG")
+
+
+# -- real PNG codec path ----------------------------------------------------
+
+
+def _png_encode(arr, filter_type=0):
+    """Tiny test-side PNG encoder (8-bit, non-interlaced) applying ONE
+    chosen scanline filter everywhere — lets each decoder filter path
+    be exercised against ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    nch = arr.shape[2] if arr.ndim == 3 else 1
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    px = arr.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = px[y]
+        enc = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(cur[x - nch]) if x >= nch else 0
+            b = int(prev[x])
+            c = int(prev[x - nch]) if x >= nch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([filter_type]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("nch", [1, 3, 4])
+def test_png_roundtrip_all_filters(filter_type, nch):
+    import numpy as np
+
+    from guagua_spark.operators.multimodal import decode_with_real_codec
+
+    rng = np.random.default_rng(41 * nch + filter_type)
+    arr = rng.integers(0, 256, size=(13, 9, nch), dtype=np.uint8)
+    decoded = decode_with_real_codec(_png_encode(arr, filter_type))
+    assert decoded.shape == arr.shape
+    assert (decoded == arr).all()
+
+
+def test_decode_image_batch_real_codec(spark):
+    import numpy as np
+
+    from guagua_spark.operators.multimodal import decode_image_batch
+
+    imgs = []
+    for i in range(8):
+        rng = np.random.default_rng(i)
+        arr = rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)
+        imgs.append((i, _png_encode(arr, filter_type=i % 5), float(arr.mean())))
+    df = spark.createDataFrame(
+        [(i, m) for i, m, _ in imgs], "doc_id long, media binary"
+    )
+    rows = {r.doc_id: r for r in decode_image_batch(df).collect()}
+    assert len(rows) == 8
+    for i, _, mean in imgs:
+        r = rows[i]
+        assert (r.height, r.width, r.channels) == (4 + i, 6, 3)
+        assert abs(r.mean_value - mean) < 1e-9
+
+
+def test_non_png_payload_is_honest():
+    import pytest as _pytest
+
+    from guagua_spark.operators.multimodal import decode_with_real_codec
+
+    with _pytest.raises(NotImplementedError):
+        decode_with_real_codec(b"\xff\xd8\xff\xe0 not a png")
