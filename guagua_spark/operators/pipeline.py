@@ -77,6 +77,44 @@ def stratified_keep() -> "F.Column":
     )
 
 
+def _clean_slim(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Quality filter → LSH near-dup removal → slim scalar projection
+    (doc_id, lang, source, n_chars, n_toks) of the surviving corpus.
+    With ``checkpoint`` the result is localCheckpoint'd so the two
+    downstream passes (rates aggregate + final rollup) read the
+    condensed relation instead of re-running the filter + anti-join
+    subtree; pass False to inspect the full lineage (plan tests)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    filtered = docs.filter(_quality_pred()).persist()
+    pairs = minhash_pairs_for(
+        filtered.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    clean = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
+    slim = clean.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    if checkpoint:
+        slim = slim.localCheckpoint(eager=True)
+        # the checkpoint materialized `slim`; the persisted filter
+        # cache is no longer needed by anything downstream
+        filtered.unpersist()
+    return slim
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) stats of the cleaned corpus — quality filter →
     near-dup dedup — plus certified columns for the two sampling stages
@@ -93,25 +131,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       source-mixture rule at rates min(1, budget/total_chars(source))
       computed over the clean corpus.
 
-    Everything stays one declarative plan: the rates join is a small
-    per-source aggregate (AQE broadcasts it), the sampling predicates
-    are map-side conditional aggregates — no extra scan or shuffle
-    beyond the one rates groupBy."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    filtered = docs.filter(_quality_pred()).persist()
-    pairs = minhash_pairs_for(
-        filtered.select("doc_id", "text").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b")
-    drop = labels.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
-    )
-    clean = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
-    rates = clean.groupBy("source").agg(
+    The mixture rates need per-source totals of the clean corpus while
+    the mix predicate is per-row — two passes over the cleaned relation
+    are inherent. To keep that cheap the clean corpus is condensed ONCE
+    to a slim scalar projection (doc_id, lang, source, n_chars,
+    n_toks — the text column never leaves the first pass) and
+    checkpointed; the rates aggregate and the final rollup both read
+    the condensed relation instead of re-running the filter + anti-join
+    subtree."""
+    slim = _clean_slim(spark, sf_dir)
+    rates = slim.groupBy("source").agg(
         F.least(
             F.lit(1.0), F.lit(float(MIX_CHAR_BUDGET)) / F.sum("n_chars")
         ).alias("rate")
@@ -120,12 +149,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = _u32("mix", F.col("doc_id").cast("string")) < (
         F.col("rate") * float(2**32)
     )
-    out = (
-        clean.join(rates, "source")
+    return (
+        slim.join(rates, "source")
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.sum("n_toks").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
             F.sum(F.when(strat, 1).otherwise(0)).alias("strat_docs"),
             F.sum(F.when(strat, F.col("doc_id")).otherwise(0)).alias(
@@ -138,13 +167,6 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
-    # labels are localCheckpoint'd (materialized) inside
-    # connected_components, so the cache is only needed during the CC
-    # loop; unpersisting now just means the final plan re-derives
-    # `filtered` from the scan — one cheap predicate pass — instead of
-    # pinning executor memory until the caller collects
-    filtered.unpersist()
-    return out
 
 
 def _pipeline_oracle() -> str:

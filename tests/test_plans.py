@@ -99,10 +99,12 @@ def test_no_forced_broadcast_of_per_user_relations(spark, oracle_sf_dir, name):
 
 def test_pipeline_antijoin_is_broadcast(spark, oracle_sf_dir):
     """The clean-corpus drop-list anti-join must broadcast the tiny
-    drop list, never shuffle the corpus."""
-    from guagua_spark.operators import pipeline
+    drop list, never shuffle the corpus. Inspected on the un-checkpointed
+    lineage — the contract query condenses it behind a localCheckpoint
+    so the rates + rollup passes don't re-run this subtree."""
+    from guagua_spark.operators.pipeline import _clean_slim
 
-    p = _plan(pipeline.QUERIES["pipeline_clean_corpus"](spark, oracle_sf_dir))
+    p = _plan(_clean_slim(spark, oracle_sf_dir, checkpoint=False))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
 
 
