@@ -975,6 +975,107 @@ def dedup_clusters_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# -- semantic dedup (SemDeDup-style, LSH-bucketed) --------------------------
+
+SEM_TABLES = 8
+SEM_BITS = 4
+SEM_TAU = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pruning (the SemDeDup recipe: Abbas et
+    al. 2023, arXiv:2303.09540): bucket vectors with an OR-construction
+    of md5-seeded hyperplane tables (planes namespaced ``sem-`` —
+    independent of the ANN index's), score exact cosine on within-bucket
+    candidate pairs only, and drop every vector that has a lower-id
+    τ-neighbor. The keep rule is a deterministic one-pass contract —
+    "keep iff no same-bucket τ-neighbor with a smaller vec_id" — rather
+    than cluster-representative election, so it needs no iterative
+    component labeling and its SQL replay is exact.
+
+    100 TB design: the paper clusters with k-means; hyperplane buckets
+    give the same sub-quadratic candidate generation with zero training
+    state (the planes are literals). Cost is one Arrow-batched matmul
+    per batch for bucketing, a shuffle of (table, bucket) keyed 8-byte
+    ids, cosine only on candidates, and an anti-join AQE sizes at
+    runtime (the dropped set is corpus-sized in the worst case — never
+    force-broadcast it). Recall is tunable by (tables, bits) exactly
+    like the ANN index; the τ-pairs it may miss are the LSH trade-off,
+    asserted ≥ 0.5 at sf0.01 in tests/test_packing.py."""
+    from guagua_spark.functions.vector import cosine_expr
+    from guagua_spark.operators.similarity import _planes, _with_tables
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    planes = _planes(SEM_TABLES, SEM_BITS, "sem")
+    bucketed = _with_tables(
+        emb.select("vec_id", "embedding"), "embedding", planes
+    ).select("vec_id", "table", "bucket")
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dropped = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cosine_expr("ea", "eb") >= SEM_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_oracle() -> str:
+    from guagua_spark.functions.vector import sql_cosine
+    from guagua_spark.operators.similarity import (
+        DIM,
+        hyperplane_bucket_ctes,
+    )
+
+    buckets = hyperplane_bucket_ctes("sem", SEM_TABLES, SEM_BITS)
+    cos = sql_cosine("ea.embedding", "eb.embedding", DIM)
+    return f"""
+WITH {buckets},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a
+  JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT c.vec_b AS vec_id
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+  WHERE {cos} >= {SEM_TAU!r}
+)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY e.vec_id
+""".strip()
+
+
 #: oracle-tested locally, not in the 50-slot driver contract
-LOCAL_QUERIES = {"dedup_clusters_prop": dedup_clusters_prop}
-LOCAL_ORACLE_SQL = {"dedup_clusters_prop": _clusters_oracle()}
+LOCAL_QUERIES = {
+    "dedup_clusters_prop": dedup_clusters_prop,
+    "semantic_dedup": semantic_dedup,
+}
+LOCAL_ORACLE_SQL = {
+    "dedup_clusters_prop": _clusters_oracle(),
+    "semantic_dedup": _semantic_oracle(),
+}

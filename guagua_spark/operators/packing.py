@@ -1,0 +1,174 @@
+"""Sequence construction for LLM training: fixed-token document
+chunking and deterministic greedy sequence packing.
+
+These are the two steps between a cleaned corpus and a training run
+(reference has nothing like them — beyond-reference extension layer,
+SURVEY.md §7 phase 4):
+
+- **chunking** splits every document into fixed-token-budget pieces
+  (the "context-length split" step). Pure map-side: one codegen'd pass
+  of split + per-chunk slice/join, no shuffle except the presentation
+  sort. The explode factor is bounded by doc_tokens/CHUNK_TOKENS, so a
+  100 TB corpus chunks in one scan with no skew hazard (a giant doc
+  fans out to many rows of the SAME task; downstream repartition
+  spreads them).
+
+- **packing** assigns documents to fixed-budget training sequences by
+  the concatenate-and-split rule (the GPT-style data loader): order
+  docs by a deterministic md5 hash (the "global shuffle" a training
+  run wants, reproducible engine-to-engine), take a running token
+  cumsum, and place each doc in the sequence containing its start
+  offset, ``seq = floor((cumsum − n_toks) / SEQ_TOKENS)``.
+
+  100 TB design: a single global window would funnel the corpus
+  through ONE sort partition — instead the hash's low bits split docs
+  into PACK_BUCKETS independent streams and the window partitions by
+  bucket (the same per-(key, coarse-bucket) decomposition as
+  functions/scale.py's hot-key escapes), so the cumsum runs as
+  PACK_BUCKETS parallel sorted partitions and sequence ids are
+  (bucket, seq-within-bucket) pairs. Buckets scale with the cluster
+  (thousands at real scale); each stream's packing stays exactly
+  reproducible because membership and order derive from md5(doc_id),
+  not from partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from guagua_spark.operators.pipeline import _u32
+from guagua_spark.sources.tables import load_table
+
+CHUNK_TOKENS = 32
+SEQ_TOKENS = 256
+PACK_BUCKETS = 8
+
+
+def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, fixed-token chunk): chunk ordinal, token count,
+    and the md5 of the reassembled chunk text (binds the VALUE of every
+    chunk, not just its size, into the oracle comparison)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS)))
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_id"
+        ),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).alias("chunk_toks"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _chunks_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks) / {float(CHUNK_TOKENS)!r})
+                           AS BIGINT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                LEAST((chunk_id + 1) * {CHUNK_TOKENS}, len(toks))])
+            AS INT) AS chunk_toks,
+       md5(array_to_string(
+             toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                  LEAST((chunk_id + 1) * {CHUNK_TOKENS}, len(toks))],
+             ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_id
+""".strip()
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing stats: how many docs and tokens each
+    fixed-budget training sequence receives under the deterministic
+    concatenate-and-split rule. ``id_sum`` binds WHICH docs landed in
+    each sequence, not just how many. Docs longer than the budget are
+    capped at SEQ_TOKENS (a real pipeline chunks them first —
+    pipeline_doc_chunks); the cap keeps every doc placeable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_toks = F.least(
+        F.size(F.split(F.col("text"), " ")), F.lit(SEQ_TOKENS)
+    )
+    h = _u32("pack", F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id", n_toks.alias("n_toks"), h.alias("h")
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = base.withColumn("running", F.sum("n_toks").over(w)).withColumn(
+        "seq_id",
+        F.floor(
+            (F.col("running") - F.col("n_toks")) / F.lit(float(SEQ_TOKENS))
+        ),
+    )
+    return (
+        placed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("seq_toks"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("bucket", "seq_id")
+    )
+
+
+def _pack_oracle() -> str:
+    u32 = (
+        "CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         LEAST(len(string_split(text, ' ')), {SEQ_TOKENS}) AS n_toks,
+         {u32} AS h,
+         {u32} % {PACK_BUCKETS} AS bucket
+  FROM documents
+),
+placed AS (
+  SELECT bucket, doc_id, n_toks,
+         SUM(n_toks) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running
+  FROM base
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(FLOOR((running - n_toks) / {float(SEQ_TOKENS)!r}) AS BIGINT)
+         AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS seq_toks,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM placed
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+#: oracle-tested locally (tests/test_packing.py), not in the 50-slot
+#: driver contract
+LOCAL_QUERIES = {
+    "pipeline_doc_chunks": pipeline_doc_chunks,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+}
+
+LOCAL_ORACLE_SQL = {
+    "pipeline_doc_chunks": _chunks_oracle(),
+    "pipeline_pack_sequences": _pack_oracle(),
+}

@@ -76,11 +76,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes() -> np.ndarray:
+def _planes(
+    tables: int = LSH_TABLES, bits: int = LSH_BITS, prefix: str = "lsh"
+) -> np.ndarray:
     """Hyperplane components derived from md5, not a seeded RNG.
 
-    ``plane[t,b,d] = u64(md5(f"lsh-{t}-{b}-{d}")[:8]) / 2⁶⁴ − 0.5`` —
-    the same engine-portable hash trick as the simhash oracle
+    ``plane[t,b,d] = u64(md5(f"{prefix}-{t}-{b}-{d}")[:8]) / 2⁶⁴ − 0.5``
+    — the same engine-portable hash trick as the simhash oracle
     (dedup.py:718), so a SQL oracle can regenerate the planes
     bit-for-bit and replay the ENTIRE LSH pipeline (buckets →
     candidates → rescore), which a numpy RNG stream cannot. Uniform
@@ -89,16 +91,51 @@ def _planes() -> np.ndarray:
     distribution yields a valid random-hyperplane family — collision
     probability stays monotone in angle, which is all OR-construction
     recall needs (recall bar asserted in tests/test_similarity.py).
+
+    ``prefix`` namespaces independent plane families (the semantic-dedup
+    operator in dedup.py draws its own so its buckets are uncorrelated
+    with the ANN index's).
     """
     import hashlib
 
-    vals = np.empty((LSH_TABLES, LSH_BITS, DIM))
-    for t in range(LSH_TABLES):
-        for b in range(LSH_BITS):
+    vals = np.empty((tables, bits, DIM))
+    for t in range(tables):
+        for b in range(bits):
             for d in range(DIM):
-                h = hashlib.md5(f"lsh-{t}-{b}-{d}".encode()).digest()
+                h = hashlib.md5(f"{prefix}-{t}-{b}-{d}".encode()).digest()
                 vals[t, b, d] = int.from_bytes(h[:8], "big") / 2.0**64 - 0.5
     return vals
+
+
+def hyperplane_bucket_ctes(
+    prefix: str, tables: int, bits: int, source: str = "embeddings"
+) -> str:
+    """SQL CTE block (``planes`` → ``dots`` → ``bk``) replaying
+    ``_planes(tables, bits, prefix)`` + ``_bucket_udf``: one row per
+    (vec_id, table) with that table's bucket id. Shared by the LSH-ANN
+    oracle below and the semantic-dedup oracle (dedup.py) so the
+    Spark-side bucketing and its SQL replay can never drift. Sign flips
+    from summation-order float noise would need |dot| ≲ 1e-12 — never
+    observed (candidate sets verified identical at sf0.01/sf0.1)."""
+    return f"""planes AS (
+  SELECT t.range AS t, b.range AS b, d.range AS d,
+         CAST(('0x' || substr(md5('{prefix}-' || t.range || '-' || b.range ||
+              '-' || d.range), 1, 16)) AS UBIGINT)
+           / 18446744073709551616.0 - 0.5 AS val
+  FROM range({tables}) t, range({bits}) b, range({DIM}) d
+),
+dots AS (
+  SELECT e.vec_id, p.t, p.b,
+         SUM(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.val) AS dot
+  FROM {source} e, planes p
+  GROUP BY e.vec_id, p.t, p.b
+),
+bk AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(b AS INT))
+             ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+)"""
 
 
 def _bucket_udf(planes: np.ndarray):
@@ -392,30 +429,11 @@ QUERIES = {
 def _lsh_oracle() -> str:
     """ann_lsh_topk end-to-end in SQL: regenerate the md5-derived
     planes (see _planes), compute every vector's L bucket ids via
-    per-(table, bit) dot-product signs, join queries to corpus on
-    (table, bucket), then the shared exact-rescore stage. Sign flips
-    from summation-order float noise would need |dot| ≲ 1e-12 — never
-    observed (candidate sets verified identical at sf0.01/sf0.1).
+    per-(table, bit) dot-product signs (hyperplane_bucket_ctes — shared
+    with the semantic-dedup oracle), join queries to corpus on
+    (table, bucket), then the shared exact-rescore stage.
     """
-    planes = f"""planes AS (
-  SELECT t.range AS t, b.range AS b, d.range AS d,
-         CAST(('0x' || substr(md5('lsh-' || t.range || '-' || b.range ||
-              '-' || d.range), 1, 16)) AS UBIGINT)
-           / 18446744073709551616.0 - 0.5 AS val
-  FROM range({LSH_TABLES}) t, range({LSH_BITS}) b, range({DIM}) d
-),
-dots AS (
-  SELECT e.vec_id, p.t, p.b,
-         SUM(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.val) AS dot
-  FROM embeddings e, planes p
-  GROUP BY e.vec_id, p.t, p.b
-),
-bk AS (
-  SELECT vec_id, t,
-         SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(b AS INT))
-             ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id, t
-),
+    planes = hyperplane_bucket_ctes("lsh", LSH_TABLES, LSH_BITS) + f""",
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id
   FROM bk q

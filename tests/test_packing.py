@@ -1,0 +1,117 @@
+"""Round-4 extension operators vs their DuckDB oracles: fixed-token
+chunking, deterministic sequence packing, and LSH-bucketed semantic
+dedup (plus the LSH recall bound the bucket construction promises)."""
+
+from __future__ import annotations
+
+import pytest
+
+from guagua_spark.operators.packing import (
+    CHUNK_TOKENS,
+    LOCAL_ORACLE_SQL,
+    LOCAL_QUERIES,
+    SEQ_TOKENS,
+)
+
+from oracle import assert_matches_oracle, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(LOCAL_ORACLE_SQL))
+def test_packing_matches_oracle(spark, oracle_sf_dir, duck, name):
+    assert_matches_oracle(
+        LOCAL_QUERIES[name](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL[name],
+    )
+
+
+def test_chunks_cover_every_token(spark, oracle_sf_dir, duck):
+    """Σ chunk_toks per doc == doc token count, every non-final chunk
+    full — the chunking must be a partition of the token stream."""
+    rows = (
+        LOCAL_QUERIES["pipeline_doc_chunks"](spark, oracle_sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            {"chunk_toks": "sum", "chunk_id": "max"},
+        )
+        .collect()
+    )
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, len(string_split(text, ' ')) FROM documents"
+        ).fetchall()
+    )
+    assert len(rows) == len(want)
+    for r in rows:
+        total, last = r["sum(chunk_toks)"], r["max(chunk_id)"]
+        assert total == want[r.doc_id]
+        assert total > last * CHUNK_TOKENS  # all non-final chunks full
+
+
+def test_packing_fills_sequences(spark, oracle_sf_dir):
+    """Concatenate-and-split invariant: within a bucket, the cumulative
+    token total through sequence k must land in [(k+1)·B, (k+2)·B) for
+    every non-final k — i.e. sequence k+1's first doc starts exactly
+    where k's window ends (no gap, no overlap, every window full up to
+    one doc of slack). Also: dense seq_ids and no doc lost."""
+    import collections
+
+    rows = LOCAL_QUERIES["pipeline_pack_sequences"](
+        spark, oracle_sf_dir
+    ).collect()
+    by_bucket = collections.defaultdict(list)
+    for r in rows:
+        by_bucket[r.bucket].append(r)
+    n_docs = sum(r.n_docs for r in rows)
+    assert n_docs == 500  # sf0.01 documents row count
+    for bucket, seqs in by_bucket.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        assert [s.seq_id for s in seqs] == list(range(len(seqs)))
+        prefix = 0
+        for k, s in enumerate(seqs):
+            prefix += s.seq_toks
+            if k < len(seqs) - 1:
+                assert (k + 1) * SEQ_TOKENS <= prefix < (k + 2) * SEQ_TOKENS
+
+
+def test_semantic_dedup_drops_and_recall(spark, oracle_sf_dir, duck):
+    """The dedup must actually drop rows on the fixture, and the
+    OR-construction must catch ≥ 50% of the true τ-pairs (the
+    analytical recall at τ=0.35 with 8 tables × 4 bits is ≈ 0.7)."""
+    import numpy as np
+
+    from guagua_spark.operators.dedup import SEM_TAU, semantic_dedup
+
+    kept = semantic_dedup(spark, oracle_sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert 0 < len(kept) < total, "must drop some rows, not all"
+
+    # true τ-pairs (exact all-pairs, fine at fixture scale)
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    np.fill_diagonal(cos, -2.0)
+    ids = np.array([r[0] for r in rows])
+    has_lower_neighbor = {
+        int(ids[i])
+        for i, j in zip(*np.nonzero(cos >= SEM_TAU))
+        if ids[j] < ids[i]
+    }
+    kept_ids = {r.vec_id for r in kept}
+    true_dropped = has_lower_neighbor
+    found_dropped = set(ids.tolist()) - kept_ids
+    # every dropped row must be a TRUE τ-neighbor casualty (no false
+    # positives — cosine is exact on candidates) ...
+    assert found_dropped <= true_dropped
+    # ... and the LSH candidate generation catches most of them
+    assert len(found_dropped) >= 0.5 * len(true_dropped)

@@ -162,3 +162,41 @@ def test_percentiles_no_group_value_buffering(spark, oracle_sf_dir):
     # window, range for the final orderBy — never a 4th
     assert p.count("Exchange") <= 3, p
     assert p.count("HashAggregate") >= 3, p  # both aggs partial+final
+
+
+def test_doc_chunks_map_side_only(spark, oracle_sf_dir):
+    """Chunking must be a pure map-side explode: one Exchange total
+    (the presentation sort's rangepartitioning) and a scan pruned to
+    (doc_id, text)."""
+    from guagua_spark.operators.packing import pipeline_doc_chunks
+
+    p = _plan(pipeline_doc_chunks(spark, oracle_sf_dir))
+    assert p.count("Exchange") == 1 and "rangepartitioning" in p, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1), p
+
+
+def test_pack_sequences_window_is_bucketed(spark, oracle_sf_dir):
+    """The packing cumsum must window per salt bucket — a global
+    (SinglePartition) window would funnel the corpus through one sort
+    task at scale."""
+    from guagua_spark.operators.packing import pipeline_pack_sequences
+
+    p = _plan(pipeline_pack_sequences(spark, oracle_sf_dir))
+    assert "Exchange hashpartitioning(bucket" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_semantic_dedup_no_cartesian(spark, oracle_sf_dir):
+    """The within-bucket self-join must plan as an equi-join on
+    (table, bucket) — never a nested-loop/cartesian all-pairs — and the
+    dropped-set anti-join must carry no mandatory broadcast hint (the
+    dropped set is corpus-sized in the worst case)."""
+    from guagua_spark.operators.dedup import semantic_dedup
+
+    df = semantic_dedup(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in logical, logical
