@@ -334,25 +334,30 @@ def star_components(
             .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
         )
 
-    def _canon(e: DataFrame) -> DataFrame:
-        return (
-            e.select(
-                F.least(F.col("x"), F.col("y")).alias("a"),
-                F.greatest(F.col("x"), F.col("y")).alias("b"),
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
+    def _canon(e: DataFrame, dedupe: bool = True) -> DataFrame:
+        out = e.select(
+            F.least(F.col("x"), F.col("y")).alias("a"),
+            F.greatest(F.col("x"), F.col("y")).alias("b"),
+        ).filter(F.col("a") != F.col("b"))
+        return out.distinct() if dedupe else out
 
     converged = False
     for _ in range(max_rounds):
         rounds += 1
-        # large-star: for each edge (u,v), v > u, emit (v, m(u))
+        # large-star: for each edge (u,v), v > u, emit (v, m(u)).
+        # No distinct on this INTERMEDIATE set: each input edge emits
+        # exactly one output edge (v joins a single m(u)), so duplicate
+        # multiplicity is bounded at 2 (canon collisions) — the
+        # small-star output below dedups, and skipping the exchange
+        # here removes one full shuffle stage per round.
         sym = _sym(und)
-        large = _canon(
-            sym.filter(F.col("v") > F.col("u"))
-            .join(_mins(sym), "u")
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        large = (
+            _canon(
+                sym.filter(F.col("v") > F.col("u"))
+                .join(_mins(sym), "u")
+                .select(F.col("v").alias("x"), F.col("m").alias("y")),
+                dedupe=False,
+            )
         ).localCheckpoint(eager=False)
         # small-star: for each u emit (u, m(u)) and (v, m(u)) ∀ v < u
         sym2 = _sym(large)
