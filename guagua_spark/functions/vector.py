@@ -42,8 +42,19 @@ def norm2_expr(a: str, dim: int = 0) -> Column:
 
 
 def cosine_expr(a: str, b: str, dim: int = 0) -> Column:
-    """Cosine similarity of two array columns."""
-    return dot_expr(a, b, dim) / F.sqrt(norm2_expr(a, dim) * norm2_expr(b, dim))
+    """Cosine similarity of two array columns.
+
+    ``try_divide``, not ``/``: under Spark 4's default ANSI mode a
+    zero-norm vector would otherwise throw DIVIDE_BY_ZERO and kill the
+    whole job (found by tests/test_packing_properties.py — a real
+    corpus can contain zero embeddings even though the fixture
+    doesn't). NULL cosine means every ``>= τ`` comparison is false and
+    desc ordering ranks it last — and it is exactly what the DuckDB
+    oracle produces for double x/0, so the engines agree on the
+    degenerate rows too."""
+    return F.try_divide(
+        dot_expr(a, b, dim), F.sqrt(norm2_expr(a, dim) * norm2_expr(b, dim))
+    )
 
 
 # -- matching SQL generators (DuckDB oracle side) ---------------------------

@@ -1007,12 +1007,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     force-broadcast it). Recall is tunable by (tables, bits) exactly
     like the ANN index; the τ-pairs it may miss are the LSH trade-off,
     asserted ≥ 0.5 at sf0.01 in tests/test_packing.py."""
-    from guagua_spark.functions.vector import cosine_expr
-    from guagua_spark.operators.similarity import _planes, _with_tables
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
+    return semantic_dedup_df(emb)
+
+
+def semantic_dedup_df(emb: DataFrame) -> DataFrame:
+    """Core semantic-dedup transform over a (vec_id, embedding[, ...])
+    DataFrame; all non-embedding columns ride through to the kept rows
+    (see semantic_dedup for the algorithm and scale notes)."""
+    from guagua_spark.functions.vector import cosine_expr
+    from guagua_spark.operators.similarity import _planes, _with_tables
+
     planes = _planes(SEM_TABLES, SEM_BITS, "sem")
     bucketed = _with_tables(
         emb.select("vec_id", "embedding"), "embedding", planes
@@ -1039,9 +1046,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
+    kept_cols = [c for c in emb.columns if c != "embedding"]
     return (
         emb.join(dropped, "vec_id", "left_anti")
-        .select("vec_id", "label")
+        .select(*kept_cols)
         .orderBy("vec_id")
     )
 

@@ -46,11 +46,11 @@ SEQ_TOKENS = 256
 PACK_BUCKETS = 8
 
 
-def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (doc, fixed-token chunk): chunk ordinal, token count,
-    and the md5 of the reassembled chunk text (binds the VALUE of every
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """Core chunking transform over a (doc_id, text) DataFrame — one
+    row per (doc, fixed-token chunk): chunk ordinal, token count, and
+    the md5 of the reassembled chunk text (binds the VALUE of every
     chunk, not just its size, into the oracle comparison)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS)))
     chunked = docs.select(
@@ -69,6 +69,13 @@ def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).alias("chunk_toks"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking of the documents table (see chunk_docs)."""
+    return chunk_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def _chunks_oracle() -> str:
@@ -94,14 +101,14 @@ FROM c ORDER BY doc_id, chunk_id
 """.strip()
 
 
-def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-sequence packing stats: how many docs and tokens each
+def pack_docs(docs: DataFrame) -> DataFrame:
+    """Core packing transform over a (doc_id, text) DataFrame —
+    per-sequence packing stats: how many docs and tokens each
     fixed-budget training sequence receives under the deterministic
     concatenate-and-split rule. ``id_sum`` binds WHICH docs landed in
     each sequence, not just how many. Docs longer than the budget are
     capped at SEQ_TOKENS (a real pipeline chunks them first —
     pipeline_doc_chunks); the cap keeps every doc placeable."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_toks = F.least(
         F.size(F.split(F.col("text"), " ")), F.lit(SEQ_TOKENS)
     )
@@ -128,6 +135,14 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
         .orderBy("bucket", "seq_id")
+    )
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing of the documents table (see
+    pack_docs)."""
+    return pack_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
