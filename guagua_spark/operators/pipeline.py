@@ -32,9 +32,15 @@ MIN_ALPHA_RATIO = 0.8
 
 def _quality_pred():
     n_tokens = F.size(F.split(F.col("text"), " "))
-    alpha = F.length(
-        F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")
-    ).cast("double") / F.length("text")
+    # try_divide: an empty doc would throw DIVIDE_BY_ZERO under ANSI
+    # mode; NULL alpha makes the predicate false (doc filtered), which
+    # is both the sensible semantics and DuckDB's x/0 behavior
+    alpha = F.try_divide(
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast(
+            "double"
+        ),
+        F.length("text"),
+    )
     return (n_tokens >= MIN_TOKENS) & (alpha >= MIN_ALPHA_RATIO)
 
 
@@ -142,7 +148,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim = _clean_slim(spark, sf_dir)
     rates = slim.groupBy("source").agg(
         F.least(
-            F.lit(1.0), F.lit(float(MIX_CHAR_BUDGET)) / F.sum("n_chars")
+            F.lit(1.0),
+            # try_divide: a source of only empty docs has 0 total chars
+            # (ANSI would crash); NULL → least picks 1.0 → keep whole
+            F.try_divide(
+                F.lit(float(MIX_CHAR_BUDGET)), F.sum("n_chars")
+            ),
         ).alias("rate")
     )
     strat = stratified_keep()
@@ -287,7 +298,10 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = totals.select(
         "source",
         F.least(
-            F.lit(1.0), F.lit(float(MIX_CHAR_BUDGET)) / F.col("total_chars")
+            F.lit(1.0),
+            F.try_divide(
+                F.lit(float(MIX_CHAR_BUDGET)), F.col("total_chars")
+            ),
         ).alias("rate"),
     )
     keep = _u32("mix", F.col("doc_id").cast("string")) < (

@@ -142,7 +142,9 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        # try_divide: an empty doc has length 0 and under ANSI mode a
+        # raw division would kill the job; NULL matches DuckDB's x/0
+        F.try_divide(n_alpha.cast("double"), n_chars).alias("alpha_ratio"),
         n_grams.alias("n_grams"),
         rep.alias("rep_ratio"),
     ).orderBy("doc_id")

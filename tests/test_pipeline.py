@@ -105,3 +105,18 @@ def test_source_mix_respects_budget(spark, oracle_sf_dir):
         # sampled chars may overshoot by binomial noise, not by design:
         # allow 2x headroom over the budget (tiny fixture, coarse docs)
         assert r.sampled_chars <= 2 * MIX_CHAR_BUDGET
+
+
+def test_quality_pred_survives_empty_docs(spark):
+    """Under Spark 4's default ANSI mode the alpha-ratio division used
+    to throw DIVIDE_BY_ZERO on a zero-length doc (a real corpus has
+    them even though the fixture doesn't) — the predicate must filter
+    such docs, not kill the job."""
+    from guagua_spark.operators.pipeline import _quality_pred
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, " ".join(["okayword"] * 30))],
+        "doc_id long, text string",
+    )
+    kept = df.filter(_quality_pred()).collect()
+    assert [r.doc_id for r in kept] == [2]
