@@ -46,11 +46,13 @@ SEQ_TOKENS = 256
 PACK_BUCKETS = 8
 
 
-def chunk_docs(docs: DataFrame) -> DataFrame:
+def chunk_docs(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Core chunking transform over a (doc_id, text) DataFrame — one
     row per (doc, fixed-token chunk): chunk ordinal, token count, and
     the md5 of the reassembled chunk text (binds the VALUE of every
-    chunk, not just its size, into the oracle comparison)."""
+    chunk, not just its size, into the oracle comparison).
+    ``ordered=False`` skips the presentation sort (required on an
+    unbounded stream — streaming/stream_ops.streaming_doc_chunks)."""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS)))
     chunked = docs.select(
@@ -63,12 +65,13 @@ def chunk_docs(docs: DataFrame) -> DataFrame:
     piece = F.slice(
         F.col("toks"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS
     )
-    return chunked.select(
+    out = chunked.select(
         "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.size(piece).alias("chunk_toks"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_id")
+    )
+    return out.orderBy("doc_id", "chunk_id") if ordered else out
 
 
 def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,6 +155,25 @@ def streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(stratified_keep()).select("doc_id", "lang")
 
 
+def streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipeline_doc_chunks: the SAME chunk_docs
+    transform (shared expression tree — the twins cannot drift) over
+    the document stream. Stateless map-side explode, so a late or
+    replayed document re-chunks identically; the natural head of a
+    streaming ingest pipeline that chunks as data lands."""
+    from guagua_spark.operators.packing import chunk_docs
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    # orderBy is illegal on an unbounded stream — chunk_docs' sort is
+    # presentation-only, so strip it by sorting AFTER the drain (tests)
+    return chunk_docs(docs.select("doc_id", "text"), ordered=False)
+
+
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user lifetime event count and value
     total, maintained incrementally via applyInPandasWithState.

@@ -124,3 +124,17 @@ def test_streaming_stratified_sample_matches_batch(spark, sf_dir):
     )
     want = pipeline_stratified_sample(spark, sf_dir)
     assert _rows(got, "doc_id", "lang") == _rows(want, "doc_id", "lang")
+
+
+def test_streaming_doc_chunks_match_batch(spark, sf_dir):
+    """Chunking is a stateless pure function of each row, so the
+    streaming drain must equal the batch operator's row set exactly."""
+    from guagua_spark.operators.packing import pipeline_doc_chunks
+    from guagua_spark.streaming import streaming_doc_chunks
+
+    got = run_available_now(
+        streaming_doc_chunks(spark, sf_dir), "s_chunks", "append"
+    )
+    want = pipeline_doc_chunks(spark, sf_dir)
+    cols = ("doc_id", "chunk_id", "chunk_toks", "chunk_md5")
+    assert _rows(got, *cols) == _rows(want, *cols)
