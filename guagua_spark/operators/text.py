@@ -661,6 +661,82 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+# -- unigram language-model scoring ----------------------------------------
+
+#: vocabulary truncation for the unigram LM. 24 of the synthetic
+#: corpus's 31 terms so the OOV path is exercised; real pipelines use
+#: 10⁴-10⁵ (still broadcastable — that is the point of truncating).
+VOCAB_K = 24
+#: OOV probability floor numerator: p_oov = OOV_FLOOR / total_tokens
+OOV_FLOOR = 0.5
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability — the classic
+    perplexity-proxy quality score (a cheap stand-in for the KenLM
+    filters of CCNet/RefinedWeb): low avg logprob ⇒ unusual token
+    distribution ⇒ candidate for dropping.
+
+    Two-pass plan: (1) one explode + partial-aggregated groupBy builds
+    corpus term counts; the model is the TOP-``VOCAB_K`` terms
+    (count desc, term asc — deterministic at the boundary) plus a
+    corpus-total scalar — both BOUNDED relations, so force-broadcasting
+    them is safe at any corpus size (the vocabulary is truncated by
+    construction; this is why real pipelines cap the vocab). (2) one
+    more explode joins each token against the broadcast vocab:
+    in-vocab p = count/N, OOV floor = OOV_FLOOR/N, then a per-doc
+    partial-aggregated rollup. No shuffle ever carries more than
+    (term, count) pairs or per-doc partials; a globally-hot term is
+    absorbed by the map-side partial agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tc.agg(F.sum("c").alias("n"))
+    vocab = tc.orderBy(F.col("c").desc(), "term").limit(VOCAB_K)
+    scored = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+            F.log(
+                F.coalesce(F.col("c").cast("double"), F.lit(OOV_FLOOR))
+                / F.col("n")
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _unigram_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT SUM(c) AS n FROM tc),
+vocab AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT {VOCAB_K}),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov,
+         ln(COALESCE(CAST(v.c AS DOUBLE), {OOV_FLOOR!r}) / tot.n) AS logp
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term, tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(AVG(logp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+
 #: standalone building-block queries kept oracle-tested locally
 #: (tests/test_text_ops.py) but not registered with the 50-slot driver
 #: contract — their outputs are certified there via the merged columns.
@@ -670,6 +746,7 @@ LOCAL_QUERIES = {
     "text_repetition_scores": repetition_scores,
     "text_boilerplate_ngrams": boilerplate_ngrams,
     "text_redact_denylist": redact_denylist,
+    "text_unigram_logprob": unigram_logprob,
 }
 
 LOCAL_ORACLE_SQL = {
@@ -684,4 +761,5 @@ LOCAL_ORACLE_SQL = {
     "text_repetition_scores": _repetition_oracle(),
     "text_boilerplate_ngrams": _boilerplate_oracle(),
     "text_redact_denylist": _redact_oracle(),
+    "text_unigram_logprob": _unigram_oracle(),
 }

@@ -200,3 +200,18 @@ def test_semantic_dedup_no_cartesian(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     logical = str(df._jdf.queryExecution().analyzed())
     assert "ResolvedHint" not in logical, logical
+
+
+def test_unigram_logprob_broadcasts_bounded_model(spark, oracle_sf_dir):
+    """The truncated vocab and the 1-row total are bounded by
+    construction — both must broadcast (never shuffle the token stream
+    against them), the vocab cut must plan as TakeOrderedAndProject,
+    and both rollups must partial-aggregate."""
+    from guagua_spark.operators.text import unigram_logprob
+
+    p = _plan(unigram_logprob(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row total cross join
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("HashAggregate") >= 4, p

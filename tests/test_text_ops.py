@@ -54,3 +54,15 @@ def test_repetition_redaction_boilerplate_nonzero(spark, oracle_sf_dir):
         > 0
     )
     assert boilerplate_ngrams(spark, oracle_sf_dir).count() > 0
+
+
+def test_unigram_logprob_exercises_oov(spark, oracle_sf_dir):
+    """VOCAB_K truncates below the fixture's vocabulary, so some doc
+    must count OOV tokens and OOV logprob must be below every in-vocab
+    score in that doc (the floor is smaller than any real count)."""
+    from guagua_spark.operators.text import unigram_logprob
+
+    rows = unigram_logprob(spark, oracle_sf_dir).collect()
+    assert any(r.n_oov > 0 for r in rows)
+    assert all(r.n_tokens >= r.n_oov for r in rows)
+    assert all(r.avg_logprob < 0 for r in rows)
