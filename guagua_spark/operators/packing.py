@@ -149,25 +149,30 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_oracle() -> str:
+def _pack_ctes(source: str = "documents") -> str:
+    """``base`` → ``placed`` CTE block replaying pack_docs over any
+    (doc_id, text) source relation — shared by the standalone oracle
+    and the clean-corpus training-set build."""
     u32 = (
         "CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))"
         " AS UBIGINT)"
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id,
          LEAST(len(string_split(text, ' ')), {SEQ_TOKENS}) AS n_toks,
          {u32} AS h,
          {u32} % {PACK_BUCKETS} AS bucket
-  FROM documents
+  FROM {source}
 ),
 placed AS (
   SELECT bucket, doc_id, n_toks,
          SUM(n_toks) OVER (PARTITION BY bucket ORDER BY h, doc_id
                            ROWS UNBOUNDED PRECEDING) AS running
   FROM base
-)
+)"""
+
+
+_PACK_SELECT = f"""
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(FLOOR((running - n_toks) / {float(SEQ_TOKENS)!r}) AS BIGINT)
          AS seq_id,
@@ -179,14 +184,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
 
 
+def _pack_oracle() -> str:
+    return f"WITH {_pack_ctes()}\n{_PACK_SELECT}"
+
+
+def pipeline_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-set build, one plan: quality filter →
+    LSH near-dup removal (cluster representatives kept) → deterministic
+    sequence packing of the surviving corpus — i.e. what a real
+    pipeline runs between raw documents and a training run, composed
+    from the same shared subtrees the standalone operators certify
+    (_clean_docs from the clean-corpus rollup, pack_docs from the
+    packing operator; the DuckDB oracle splices the same two CTE
+    blocks). Scale properties are inherited: predicate at the scan, LSH
+    on survivors, broadcast drop-list, salt-bucketed packing windows."""
+    from guagua_spark.operators.pipeline import _clean_docs
+
+    clean, filtered = _clean_docs(spark, sf_dir)
+    out = pack_docs(clean.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    filtered.unpersist()
+    return out
+
+
+def _build_training_set_oracle() -> str:
+    from guagua_spark.operators.pipeline import _pipeline_oracle
+
+    clean_ctes = _pipeline_oracle().split("\nrates AS")[0].rstrip().rstrip(",")
+    assert clean_ctes.startswith("WITH RECURSIVE") and "clean AS" in clean_ctes
+    return f"{clean_ctes},\n{_pack_ctes(source='clean')}\n{_PACK_SELECT}"
+
+
 #: oracle-tested locally (tests/test_packing.py), not in the 50-slot
 #: driver contract
 LOCAL_QUERIES = {
     "pipeline_doc_chunks": pipeline_doc_chunks,
     "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_build_training_set": pipeline_build_training_set,
 }
 
 LOCAL_ORACLE_SQL = {
     "pipeline_doc_chunks": _chunks_oracle(),
     "pipeline_pack_sequences": _pack_oracle(),
+    "pipeline_build_training_set": _build_training_set_oracle(),
 }

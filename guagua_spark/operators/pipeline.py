@@ -83,15 +83,13 @@ def stratified_keep() -> "F.Column":
     )
 
 
-def _clean_slim(
-    spark: SparkSession, sf_dir: str, checkpoint: bool = True
-) -> DataFrame:
-    """Quality filter → LSH near-dup removal → slim scalar projection
-    (doc_id, lang, source, n_chars, n_toks) of the surviving corpus.
-    With ``checkpoint`` the result is localCheckpoint'd so the two
-    downstream passes (rates aggregate + final rollup) read the
-    condensed relation instead of re-running the filter + anti-join
-    subtree; pass False to inspect the full lineage (plan tests)."""
+def _clean_docs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Quality filter → LSH near-dup removal: the cleaned corpus WITH
+    text, plus the persisted filtered relation (caller unpersists once
+    its consumer is materialized). Shared head of the clean-corpus
+    rollup and the training-set build."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -106,6 +104,19 @@ def _clean_slim(
         F.col("node").alias("doc_id")
     )
     clean = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
+    return clean, filtered
+
+
+def _clean_slim(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Quality filter → LSH near-dup removal → slim scalar projection
+    (doc_id, lang, source, n_chars, n_toks) of the surviving corpus.
+    With ``checkpoint`` the result is localCheckpoint'd so the two
+    downstream passes (rates aggregate + final rollup) read the
+    condensed relation instead of re-running the filter + anti-join
+    subtree; pass False to inspect the full lineage (plan tests)."""
+    clean, filtered = _clean_docs(spark, sf_dir)
     slim = clean.select(
         "doc_id",
         "lang",
