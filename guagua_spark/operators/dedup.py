@@ -1016,25 +1016,48 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_df(emb: DataFrame) -> DataFrame:
     """Core semantic-dedup transform over a (vec_id, embedding[, ...])
     DataFrame; all non-embedding columns ride through to the kept rows
-    (see semantic_dedup for the algorithm and scale notes)."""
+    (see semantic_dedup for the algorithm and scale notes).
+
+    Candidate generation is a grouped numpy matmul per (table, bucket)
+    — the same prefilter-then-exact-verify pattern as the embedding
+    near-dup block matmul above: an id-only self-join would ship every
+    candidate PAIR back through a join against the embeddings (O(pairs)
+    rows × 2 vectors each) and score it with the interpreted zip_with
+    fold (measured 5.4 s at sf0.1); here each vector ships SEM_TABLES
+    times into applyInPandas, the b² pair scoring happens inside one
+    matmul per bucket, and only pairs within 1e-6 of τ come back out.
+    The exact cosine_expr then decides ≥ τ bit-identically to the SQL
+    oracle, so the band never changes the result — candidates with
+    true cosine ≥ τ always clear τ−1e-6 (float noise is ~1e-12)."""
+    import numpy as np
+    import pandas as pd
+
     from guagua_spark.functions.vector import cosine_expr
     from guagua_spark.operators.similarity import _planes, _with_tables
 
     planes = _planes(SEM_TABLES, SEM_BITS, "sem")
     bucketed = _with_tables(
         emb.select("vec_id", "embedding"), "embedding", planes
-    ).select("vec_id", "table", "bucket")
+    ).select("vec_id", "embedding", "table", "bucket")
+    tau_band = SEM_TAU - 1e-6
+
+    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = (m @ m.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), 1)
+        keep = sim[iu] >= tau_band  # NaN (zero vector) compares False
+        return pd.DataFrame(
+            {"vec_a": ids[iu[0]][keep], "vec_b": ids[iu[1]][keep]}
+        )
+
     cand = (
-        bucketed.alias("a")
-        .join(
-            bucketed.alias("b"),
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+        bucketed.groupBy("table", "bucket")
+        .applyInPandas(find_pairs, "vec_a long, vec_b long")
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
