@@ -96,14 +96,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bounded subset for the semantic-dedup certificate columns merged
+#: into dedup_exact_stats: the pushed-down ``vec_id < SEM_CERT_VECS``
+#: filter keeps the certificate O(1) at any scale factor while still
+#: hash-certifying the full algorithm (planes → buckets → grouped
+#: matmul → τ rule → keep set) on real data in the driver contract
+SEM_CERT_VECS = 500
+
+
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: total docs, distinct texts, removed count."""
+    """One row: total docs, distinct texts, removed count — plus the
+    semantic-dedup certificate (kept-row count and kept-id sum of
+    ``semantic_dedup`` over the first SEM_CERT_VECS embeddings; the id
+    sum binds WHICH vectors the τ-neighbor rule keeps, so the driver
+    hash-certifies the round-4 operator inside the 50-slot cap; the
+    full-corpus form stays in LOCAL_QUERIES)."""
     docs = load_table(spark, sf_dir, "documents")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_CERT_VECS)
+        .select("vec_id", "embedding")
+    )
+    sem = semantic_dedup_df(emb).agg(
+        F.count(F.lit(1)).alias("sem_kept"),
+        F.sum("vec_id").alias("sem_kept_id_sum"),
+    )
     return docs.agg(
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("text").alias("distinct_texts"),
         (F.count(F.lit(1)) - F.countDistinct("text")).alias("removed"),
-    )
+    ).crossJoin(F.broadcast(sem))
 
 
 def minhash_pairs_for(docs: DataFrame) -> DataFrame:
@@ -946,10 +968,7 @@ ORACLE_SQL = {
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) "
         "ORDER BY doc_id"
     ),
-    "dedup_exact_stats": (
-        "SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts, "
-        "COUNT(*) - COUNT(DISTINCT text) AS removed FROM documents"
-    ),
+    "dedup_exact_stats": None,  # assigned below _exact_stats_oracle
     "dedup_minhash_pairs": _minhash_oracle(),
     "dedup_clusters": _clusters_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
@@ -1077,17 +1096,21 @@ def semantic_dedup_df(emb: DataFrame) -> DataFrame:
     )
 
 
-def _semantic_oracle() -> str:
+def _semantic_dropped_ctes(source: str = "embeddings") -> str:
+    """``planes`` → … → ``dropped`` CTE block replaying semantic_dedup_df
+    over any (vec_id, embedding) source relation — shared by the
+    standalone oracle and the dedup_exact_stats certificate columns."""
     from guagua_spark.functions.vector import sql_cosine
     from guagua_spark.operators.similarity import (
         DIM,
         hyperplane_bucket_ctes,
     )
 
-    buckets = hyperplane_bucket_ctes("sem", SEM_TABLES, SEM_BITS)
+    buckets = hyperplane_bucket_ctes(
+        "sem", SEM_TABLES, SEM_BITS, source=source
+    )
     cos = sql_cosine("ea.embedding", "eb.embedding", DIM)
-    return f"""
-WITH {buckets},
+    return f"""{buckets},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bk a
@@ -1096,15 +1119,42 @@ cand AS (
 dropped AS (
   SELECT DISTINCT c.vec_b AS vec_id
   FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.vec_a
-  JOIN embeddings eb ON eb.vec_id = c.vec_b
+  JOIN {source} ea ON ea.vec_id = c.vec_a
+  JOIN {source} eb ON eb.vec_id = c.vec_b
   WHERE {cos} >= {SEM_TAU!r}
-)
+)"""
+
+
+def _semantic_oracle() -> str:
+    return f"""
+WITH {_semantic_dropped_ctes()}
 SELECT e.vec_id, e.label FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
 ORDER BY e.vec_id
 """.strip()
 
+
+def _exact_stats_oracle() -> str:
+    return f"""
+WITH cert AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_CERT_VECS}
+),
+{_semantic_dropped_ctes(source="cert")},
+sem AS (
+  SELECT COUNT(*) AS sem_kept,
+         CAST(SUM(vec_id) AS BIGINT) AS sem_kept_id_sum
+  FROM cert WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+)
+SELECT d.total, d.distinct_texts, d.removed, s.sem_kept, s.sem_kept_id_sum
+FROM (
+  SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,
+         COUNT(*) - COUNT(DISTINCT text) AS removed
+  FROM documents
+) d, sem s
+""".strip()
+
+
+ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
 
 #: oracle-tested locally, not in the 50-slot driver contract
 LOCAL_QUERIES = {

@@ -104,31 +104,39 @@ FROM c ORDER BY doc_id, chunk_id
 """.strip()
 
 
+def pack_assignment(doc_id_col, raw_toks_col):
+    """THE packing rule as three columns (bucket, seq_id, capped token
+    count) over a doc-grain relation — single definition shared by
+    pack_docs and the ``text_token_counts`` contract row's
+    certification columns so the two can never drift. ``raw_toks_col``
+    is the uncapped whitespace token count; docs over the budget are
+    capped at SEQ_TOKENS (a real pipeline chunks them first)."""
+    h = _u32("pack", doc_id_col.cast("string"))
+    bucket = h % PACK_BUCKETS
+    capped = F.least(raw_toks_col, F.lit(SEQ_TOKENS))
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy(h, doc_id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(capped).over(w)
+    seq = F.floor((running - capped) / F.lit(float(SEQ_TOKENS)))
+    return bucket.cast("bigint"), seq, capped
+
+
 def pack_docs(docs: DataFrame) -> DataFrame:
     """Core packing transform over a (doc_id, text) DataFrame —
     per-sequence packing stats: how many docs and tokens each
     fixed-budget training sequence receives under the deterministic
     concatenate-and-split rule. ``id_sum`` binds WHICH docs landed in
-    each sequence, not just how many. Docs longer than the budget are
-    capped at SEQ_TOKENS (a real pipeline chunks them first —
-    pipeline_doc_chunks); the cap keeps every doc placeable."""
-    n_toks = F.least(
-        F.size(F.split(F.col("text"), " ")), F.lit(SEQ_TOKENS)
-    )
-    h = _u32("pack", F.col("doc_id").cast("string"))
-    base = docs.select(
-        "doc_id", n_toks.alias("n_toks"), h.alias("h")
-    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = base.withColumn("running", F.sum("n_toks").over(w)).withColumn(
-        "seq_id",
-        F.floor(
-            (F.col("running") - F.col("n_toks")) / F.lit(float(SEQ_TOKENS))
-        ),
+    each sequence, not just how many."""
+    raw = F.size(F.split(F.col("text"), " "))
+    bucket, seq, capped = pack_assignment(F.col("doc_id"), raw)
+    placed = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        seq.alias("seq_id"),
+        capped.alias("n_toks"),
     )
     return (
         placed.groupBy("bucket", "seq_id")

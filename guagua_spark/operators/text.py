@@ -82,8 +82,19 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the BPE-ish pretokenizer estimate — one single-pass scan (the
     brief's "whitespace + a BPE-ish regex" is one operator; both counts
     ride the same codegen'd projection, so merging them costs nothing
-    and the driver certifies both in one contract row)."""
+    and the driver certifies both in one contract row).
+
+    ``pack_bucket``/``pack_seq``: the deterministic sequence-packing
+    assignment (operators/packing.pack_assignment — the SAME column
+    expressions pack_docs aggregates, so the driver hash-certifies the
+    packing hash/bucket/cumsum/binning math per doc through this row;
+    the standalone per-sequence rollup stays in LOCAL_QUERIES under the
+    50-slot cap). Cost: one bucket exchange + sort on doc-grain scalars
+    on top of the previously map-only scan."""
+    from guagua_spark.operators.packing import pack_assignment
+
     docs = load_table(spark, sf_dir, "documents")
+    bucket, seq, _ = pack_assignment(F.col("doc_id"), F.size(_tokens()))
     return docs.select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),
@@ -91,6 +102,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).alias(
             "n_bpe_tokens"
         ),
+        bucket.alias("pack_bucket"),
+        seq.alias("pack_seq"),
     ).orderBy("doc_id")
 
 
@@ -481,12 +494,7 @@ _ROLLING_FP_SQL = f"""list_min(list_transform(
          i -> md5(text[i:i+{ROLLING_WIDTH - 1}])))"""
 
 ORACLE_SQL = {
-    "text_token_counts": (
-        f"SELECT doc_id, len({_sql_tokens()}) AS n_tokens, "
-        f"len(list_distinct({_sql_tokens()})) AS n_distinct_tokens, "
-        f"len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens "
-        "FROM documents ORDER BY doc_id"
-    ),
+    "text_token_counts": None,  # assigned right after this dict literal
     "text_quality_scores": _quality_oracle(),
     "text_language_id": _lang_oracle(),
     "text_fingerprints": (
@@ -568,6 +576,36 @@ WHERE r.rnk <= {NGRAM_TOP_K} ORDER BY r.rnk
         " FROM documents"
     ),
 }
+
+
+def _token_counts_oracle() -> str:
+    from guagua_spark.operators.packing import PACK_BUCKETS, SEQ_TOKENS
+
+    u32 = (
+        "CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_sql_tokens()}) AS n_tokens,
+         len(list_distinct({_sql_tokens()})) AS n_distinct_tokens,
+         len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+         {u32} AS h,
+         LEAST(len({_sql_tokens()}), {SEQ_TOKENS}) AS capped
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, n_bpe_tokens,
+       CAST(h % {PACK_BUCKETS} AS BIGINT) AS pack_bucket,
+       CAST(FLOOR((SUM(capped) OVER (PARTITION BY h % {PACK_BUCKETS}
+                                     ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) - capped)
+                  / {float(SEQ_TOKENS)!r}) AS BIGINT) AS pack_seq
+FROM base ORDER BY doc_id
+""".strip()
+
+
+ORACLE_SQL["text_token_counts"] = _token_counts_oracle()
 
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document n-gram repetition ratio (1 − distinct/total) —
