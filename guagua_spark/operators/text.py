@@ -699,6 +699,96 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+# -- train/test decontamination --------------------------------------------
+
+#: overlap gram width. Real pipelines use 8-13 (the GPT-3/PaLM
+#: "remove any train doc sharing a 13-gram with an eval benchmark"
+#: rule); 4 on the small-vocabulary synthetic corpus so the filter
+#: actually discriminates (75/450 flagged; ≥6 degenerates to the 6
+#: exact dups).
+DECON_GRAM = 4
+#: stand-in benchmark set: doc_id < DECON_HELDOUT plays the eval suite
+DECON_HELDOUT = 50
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: per training doc (doc_id ≥
+    DECON_HELDOUT), how many of its word DECON_GRAM-grams appear
+    anywhere in the heldout set (doc_id < DECON_HELDOUT), and the
+    contamination verdict — the standard "drop any training document
+    that shares an n-gram with an eval benchmark" filter.
+
+    100 TB design: the heldout gram set derives from a benchmark suite
+    (thousands of docs — small by construction), so the join against it
+    is broadcast-sized in practice, but no hint is forced (a pathological
+    heldout set must not OOM the executors; AQE decides). Gram explode
+    is map-side; the per-doc rollup partial-aggregates; short docs
+    (< DECON_GRAM tokens) survive via explode_outer with zero grams."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (DECON_GRAM - 1))
+    grams = F.when(
+        n >= DECON_GRAM,
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, DECON_GRAM), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    train = docs.filter(F.col("doc_id") >= DECON_HELDOUT).select(
+        "doc_id", F.explode_outer(grams).alias("g")
+    )
+    held = (
+        docs.filter(F.col("doc_id") < DECON_HELDOUT)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.join(held, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _decontaminate_oracle() -> str:
+    w = DECON_GRAM
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{w - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {w - 2})) AS u(i)
+  WHERE len(t) >= {w}
+),
+held AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_HELDOUT}),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM grams g LEFT JOIN held h ON g.g = h.g
+  WHERE g.doc_id >= {DECON_HELDOUT}
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id >= {DECON_HELDOUT}
+ORDER BY d.doc_id
+""".strip()
+
+
 # -- unigram language-model scoring ----------------------------------------
 
 #: vocabulary truncation for the unigram LM. 24 of the synthetic
@@ -785,6 +875,7 @@ LOCAL_QUERIES = {
     "text_boilerplate_ngrams": boilerplate_ngrams,
     "text_redact_denylist": redact_denylist,
     "text_unigram_logprob": unigram_logprob,
+    "text_decontaminate": decontaminate,
 }
 
 LOCAL_ORACLE_SQL = {
@@ -800,4 +891,5 @@ LOCAL_ORACLE_SQL = {
     "text_boilerplate_ngrams": _boilerplate_oracle(),
     "text_redact_denylist": _redact_oracle(),
     "text_unigram_logprob": _unigram_oracle(),
+    "text_decontaminate": _decontaminate_oracle(),
 }

@@ -215,3 +215,16 @@ def test_unigram_logprob_broadcasts_bounded_model(spark, oracle_sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_decontaminate_no_forced_broadcast_partial_agg(spark, oracle_sf_dir):
+    """The heldout gram set is usually broadcast-sized but must carry
+    no MANDATORY hint (a pathological heldout set must not OOM); the
+    per-doc rollup must partial-aggregate."""
+    from guagua_spark.operators.text import decontaminate
+
+    df = decontaminate(spark, oracle_sf_dir)
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in logical, logical
+    p = _plan(df)
+    assert p.count("HashAggregate") >= 2, p

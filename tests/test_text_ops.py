@@ -66,3 +66,34 @@ def test_unigram_logprob_exercises_oov(spark, oracle_sf_dir):
     assert any(r.n_oov > 0 for r in rows)
     assert all(r.n_tokens >= r.n_oov for r in rows)
     assert all(r.avg_logprob < 0 for r in rows)
+
+
+def test_decontaminate_flags_real_overlap(spark, oracle_sf_dir, duck):
+    """The filter must flag a non-trivial strict subset and every
+    flagged doc must truly share a gram with the heldout set (checked
+    against an independent DuckDB recount)."""
+    from guagua_spark.operators.text import (
+        DECON_GRAM,
+        DECON_HELDOUT,
+        decontaminate,
+    )
+
+    rows = decontaminate(spark, oracle_sf_dir).collect()
+    flagged = {r.doc_id for r in rows if r.contaminated}
+    assert 0 < len(flagged) < len(rows)
+    w = DECON_GRAM
+    want = {
+        r[0]
+        for r in duck.execute(
+            f"""
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+                          FROM documents),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+{w-1}],' ') AS g
+                      FROM toks, unnest(range(1, len(t)-{w-2})) AS u(i)
+                      WHERE len(t) >= {w})
+            SELECT DISTINCT tr.doc_id FROM grams tr
+            JOIN grams h ON tr.g = h.g AND h.doc_id < {DECON_HELDOUT}
+            WHERE tr.doc_id >= {DECON_HELDOUT}"""
+        ).fetchall()
+    }
+    assert flagged == want
