@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from guagua_spark.operators.dedup import (
     _minhash_pair_ctes,
     connected_components,
-    minhash_pairs_for,
 )
 from guagua_spark.sources.tables import load_table
 
@@ -89,16 +88,29 @@ def _clean_docs(
     """Quality filter → LSH near-dup removal: the cleaned corpus WITH
     text, plus the persisted filtered relation (caller unpersists once
     its consumer is materialized). Shared head of the clean-corpus
-    rollup and the training-set build."""
+    rollup and the training-set build.
+
+    The pair graph comes from the session's corpus near-dup index
+    (dedup._minhash_pair_df) restricted to filtered endpoints with two
+    semi-joins, instead of re-running the signature pass on the
+    filtered corpus: LSH bucket membership and the Jaccard verify are
+    per-doc/per-pair (no corpus-dependent state), so
+    pairs(filtered) ≡ {(a,b) ∈ pairs(corpus) : a,b both pass the
+    filter} EXACTLY — the recursive-CTE oracle, which computes pairs on
+    the filtered set directly, stays hash-green (asserted). Reusing the
+    index is also the 100 TB play: the near-dup sketch of a static
+    corpus is computed once, not once per downstream query."""
+    from guagua_spark.operators.dedup import _minhash_pair_df
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
     filtered = docs.filter(_quality_pred()).persist()
-    pairs = minhash_pairs_for(
-        filtered.select("doc_id", "text").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    ).select("doc_a", "doc_b")
+    ids = filtered.select("doc_id")
+    pairs_full = _minhash_pair_df(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs_full.join(
+        ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     labels = connected_components(pairs, "doc_a", "doc_b")
     drop = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
