@@ -711,6 +711,21 @@ DECON_GRAM = 4
 DECON_HELDOUT = 50
 
 
+def _decon_grams(text_col: str = "text"):
+    """Word DECON_GRAM-gram array (empty for short docs) — single
+    definition shared by the batch operator and its stream-static
+    streaming twin (streaming/stream_ops.streaming_decontaminate)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (DECON_GRAM - 1))
+    return F.when(
+        n >= DECON_GRAM,
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, DECON_GRAM), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: per training doc (doc_id ≥
     DECON_HELDOUT), how many of its word DECON_GRAM-grams appear
@@ -725,15 +740,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side; the per-doc rollup partial-aggregates; short docs
     (< DECON_GRAM tokens) survive via explode_outer with zero grams."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _tokens()
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (DECON_GRAM - 1))
-    grams = F.when(
-        n >= DECON_GRAM,
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, i, DECON_GRAM), " ")
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _decon_grams()
     train = docs.filter(F.col("doc_id") >= DECON_HELDOUT).select(
         "doc_id", F.explode_outer(grams).alias("g")
     )

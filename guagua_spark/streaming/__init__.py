@@ -1,6 +1,7 @@
 from guagua_spark.streaming.stream_ops import (  # noqa: F401
     run_available_now,
     streaming_click_purchase_join,
+    streaming_decontaminate,
     streaming_dedup_docs,
     streaming_doc_chunks,
     streaming_sessionize,

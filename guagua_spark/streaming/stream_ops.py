@@ -174,6 +174,54 @@ def streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(docs.select("doc_id", "text"), ordered=False)
 
 
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text.decontaminate via a STREAM-STATIC join —
+    the heldout benchmark gram set is a static (batch) relation joined
+    against the unbounded training-doc stream, Structured Streaming's
+    idiomatic pattern for enrich-against-reference-data (the static
+    side is re-read per micro-batch, so a refreshed benchmark suite is
+    picked up without restarting the query). Stateless beyond the join:
+    each doc's verdict is a pure function of (doc, heldout set)."""
+    from guagua_spark.operators.text import (
+        DECON_HELDOUT,
+        _decon_grams,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    static_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    held = (
+        static_docs.filter(F.col("doc_id") < DECON_HELDOUT)
+        .select(F.explode(_decon_grams()).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") >= DECON_HELDOUT).select(
+        "doc_id", F.explode_outer(_decon_grams()).alias("g")
+    )
+    return (
+        train.join(held, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user lifetime event count and value
     total, maintained incrementally via applyInPandasWithState.

@@ -138,3 +138,18 @@ def test_streaming_doc_chunks_match_batch(spark, sf_dir):
     want = pipeline_doc_chunks(spark, sf_dir)
     cols = ("doc_id", "chunk_id", "chunk_toks", "chunk_md5")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir):
+    """Stream-static join twin: the heldout gram set is a static
+    relation joined per micro-batch; the drained aggregate must equal
+    the batch operator row-for-row."""
+    from guagua_spark.operators.text import decontaminate
+    from guagua_spark.streaming import streaming_decontaminate
+
+    got = run_available_now(
+        streaming_decontaminate(spark, sf_dir), "s_decon", "complete"
+    )
+    want = decontaminate(spark, sf_dir)
+    cols = ("doc_id", "n_grams", "n_hits", "contaminated")
+    assert _rows(got, *cols) == _rows(want, *cols)
