@@ -20,7 +20,11 @@ if _REPO not in sys.path:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--repeat", type=int, default=3)
+    # 5 reps: single-run numbers on the shared sandbox drift ±45% and
+    # even 3-run medians flagged false regressions in round 3 — two
+    # extra laps cost ~90 s and make the median robust to one noisy
+    # neighbor-tenant burst spanning two runs
+    parser.add_argument("--repeat", type=int, default=5)
     parser.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )

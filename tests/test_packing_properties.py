@@ -153,3 +153,59 @@ def test_semantic_dedup_matches_reference(spark, seed, n):
                 dropped.add(j)
                 break
     assert kept == set(range(n)) - dropped
+
+
+@_SETTINGS
+@given(sizes=st.lists(st.integers(1, 40), min_size=2, max_size=10))
+def test_unigram_logprob_matches_reference(spark, sizes):
+    """Unigram LM scoring vs a pure-Python replay on randomized docs
+    drawn from a tiny token space (so vocab truncation and OOV paths
+    both exercise). Float compare at 1e-9 — the per-doc average sums
+    logs in engine partition order."""
+    import math
+
+    from guagua_spark.operators.text import (
+        OOV_FLOOR,
+        VOCAB_K,
+        unigram_logprob,
+    )
+    from guagua_spark.operators import text as text_mod
+    from guagua_spark.sources import tables as tables_mod
+
+    # build docs over a 30-token space: "w0".."w29"
+    rng_texts = [
+        " ".join(f"w{(i * 7 + j * 13) % 30}" for j in range(n))
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rng_texts)],
+        "doc_id long, text string",
+    )
+    # route the operator at the in-memory docs: monkeypatch load_table
+    orig = tables_mod.load_table
+    text_mod.load_table = lambda spark_, sf_, name_: df
+    try:
+        rows = {r.doc_id: r for r in unigram_logprob(spark, "ignored").collect()}
+    finally:
+        text_mod.load_table = orig
+
+    # pure-Python reference
+    toks = {i: t.split(" ") for i, t in enumerate(rng_texts)}
+    tc: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            tc[t] = tc.get(t, 0) + 1
+    total = sum(tc.values())
+    vocab = dict(
+        sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    )
+    for i, ts in toks.items():
+        n_oov = sum(1 for t in ts if t not in vocab)
+        logs = [
+            math.log((vocab.get(t, OOV_FLOOR) if t in vocab else OOV_FLOOR) / total)
+            for t in ts
+        ]
+        want = round(sum(logs) / len(logs), 6)
+        r = rows[i]
+        assert r.n_tokens == len(ts) and r.n_oov == n_oov
+        assert abs(r.avg_logprob - want) <= 1e-6
