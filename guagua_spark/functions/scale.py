@@ -21,6 +21,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def u32_hash(tag: str, key_col) -> F.Column:
+    """First 32 bits of md5(tag|key) as a bigint — THE deterministic,
+    engine-portable uniform hash used by every sampling/packing rule in
+    the repo (DuckDB replays it with a '0x'||substr cast, which a
+    seeded RNG stream could never offer). Bernoulli sampling keeps a
+    row iff u32 < rate·2³²: exactly reproducible on any engine, stable
+    under repartitioning, and join-free. Namespace with ``tag`` so
+    independent rules draw independent bits."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag + "|"), key_col)), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition ONLY when the plan yields fewer partitions than cores.
 

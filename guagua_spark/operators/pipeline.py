@@ -56,18 +56,10 @@ DEFAULT_RATE = 1.0
 MIX_CHAR_BUDGET = 50_000
 
 
-def _u32(tag: str, key_col: str) -> F.Column:
-    """First 32 bits of md5(tag|key) as a bigint — a deterministic,
-    engine-portable uniform hash (same trick as the LSH planes /
-    simhash oracles: DuckDB replays it with a '0x'||substr cast, which
-    a seeded RNG stream could never offer). Bernoulli sampling keeps a
-    row iff u32 < rate·2³²: exactly reproducible on any engine, stable
-    under repartitioning, and join-free."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(tag + "|"), key_col)), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
+#: the shared deterministic uniform hash (functions/scale.u32_hash) —
+#: re-exported under the historical private name used throughout the
+#: sampling/packing operators
+from guagua_spark.functions.scale import u32_hash as _u32  # noqa: E402
 
 
 def stratified_keep() -> "F.Column":

@@ -349,6 +349,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rescore_topk(ivf_candidates(spark, sf_dir), emb, q)
 
 
+def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Trained coarse-quantizer centroids for the sf_dir's embeddings —
+    a pure function of the (static) table, memoized per (sf_dir, table
+    fingerprint) so repeated invocations skip the sample collect +
+    driver-side Lloyd loop (an index is trained once and queried many
+    times; the FAISS design). Shared by the IVF ANN path and the
+    cluster-balanced sampler."""
+    from guagua_spark.sources.tables import table_fingerprint
+
+    memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    centroids = _IVF_CENTROID_CACHE.get(memo_key)
+    if centroids is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        sample = np.array(
+            [
+                r.embedding
+                for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
+                .orderBy("vec_id")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        centroids = _sample_kmeans(sample, IVF_CELLS)
+        _IVF_CENTROID_CACHE.clear()  # at most one live quantizer
+        _IVF_CENTROID_CACHE[memo_key] = centroids
+    return centroids
+
+
 def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id) IVF candidate pairs — the approximate stage.
 
@@ -362,27 +392,7 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    # quantizer centroids are a pure function of the (static) table —
-    # memoized per sf_dir so repeated invocations skip the sample
-    # collect + driver-side Lloyd loop (an index is trained once and
-    # queried many times; same pattern as the FAISS design cited above)
-    from guagua_spark.sources.tables import table_fingerprint
-
-    memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
-    centroids = _IVF_CENTROID_CACHE.get(memo_key)
-    if centroids is None:
-        sample = np.array(
-            [
-                r.embedding
-                for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
-                .orderBy("vec_id")
-                .collect()
-            ],
-            dtype=np.float64,
-        )
-        centroids = _sample_kmeans(sample, n_cells)
-        _IVF_CENTROID_CACHE.clear()  # at most one live quantizer
-        _IVF_CENTROID_CACHE[memo_key] = centroids
+    centroids = _quantizer_centroids(spark, sf_dir)
     corpus_c = emb.withColumn("cell", _cell_udf(centroids)(F.col("embedding")))
     # nprobe nearest cells per query, driver-side (queries are small)
     qrows = q.collect()
@@ -444,15 +454,23 @@ cand AS (
     return "WITH " + planes + ",\n" + RESCORE_ORACLE_SQL[len("WITH ") :]
 
 
-def _ivf_oracle() -> str:
-    """ann_ivf_topk end-to-end in SQL: a recursive CTE replays the
-    quantizer's Lloyd iterations over the deterministic sample (stride +
-    norm-sort init, empty cells carried — the same replay machinery as
-    the kmeans_train oracle), then assigns every corpus vector to its
-    arg-min cell, probes each query's IVF_NPROBE nearest cells, and
-    hands the candidate set to the shared exact-rescore stage.
-    Candidate-set equality with the numpy path verified at
-    sf0.01/sf0.1. Divergence hazard: the numpy path computes
+def _sql_dist(e: str, c: str, dim: int = DIM) -> str:
+    """Σ (e_j − c.c_j)² against a quantizer-cell row alias ``c``."""
+    return " + ".join(
+        f"((CAST({e}[{j+1}] AS DOUBLE) - {c}.c{j}) * "
+        f"(CAST({e}[{j+1}] AS DOUBLE) - {c}.c{j}))"
+        for j in range(dim)
+    )
+
+
+def _quantizer_asg_ctes() -> str:
+    """``smp`` → … → ``asg`` CTE block: a recursive CTE replays the
+    quantizer's Lloyd iterations over the deterministic sample (stride
+    + norm-sort init, empty cells carried — the same replay machinery
+    as the kmeans_train oracle), then assigns every corpus vector to
+    its arg-min cell. Shared by the IVF-ANN oracle and the
+    cluster-balanced sampler oracle. Must be preceded by
+    ``WITH RECURSIVE``. Divergence hazard: the numpy path computes
     nearest-cell via the expanded form ||c||² − 2x·c (one matmul per
     batch) while this oracle sums (x_j − c_j)² directly — two float
     expressions whose results differ by cancellation/summation-order
@@ -463,11 +481,7 @@ def _ivf_oracle() -> str:
     dim, k, iters = DIM, IVF_CELLS, QUANT_ITERS
 
     def dist(e: str, c: str) -> str:
-        return " + ".join(
-            f"((CAST({e}[{j+1}] AS DOUBLE) - {c}.c{j}) * "
-            f"(CAST({e}[{j+1}] AS DOUBLE) - {c}.c{j}))"
-            for j in range(dim)
-        )
+        return _sql_dist(e, c, dim)
 
     norm = " + ".join(
         f"(CAST(embedding[{j+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE))"
@@ -515,12 +529,21 @@ cf AS (SELECT * FROM cells WHERE i = {iters}),
 asg AS (
   SELECT e.vec_id, arg_min(cf.tag, ({dist('e.embedding', 'cf')})) AS cell
   FROM embeddings e, cf GROUP BY e.vec_id
-),
-probes AS (
+)"""
+    return quantizer
+
+
+def _ivf_oracle() -> str:
+    """ann_ivf_topk end-to-end in SQL: the shared quantizer replay
+    (_quantizer_asg_ctes), then each query probes its IVF_NPROBE
+    nearest cells and the candidate set feeds the shared exact-rescore
+    stage. Candidate-set equality with the numpy path verified at
+    sf0.01/sf0.1 (float-noise hazard documented on the CTE block)."""
+    probes = f"""probes AS (
   SELECT query_id, pcell FROM (
     SELECT q.vec_id AS query_id, cf.tag AS pcell,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY ({dist('q.embedding', 'cf')}), cf.tag) AS rn
+                              ORDER BY ({_sql_dist('q.embedding', 'cf')}), cf.tag) AS rn
     FROM embeddings q, cf WHERE q.vec_id < {NUM_QUERIES}
   ) WHERE rn <= {IVF_NPROBE}
 ),
@@ -530,7 +553,7 @@ cand AS (
 )"""
     assert RESCORE_ORACLE_SQL.startswith("WITH scored AS")
     return (
-        "WITH RECURSIVE " + quantizer + ",\n"
+        "WITH RECURSIVE " + _quantizer_asg_ctes() + ",\n" + probes + ",\n"
         + RESCORE_ORACLE_SQL[len("WITH ") :]
     )
 
@@ -540,3 +563,94 @@ ORACLE_SQL = {
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
 }
+
+
+# -- cluster-balanced sampling ----------------------------------------------
+
+#: per-cell vector budget for the balanced sampler (500 fixture vecs /
+#: 8 cells ≈ 62 — most cells get down-sampled, some stay whole)
+BALANCE_BUDGET = 40
+
+
+def embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection (semantic diversity sampling —
+    the curation move behind DeDuplicate-and-Diversify recipes): assign
+    every vector to its quantizer cell, then cap each cell at
+    BALANCE_BUDGET via the deterministic md5-Bernoulli rule with rate
+    min(1, budget/|cell|) — over-represented semantic regions get
+    down-sampled, sparse regions are kept whole. Reports per-cell
+    totals, kept counts, and a kept-id sum binding WHICH vectors
+    survive.
+
+    Same skeleton as the source-mixture operator but stratified by
+    LEARNED clusters instead of a metadata column: one Arrow-batched
+    matmul assigns cells (quantizer memoized per table fingerprint,
+    shared with ann_ivf_topk), one partial-agg exchange computes cell
+    counts, the rate join is AQE-sized (cell count is bounded = k),
+    and the keep rule is a map-side hash predicate — reproducible
+    engine-to-engine and under repartitioning."""
+    from guagua_spark.functions.scale import u32_hash
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _quantizer_centroids(spark, sf_dir)
+    cells = emb.withColumn(
+        "cell", _cell_udf(centroids)(F.col("embedding"))
+    ).select("vec_id", "cell")
+    rates = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .select(
+            "cell",
+            "n_total",
+            F.least(
+                F.lit(1.0), F.lit(float(BALANCE_BUDGET)) / F.col("n_total")
+            ).alias("rate"),
+        )
+    )
+    keep = u32_hash("bal", F.col("vec_id").cast("string")) < (
+        F.col("rate") * float(2**32)
+    )
+    return (
+        cells.join(rates, "cell")
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(
+            F.min("n_total").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("vec_id")).otherwise(0)).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _balanced_sample_oracle() -> str:
+    u32 = (
+        "CAST(('0x' || substr(md5('bal|' || CAST(a.vec_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT)"
+    )
+    return f"""
+WITH RECURSIVE {_quantizer_asg_ctes()},
+counts AS (SELECT cell, COUNT(*) AS n_total FROM asg GROUP BY cell),
+rates AS (
+  SELECT cell, n_total,
+         LEAST(1.0, {float(BALANCE_BUDGET)!r} / n_total) AS rate
+  FROM counts
+),
+k AS (
+  SELECT a.vec_id, a.cell, r.n_total,
+         {u32} < r.rate * 4294967296.0 AS keep
+  FROM asg a JOIN rates r USING (cell)
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(MIN(n_total) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN vec_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM k GROUP BY cell ORDER BY cell
+""".strip()
+
+
+#: oracle-tested locally, not in the 50-slot driver contract
+LOCAL_QUERIES = {"embedding_balanced_sample": embedding_balanced_sample}
+LOCAL_ORACLE_SQL = {"embedding_balanced_sample": _balanced_sample_oracle()}

@@ -73,3 +73,38 @@ def test_approx_variants_deterministic(spark, oracle_sf_dir, name):
     assert [(r.query_id, r.neighbor_id) for r in a] == [
         (r.query_id, r.neighbor_id) for r in b
     ]
+
+
+def test_balanced_sample_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.similarity import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        LOCAL_QUERIES["embedding_balanced_sample"](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL["embedding_balanced_sample"],
+    )
+
+
+def test_balanced_sample_caps_cells(spark, oracle_sf_dir):
+    """Every cell's kept count must respect the budget up to binomial
+    noise, and at least one cell must actually be down-sampled."""
+    import math
+
+    from guagua_spark.operators.similarity import (
+        BALANCE_BUDGET,
+        embedding_balanced_sample,
+    )
+
+    rows = embedding_balanced_sample(spark, oracle_sf_dir).collect()
+    assert any(r.n_kept < r.n_total for r in rows), "must down-sample"
+    for r in rows:
+        if r.n_total <= BALANCE_BUDGET:
+            assert r.n_kept == r.n_total  # sparse cells kept whole
+        else:
+            sigma = math.sqrt(BALANCE_BUDGET)
+            assert r.n_kept <= BALANCE_BUDGET + 4 * sigma + 1
