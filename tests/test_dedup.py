@@ -155,3 +155,26 @@ def test_clusters_prop_matches_oracle(spark, oracle_sf_dir, duck):
         duck,
         LOCAL_ORACLE_SQL["dedup_clusters_prop"],
     )
+
+
+def test_pair_cache_invalidates_on_fingerprint_change(spark, oracle_sf_dir):
+    """The session pair-graph memo must rebuild when the documents
+    table fingerprint changes (regenerated data under the same path),
+    and must serve the same DataFrame object on a clean hit."""
+    from unittest import mock
+
+    from guagua_spark.operators import dedup
+
+    dedup.clear_caches()
+    try:
+        a = dedup._minhash_pair_df(spark, oracle_sf_dir)
+        b = dedup._minhash_pair_df(spark, oracle_sf_dir)
+        assert a is b, "clean hit must not rebuild"
+        with mock.patch(
+            "guagua_spark.sources.tables.table_fingerprint",
+            return_value=("changed", 0, 0),
+        ):
+            c = dedup._minhash_pair_df(spark, oracle_sf_dir)
+        assert c is not a, "fingerprint change must rebuild"
+    finally:
+        dedup.clear_caches()
