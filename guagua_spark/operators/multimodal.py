@@ -193,9 +193,41 @@ def _decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, nf, np.frombuffer(payload[HEADER_LEN:], dtype=np.uint8)
 
 
+#: session memo of the synthetic asset table per sf_dir, persisted —
+#: a real pipeline READS stored media bytes; re-synthesizing them per
+#: query measured an extra Python encode stage in all four multimodal
+#: contract rows. Same contract as the other session memos: keyed on
+#: the documents fingerprint, one live entry, clear_caches() unpins,
+#: first build visible in the bench cold lane.
+_ASSET_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    """Unpersist and drop the asset memo (data-regen hook)."""
+    for _, df in _ASSET_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _ASSET_CACHE.clear()
+
+
 def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media binary, meta struct). The binary is
-    built in an Arrow-batched UDF (distributed, never on the driver)."""
+    built in an Arrow-batched UDF (distributed, never on the driver)
+    once per (sf_dir, table fingerprint) and persisted — downstream
+    decode/feature/resize operators read the stored bytes, like a real
+    pipeline reads an object store."""
+    from pyspark.storagelevel import StorageLevel
+
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "documents")
+    hit = _ASSET_CACHE.get(sf_dir)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        hit[1].unpersist()
     # repartition before the encode/decode UDF chain: a small parquet
     # file scans as ONE partition and projections (incl. pandas UDFs)
     # run below the exchange — without this every multimodal operator
@@ -211,7 +243,7 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ids.map(lambda i: _encode(int(i)))
 
     kind = F.when(F.col("doc_id") % 24 == 0, "image").otherwise("video")
-    return docs.select(
+    assets = docs.select(
         "doc_id",
         encode("doc_id").alias("media"),
         F.struct(
@@ -219,7 +251,10 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(32) + (F.col("doc_id") % 7) * 16).alias("width"),
             (F.lit(32) + (F.col("doc_id") % 5) * 16).alias("height"),
         ).alias("meta"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assets.count()
+    _ASSET_CACHE[sf_dir] = (fp, assets)
+    return assets
 
 
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
