@@ -128,6 +128,73 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(sem))
 
 
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature table — one row per
+    (doc, band) with the band's bucket hash. Shared by the self-join
+    (minhash_pairs_for) and cross-corpus (minhash_pairs_between)
+    candidate generators."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"__mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_pairs_between(new_docs: DataFrame, old_docs: DataFrame) -> DataFrame:
+    """Cross-corpus MinHash near-dup pairs (new_id, old_id, jaccard) —
+    the INCREMENTAL-INGEST primitive: dedup a freshly-crawled batch
+    against the standing corpus without re-pairing the corpus with
+    itself. Candidates come only from new×old bucket collisions (no
+    new×new, no old×old), so per-batch cost is O(|batch| signatures +
+    collisions) however large the standing corpus is; at 100 TB the old
+    side's bucket table is the stored LSH index (SCALE.md), re-read not
+    rebuilt. Verification is exact pairwise Jaccard, same as the
+    self-join path."""
+    def _sig(docs: DataFrame) -> DataFrame:
+        return with_signature(docs).select(
+            "doc_id",
+            "__shingles",
+            *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
+        ).localCheckpoint()
+
+    sig_n, sig_o = _sig(new_docs), _sig(old_docs)
+    bn = _band_buckets(sig_n).withColumnRenamed("doc_id", "new_id")
+    bo = _band_buckets(sig_o).withColumnRenamed("doc_id", "old_id")
+    cand = (
+        bn.join(bo, ["band", "bucket"]).select("new_id", "old_id").distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+    jac = inter.cast("double") / (
+        F.size("sh_n") + F.size("sh_o") - inter
+    )
+    return (
+        cand.join(
+            sig_n.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("__shingles").alias("sh_n"),
+            ),
+            "new_id",
+        )
+        .join(
+            sig_o.select(
+                F.col("doc_id").alias("old_id"),
+                F.col("__shingles").alias("sh_o"),
+            ),
+            "old_id",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 def minhash_pairs_for(docs: DataFrame) -> DataFrame:
     """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) for
     an arbitrary (doc_id, text) DataFrame — shared by
@@ -150,18 +217,7 @@ def minhash_pairs_for(docs: DataFrame) -> DataFrame:
         "__shingles",
         *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
     ).localCheckpoint()
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"__mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = _band_buckets(sig)
     cand = (
         buckets.alias("a")
         .join(
@@ -1178,12 +1234,62 @@ FROM (
 
 ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
 
+
+#: id split for the incremental-dedup fixture: doc_id ≥ INC_SPLIT plays
+#: the freshly-ingested batch, doc_id < INC_SPLIT the standing corpus
+INC_SPLIT = 450
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: for every NEW document (doc_id ≥
+    INC_SPLIT) that near-duplicates the standing corpus (doc_id <
+    INC_SPLIT), report the lowest matching corpus doc, the match count,
+    and the best Jaccard — the verdict an ingestion pipeline uses to
+    drop already-known documents before they enter the corpus. Built on
+    minhash_pairs_between (new×old bucket collisions only)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pairs = minhash_pairs_between(
+        docs.filter(F.col("doc_id") >= INC_SPLIT),
+        docs.filter(F.col("doc_id") < INC_SPLIT),
+    )
+    return (
+        pairs.groupBy(F.col("new_id").alias("doc_id"))
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_oracle() -> str:
+    """The cross-corpus pairs are exactly the full pair graph restricted
+    to (old, new) endpoints — bucket membership and the Jaccard verify
+    are per-doc/per-pair, and doc_a < doc_b with an id-based split means
+    every cross pair has doc_a on the old side."""
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of, COUNT(*) AS n_matches,
+       MAX(jaccard) AS best_jaccard
+FROM pairs
+WHERE doc_a < {INC_SPLIT} AND doc_b >= {INC_SPLIT}
+GROUP BY doc_b ORDER BY doc_b
+""".strip()
+
+
 #: oracle-tested locally, not in the 50-slot driver contract
 LOCAL_QUERIES = {
     "dedup_clusters_prop": dedup_clusters_prop,
     "semantic_dedup": semantic_dedup,
+    "dedup_incremental": dedup_incremental,
 }
 LOCAL_ORACLE_SQL = {
     "dedup_clusters_prop": _clusters_oracle(),
     "semantic_dedup": _semantic_oracle(),
+    "dedup_incremental": _incremental_oracle(),
 }

@@ -178,3 +178,40 @@ def test_pair_cache_invalidates_on_fingerprint_change(spark, oracle_sf_dir):
         assert c is not a, "fingerprint change must rebuild"
     finally:
         dedup.clear_caches()
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        __import__(
+            "guagua_spark.operators.dedup", fromlist=["LOCAL_ORACLE_SQL"]
+        ).LOCAL_ORACLE_SQL
+    ),
+)
+def test_local_queries_match_oracle(spark, oracle_sf_dir, duck, name):
+    """Every LOCAL dedup query vs its oracle — auto-covers new entries."""
+    from guagua_spark.operators.dedup import LOCAL_ORACLE_SQL, LOCAL_QUERIES
+
+    assert_matches_oracle(
+        LOCAL_QUERIES[name](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL[name],
+    )
+
+
+def test_incremental_dedup_flags_known_documents(spark, oracle_sf_dir):
+    """The synthetic corpus carries exact duplicates across the id
+    split, so the incremental pass must flag at least one new doc, and
+    every flagged doc's best match must be at or above the Jaccard
+    threshold with dup_of strictly on the old side."""
+    from guagua_spark.operators.dedup import (
+        INC_SPLIT,
+        JACCARD_THRESHOLD,
+        dedup_incremental,
+    )
+
+    rows = dedup_incremental(spark, oracle_sf_dir).collect()
+    assert rows, "must flag at least one incoming near-dup"
+    for r in rows:
+        assert r.doc_id >= INC_SPLIT and r.dup_of < INC_SPLIT
+        assert r.best_jaccard >= JACCARD_THRESHOLD
