@@ -81,7 +81,20 @@ def salted_agg(
     for out, (_, fn) in aggs.items():
         if fn not in _PARTIAL:
             raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
-    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    # content-derived salt (not rand(): SPARK-23207-class task retries
+    # replay a different rand() stream, and a content hash is the same
+    # policy the partitioned writer uses — sources/writers.py). Rows
+    # with identical content land on the same salt, which only affects
+    # the split evenness of a hot key (still n_salts-way unless the hot
+    # key is one duplicated row), never correctness: the phase-2 merge
+    # is salt-agnostic for every decomposable aggregate offered here.
+    salt = F.pmod(
+        u32_hash(
+            "salt",
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]),
+        ),
+        F.lit(n_salts),
+    ).alias("__salt")
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[
             _PARTIAL[fn](col).alias(f"__p_{out}")

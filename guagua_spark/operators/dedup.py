@@ -158,7 +158,16 @@ def minhash_pairs_between(new_docs: DataFrame, old_docs: DataFrame) -> DataFrame
     rebuilt. Verification is exact pairwise Jaccard, same as the
     self-join path."""
     def _sig(docs: DataFrame) -> DataFrame:
-        return with_signature(docs).select(
+        # ensure_parallelism (a no-op when the input already has ≥cores
+        # partitions, e.g. dedup_incremental's pre-repartitioned scan):
+        # the k·|shingles| md5 signature pass runs below the first
+        # exchange, and a small single-partition parquet scan would run
+        # it serially — the exact trap the module comments warn about
+        from guagua_spark.functions.scale import ensure_parallelism
+
+        return with_signature(
+            ensure_parallelism(docs, docs.sparkSession)
+        ).select(
             "doc_id",
             "__shingles",
             *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
@@ -264,8 +273,10 @@ def minhash_pairs_for(docs: DataFrame) -> DataFrame:
 #: materializes this index once and reuses it, which is exactly WHY LSH
 #: is the scale path). Same contract as iterative._FEATURE_CACHE /
 #: similarity._IVF_CENTROID_CACHE: keyed on the table fingerprint so
-#: regenerated data invalidates, one live entry per sf_dir, stale
-#: entries unpersisted on replace, clear_caches() drops everything;
+#: regenerated data invalidates, ONE live entry total (caching a new
+#: sf_dir evicts + unpersists every other — a session touching several
+#: scale dirs must not pin several corpus-sized pair graphs in the
+#: block manager), clear_caches() drops everything;
 #: first-build cost stays visible in the bench cold lane.
 _PAIR_CACHE: dict = {}
 
@@ -290,7 +301,10 @@ def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         if hit[0] == fp:
             return hit[1]
-        hit[1].unpersist()
+    # single-live-entry policy (same as _IVF_CENTROID_CACHE): a session
+    # touching several scale dirs must not pin one persisted pair graph
+    # per dir in the block manager — evict everything before caching
+    clear_caches()
     # repartition the raw text BEFORE computing signatures: the
     # k·|shingles| md5 calls are the dominant cost and projections run
     # below the exchange — on the single scan partition of a small file
@@ -459,10 +473,18 @@ def star_components(
         rounds += 1
         # large-star: for each edge (u,v), v > u, emit (v, m(u)).
         # No distinct on this INTERMEDIATE set: each input edge emits
-        # exactly one output edge (v joins a single m(u)), so duplicate
-        # multiplicity is bounded at 2 (canon collisions) — the
-        # small-star output below dedups, and skipping the exchange
-        # here removes one full shuffle stage per round.
+        # exactly one output edge (v joins a single m(u)), so the
+        # un-deduped set never exceeds |E| rows TOTAL — but duplicate
+        # multiplicity of a single (v, m) edge is O(degree(v)), not a
+        # constant: in a clique every neighbor u < v shares the same
+        # m(u), so all of v's edges collapse onto one output pair.
+        # That's safe (the small-star distinct + min-aggs absorb
+        # duplicates, and each round rebuilds from the deduped edge
+        # set, so there is no round-over-round growth) and still a
+        # win: skipping the exchange removes one full shuffle stage
+        # per round at the cost of shipping ≤|E| rows instead of
+        # ≤|distinct| into the small-star stage — equality-tested on a
+        # clique-heavy graph in tests/test_asof_cc_properties.py.
         sym = _sym(und)
         large = (
             _canon(

@@ -197,7 +197,8 @@ def _decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 #: a real pipeline READS stored media bytes; re-synthesizing them per
 #: query measured an extra Python encode stage in all four multimodal
 #: contract rows. Same contract as the other session memos: keyed on
-#: the documents fingerprint, one live entry, clear_caches() unpins,
+#: the documents fingerprint, ONE live entry total (caching a new
+#: sf_dir evicts + unpersists every other), clear_caches() unpins,
 #: first build visible in the bench cold lane.
 _ASSET_CACHE: dict = {}
 
@@ -227,7 +228,10 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         if hit[0] == fp:
             return hit[1]
-        hit[1].unpersist()
+    # single-live-entry policy (same as _IVF_CENTROID_CACHE): evict
+    # every cached dir before persisting a new one so a multi-dir
+    # session never pins several full asset tables simultaneously
+    clear_caches()
     # repartition before the encode/decode UDF chain: a small parquet
     # file scans as ONE partition and projections (incl. pandas UDFs)
     # run below the exchange — without this every multimodal operator

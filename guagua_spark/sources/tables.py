@@ -61,9 +61,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
     """Cheap content signature of a table's parquet files — sorted
     (relpath, size, mtime_ns) triples. Memo caches (k-means init, IVF
-    quantizer centroids, persisted feature inputs) key on this so that
-    regenerating the testdata under an unchanged path invalidates them
-    instead of silently serving stale derived state."""
+    quantizer centroids, persisted feature inputs, the MinHash pair
+    graph, media assets) key on this so that regenerating the testdata
+    under an unchanged path invalidates them instead of silently
+    serving stale derived state.
+
+    Deployment note (object stores): (size, mtime_ns) is a LOCAL-FS
+    contract — S3/GCS-style stores don't expose a stable mtime across
+    overwrites (multipart copies can preserve it) and some emulate
+    directories. Replace the stat triple with the listing's
+    (key, size, ETag/generation or version-id) per object — the same
+    sorted-tuple shape, so every memo's invalidation contract carries
+    over unchanged. On Hadoop-FS paths, `FileStatus.getModificationTime`
+    + length is the equivalent; checksum-bearing stores should prefer
+    the checksum. See SCALE.md (memo invalidation row)."""
     root = os.path.join(sf_dir, f"{name}.parquet")
     sig = []
     if os.path.isdir(root):

@@ -155,6 +155,29 @@ def test_star_raises_on_round_budget(spark):
         star_components(path, "a", "b", max_rounds=2)
 
 
+def test_star_on_clique_heavy_graph(spark):
+    """Dense cliques are the common near-dup component shape AND the
+    worst case for the large-star stage's skipped distinct (every
+    neighbor of v emits the same (v, component-min) edge — multiplicity
+    O(degree), ≤|E| total rows). The contraction must stay exact
+    there, not just on sparse Hypothesis graphs."""
+    import itertools
+
+    from guagua_spark.operators.dedup import star_components
+
+    edges = []
+    for c in range(4):  # 4 cliques of 25 nodes: 4 × 300 edges
+        nodes = range(c * 100, c * 100 + 25)
+        edges += list(itertools.combinations(nodes, 2))
+    df = spark.createDataFrame(edges, "a long, b long")
+    labels, _ = star_components(df, "a", "b")
+    got = {(r.node, r.label) for r in labels.collect()}
+    want = {
+        (n, c * 100) for c in range(4) for n in range(c * 100, c * 100 + 25)
+    }
+    assert got == want
+
+
 def test_star_labels_self_loop_only_nodes(spark):
     """A node whose only edge is a self-pair must appear (labeled with
     itself) from BOTH algorithms — row-identical outputs."""

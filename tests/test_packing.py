@@ -70,7 +70,13 @@ def test_packing_fills_sequences(spark, oracle_sf_dir):
     for r in rows:
         by_bucket[r.bucket].append(r)
     n_docs = sum(r.n_docs for r in rows)
-    assert n_docs == 500  # sf0.01 documents row count
+    # every document must be packed exactly once — derive the expected
+    # count from the fixture itself (a regenerated fixture of another
+    # size must fail at the data layer, not trip a misleading
+    # invariant-violation here)
+    from guagua_spark.sources.tables import load_table
+
+    assert n_docs == load_table(spark, oracle_sf_dir, "documents").count()
     for bucket, seqs in by_bucket.items():
         seqs.sort(key=lambda r: r.seq_id)
         assert [s.seq_id for s in seqs] == list(range(len(seqs)))

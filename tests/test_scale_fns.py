@@ -49,13 +49,22 @@ def test_salted_agg_equals_plain_agg(spark, skewed_df):
 
 
 def test_salted_agg_spreads_hot_key(spark, skewed_df):
-    # phase-1 output must hold multiple partial rows for the hot key
+    # phase-1 output must hold multiple partial rows for the hot key —
+    # mirror salted_agg's content-derived salt (u32_hash over all
+    # columns; rand() would replay differently on task retry)
+    from guagua_spark.functions.scale import u32_hash
+
+    salt = F.pmod(
+        u32_hash(
+            "salt",
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in skewed_df.columns]
+            ),
+        ),
+        F.lit(8),
+    )
     partial = (
-        skewed_df.withColumn(
-            "__salt", (F.rand(seed=42) * 8).cast("int")
-        )
-        .groupBy("key", "__salt")
-        .count()
+        skewed_df.withColumn("__salt", salt).groupBy("key", "__salt").count()
     )
     hot_partials = partial.filter(F.col("key") == "hot").count()
     assert hot_partials > 1
