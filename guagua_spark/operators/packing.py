@@ -43,6 +43,14 @@ from guagua_spark.sources.tables import load_table
 
 CHUNK_TOKENS = 32
 SEQ_TOKENS = 256
+#: bucket count PINNED BY THE CONTRACT ROWS + their DuckDB oracles
+#: (text_token_counts' pack columns, pipeline_pack_sequences, the
+#: training-set build). Library callers should NOT inherit this
+#: fixture-scale constant: pack_docs defaults its bucket count from
+#: defaultParallelism, and at 100 TB the right B is thousands (each
+#: bucket is one sorted window partition carrying ~1/B of the corpus).
+#: NB the output is a FUNCTION of B — membership derives from
+#: md5(doc_id) % B — so two runs only reproduce each other at equal B.
 PACK_BUCKETS = 8
 
 
@@ -104,15 +112,22 @@ FROM c ORDER BY doc_id, chunk_id
 """.strip()
 
 
-def pack_assignment(doc_id_col, raw_toks_col):
+def pack_assignment(doc_id_col, raw_toks_col, n_buckets: int = PACK_BUCKETS):
     """THE packing rule as three columns (bucket, seq_id, capped token
     count) over a doc-grain relation — single definition shared by
     pack_docs and the ``text_token_counts`` contract row's
     certification columns so the two can never drift. ``raw_toks_col``
     is the uncapped whitespace token count; docs over the budget are
-    capped at SEQ_TOKENS (a real pipeline chunks them first)."""
+    capped at SEQ_TOKENS (a real pipeline chunks them first).
+
+    ``n_buckets`` is the window-parallelism knob: each bucket is one
+    independently-sorted window partition holding ~1/B of the corpus,
+    and the (bucket, seq_id) output is a function of B (membership is
+    md5(doc_id) % B). The default pins the oracle-replayable fixture
+    constant; scale callers should come through pack_docs, which
+    defaults B from the cluster's parallelism."""
     h = _u32("pack", doc_id_col.cast("string"))
-    bucket = h % PACK_BUCKETS
+    bucket = h % n_buckets
     capped = F.least(raw_toks_col, F.lit(SEQ_TOKENS))
     w = (
         Window.partitionBy(bucket)
@@ -124,14 +139,25 @@ def pack_assignment(doc_id_col, raw_toks_col):
     return bucket.cast("bigint"), seq, capped
 
 
-def pack_docs(docs: DataFrame) -> DataFrame:
+def pack_docs(docs: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Core packing transform over a (doc_id, text) DataFrame —
     per-sequence packing stats: how many docs and tokens each
     fixed-budget training sequence receives under the deterministic
     concatenate-and-split rule. ``id_sum`` binds WHICH docs landed in
-    each sequence, not just how many."""
+    each sequence, not just how many.
+
+    ``n_buckets`` defaults to the session's defaultParallelism (one
+    sorted window partition per core; at 1000 executors that is
+    thousands of independent streams — the scale-correct default).
+    Pass an explicit B to reproduce a specific packing: the contract
+    rows pin ``PACK_BUCKETS`` so their DuckDB oracles can replay the
+    assignment; per-bucket packing is internally consistent at ANY B
+    (property-tested across several values in
+    tests/test_packing_properties.py)."""
+    if n_buckets is None:
+        n_buckets = docs.sparkSession.sparkContext.defaultParallelism
     raw = F.size(F.split(F.col("text"), " "))
-    bucket, seq, capped = pack_assignment(F.col("doc_id"), raw)
+    bucket, seq, capped = pack_assignment(F.col("doc_id"), raw, n_buckets)
     placed = docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -151,9 +177,10 @@ def pack_docs(docs: DataFrame) -> DataFrame:
 
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing of the documents table (see
-    pack_docs)."""
+    pack_docs). Pins B=PACK_BUCKETS — the oracle replays that B."""
     return pack_docs(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        n_buckets=PACK_BUCKETS,
     )
 
 
@@ -209,9 +236,9 @@ def pipeline_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guagua_spark.operators.pipeline import _clean_docs
 
     clean, filtered = _clean_docs(spark, sf_dir)
-    out = pack_docs(clean.select("doc_id", "text")).localCheckpoint(
-        eager=True
-    )
+    out = pack_docs(
+        clean.select("doc_id", "text"), n_buckets=PACK_BUCKETS
+    ).localCheckpoint(eager=True)
     filtered.unpersist()
     return out
 

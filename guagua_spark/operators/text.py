@@ -91,10 +91,12 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standalone per-sequence rollup stays in LOCAL_QUERIES under the
     50-slot cap). Cost: one bucket exchange + sort on doc-grain scalars
     on top of the previously map-only scan."""
-    from guagua_spark.operators.packing import pack_assignment
+    from guagua_spark.operators.packing import PACK_BUCKETS, pack_assignment
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket, seq, _ = pack_assignment(F.col("doc_id"), F.size(_tokens()))
+    bucket, seq, _ = pack_assignment(
+        F.col("doc_id"), F.size(_tokens()), PACK_BUCKETS
+    )
     return docs.select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),

@@ -87,6 +87,22 @@ def test_packing_fills_sequences(spark, oracle_sf_dir):
                 assert (k + 1) * SEQ_TOKENS <= prefix < (k + 2) * SEQ_TOKENS
 
 
+def test_pack_docs_default_buckets_from_parallelism(spark, oracle_sf_dir):
+    """Without an explicit B, pack_docs must scale its window
+    parallelism off the cluster (defaultParallelism), not the pinned
+    fixture constant — the 100 TB contract."""
+    from guagua_spark.operators.packing import pack_docs
+    from guagua_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    par = spark.sparkContext.defaultParallelism
+    buckets = {r.bucket for r in pack_docs(docs).collect()}
+    # md5 % par spreads 500 docs over every bucket w.h.p.
+    assert buckets == set(range(par))
+
+
 def test_semantic_dedup_drops_and_recall(spark, oracle_sf_dir, duck):
     """The dedup must actually drop rows on the fixture, and the
     OR-construction must catch ≥ 50% of the true τ-pairs (the

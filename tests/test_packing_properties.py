@@ -72,18 +72,26 @@ def _u32_ref(tag: str, key: str) -> int:
 
 
 @_SETTINGS
-@given(sizes=st.lists(st.integers(1, 2 * SEQ_TOKENS), min_size=1, max_size=12))
-def test_packing_matches_reference(spark, sizes):
+@given(
+    sizes=st.lists(st.integers(1, 2 * SEQ_TOKENS), min_size=1, max_size=12),
+    n_buckets=st.sampled_from([1, 3, PACK_BUCKETS, 32]),
+)
+def test_packing_matches_reference(spark, sizes, n_buckets):
+    """The packing rule must match the pure-Python replay at ANY bucket
+    count — B is the window-parallelism knob (defaulting from the
+    cluster's parallelism at scale) and the (bucket, seq) output is a
+    function of B, so per-bucket packing must stay internally
+    consistent whatever B a caller picks."""
     got = {
         (r.bucket, r.seq_id, r.n_docs, r.seq_toks, r.id_sum)
-        for r in pack_docs(_docs_df(spark, sizes)).collect()
+        for r in pack_docs(_docs_df(spark, sizes), n_buckets).collect()
     }
     # reference: per bucket, docs in (hash, doc_id) order, capped
     # cumsum, seq = start // B
     by_bucket: dict[int, list] = {}
     for doc_id, n in enumerate(sizes):
         h = _u32_ref("pack", str(doc_id))
-        by_bucket.setdefault(h % PACK_BUCKETS, []).append(
+        by_bucket.setdefault(h % n_buckets, []).append(
             (h, doc_id, min(n, SEQ_TOKENS))
         )
     want_rows: dict[tuple, list] = {}
