@@ -89,6 +89,52 @@ def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_certificate_cols(text_col: str = "text"):
+    """Per-doc chunk certificate WITHOUT the explode: (chunk count,
+    Σ u32(chunk_md5)) — the md5 expression is chunk_docs' own (slice →
+    array_join → md5), so the sum binds the VALUE of every chunk into a
+    doc-grain column pair and the chunking operator certifies inside a
+    per-doc contract row (text_token_counts; the exploded per-chunk
+    form stays in LOCAL_QUERIES under the 50-slot cap). Pure map-side
+    transform + aggregate — zero shuffle, rides any existing scan."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast(
+        "bigint"
+    )
+    md5s = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda c: F.md5(
+            F.array_join(
+                F.slice(toks, c * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            )
+        ),
+    )
+    hash_sum = F.aggregate(
+        md5s,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.conv(F.substring(x, 1, 8), 16, 10).cast("bigint"),
+    )
+    return n_chunks, hash_sum
+
+
+def sql_chunk_certificate(text_col: str = "text") -> tuple[str, str]:
+    """DuckDB replay of chunk_certificate_cols — (n_chunks expr,
+    hash-sum expr) over the same slice/join/md5 chunk values."""
+    toks = f"string_split({text_col}, ' ')"
+    n = f"CAST(ceil(len({toks}) / {float(CHUNK_TOKENS)!r}) AS BIGINT)"
+    piece = (
+        f"array_to_string({toks}[c * {CHUNK_TOKENS} + 1 : "
+        f"LEAST((c + 1) * {CHUNK_TOKENS}, len({toks}))], ' ')"
+    )
+    hash_sum = (
+        f"CAST(list_sum(list_transform(range({n}), "
+        f"c -> CAST(('0x' || substr(md5({piece}), 1, 8)) AS UBIGINT))) "
+        "AS BIGINT)"
+    )
+    return n, hash_sum
+
+
 def _chunks_oracle() -> str:
     return f"""
 WITH t AS (

@@ -90,13 +90,23 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing hash/bucket/cumsum/binning math per doc through this row;
     the standalone per-sequence rollup stays in LOCAL_QUERIES under the
     50-slot cap). Cost: one bucket exchange + sort on doc-grain scalars
-    on top of the previously map-only scan."""
-    from guagua_spark.operators.packing import PACK_BUCKETS, pack_assignment
+    on top of the previously map-only scan.
+
+    ``n_chunks``/``chunk_hash_sum``: the fixed-token chunking
+    certificate (packing.chunk_certificate_cols — same slice/md5 chunk
+    values as pipeline_doc_chunks, summed per doc instead of exploded),
+    certifying the chunking operator in this row too. Map-side only."""
+    from guagua_spark.operators.packing import (
+        PACK_BUCKETS,
+        chunk_certificate_cols,
+        pack_assignment,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     bucket, seq, _ = pack_assignment(
         F.col("doc_id"), F.size(_tokens()), PACK_BUCKETS
     )
+    n_chunks, chunk_hash_sum = chunk_certificate_cols()
     return docs.select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),
@@ -106,6 +116,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bucket.alias("pack_bucket"),
         seq.alias("pack_seq"),
+        n_chunks.alias("n_chunks"),
+        chunk_hash_sum.alias("chunk_hash_sum"),
     ).orderBy("doc_id")
 
 
@@ -117,6 +129,16 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the other features, so merging costs nothing and the driver
     certifies the standalone repetition_scores operator's math through
     these columns (contract is capped at 50 rows).
+
+    ``ulm_oov_total``/``ulm_mu_sum``/``ulm_id_wsum``: the unigram-LM
+    quality-scoring certificate (unigram_logprob_df) as a 1-row
+    broadcast cross join — total OOV tokens, the sum of every per-doc
+    ROUND(avg_logprob·10⁶) as an exact integer, and the doc_id-weighted
+    version of that sum (binds WHICH doc carries WHICH score, not just
+    the corpus total). Integer certificates, not float sums: summing
+    doubles across engines is order-sensitive, summing per-doc rounded
+    integers is exact. This certifies the standalone LOCAL operator
+    inside the 50-slot cap.
 
     Repartitioned before the projection: the per-row gram-distinct work
     is the heaviest expression in the text family and a small parquet
@@ -151,18 +173,28 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_grams > 0,
         F.round(F.lit(1.0) - n_distinct_g.cast("double") / n_grams, 6),
     ).otherwise(F.lit(0.0))
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars_text"),
-        n_tokens.alias("n_tokens"),
-        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        # try_divide: an empty doc has length 0 and under ANSI mode a
-        # raw division would kill the job; NULL matches DuckDB's x/0
-        F.try_divide(n_alpha.cast("double"), n_chars).alias("alpha_ratio"),
-        n_grams.alias("n_grams"),
-        rep.alias("rep_ratio"),
-    ).orderBy("doc_id")
+    mu = F.round(F.col("avg_logprob") * 1e6)
+    ucert = unigram_logprob_df(docs.select("doc_id", "text")).agg(
+        F.sum("n_oov").alias("ulm_oov_total"),
+        F.sum(mu.cast("bigint")).alias("ulm_mu_sum"),
+        F.sum((F.col("doc_id") * mu).cast("bigint")).alias("ulm_id_wsum"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_chars.alias("n_chars_text"),
+            n_tokens.alias("n_tokens"),
+            (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+            (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+            # try_divide: an empty doc has length 0 and under ANSI mode a
+            # raw division would kill the job; NULL matches DuckDB's x/0
+            F.try_divide(n_alpha.cast("double"), n_chars).alias("alpha_ratio"),
+            n_grams.alias("n_grams"),
+            rep.alias("rep_ratio"),
+        )
+        .crossJoin(F.broadcast(ucert))
+        .orderBy("doc_id")
+    )
 
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +443,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-weighted hit sum (binds WHICH documents matched, not just
     how many), and the total scrubbed-corpus length (binds the
     replacement arithmetic).
+
+    ``decon_flagged``/``decon_hits_total``/``decon_id_sum``: the
+    train/test-decontamination certificate (decontaminate_df) as a
+    1-row broadcast cross join — how many training docs the n-gram
+    overlap rule flags, the total heldout-gram hits, and the flagged
+    doc_id sum (binds WHICH docs), certifying the standalone LOCAL
+    operator inside the 50-slot cap.
     """
     docs = load_table(spark, sf_dir, "documents")
     aggs = [
@@ -429,7 +468,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length(red_text).cast("bigint")).alias("redacted_chars"),
     ]
-    return docs.agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    dcert = decontaminate_df(docs.select("doc_id", "text")).agg(
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
+            "decon_flagged"
+        ),
+        F.sum("n_hits").alias("decon_hits_total"),
+        F.sum(
+            F.when(F.col("contaminated"), F.col("doc_id")).otherwise(0)
+        ).alias("decon_id_sum"),
+    )
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"), *aggs).crossJoin(
+        F.broadcast(dcert)
+    )
 
 
 def _sql_tokens() -> str:
@@ -469,7 +519,15 @@ def _lang_oracle() -> str:
 def _quality_oracle() -> str:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
-WITH g AS (SELECT *, {_sql_grams(REP_GRAM)} AS grams FROM documents)
+WITH g AS (SELECT *, {_sql_grams(REP_GRAM)} AS grams FROM documents),
+{_unigram_ctes()},
+ucert AS (
+  SELECT CAST(SUM(n_oov) AS BIGINT) AS ulm_oov_total,
+         CAST(SUM(ROUND(avg_logprob * 1000000)) AS BIGINT) AS ulm_mu_sum,
+         CAST(SUM(doc_id * ROUND(avg_logprob * 1000000)) AS BIGINT)
+           AS ulm_id_wsum
+  FROM uni
+)
 SELECT doc_id,
        LENGTH(text) AS n_chars_text,
        len({_sql_tokens()}) AS n_tokens,
@@ -483,8 +541,9 @@ SELECT doc_id,
        CASE WHEN len(grams) > 0
             THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
                        / len(grams), 6)
-            ELSE 0.0 END AS rep_ratio
-FROM g ORDER BY doc_id
+            ELSE 0.0 END AS rep_ratio,
+       ulm_oov_total, ulm_mu_sum, ulm_id_wsum
+FROM g, ucert ORDER BY doc_id
 """.strip()
 
 
@@ -507,7 +566,9 @@ _ROLLING_FP_SQL = f"""list_min(list_transform(
 
 ORACLE_SQL = {
     "text_token_counts": None,  # assigned right after this dict literal
-    "text_quality_scores": _quality_oracle(),
+    # assigned at the bottom of the module — the quality oracle splices
+    # the unigram-LM CTE block, defined down there
+    "text_quality_scores": None,
     "text_language_id": _lang_oracle(),
     "text_fingerprints": (
         "SELECT doc_id, md5(text) AS fingerprint, "
@@ -569,34 +630,24 @@ FROM ranked r
 LEFT JOIN (SELECT * FROM br WHERE rnk <= {BOILER_TOP}) b ON r.rnk = b.rnk
 WHERE r.rnk <= {NGRAM_TOP_K} ORDER BY r.rnk
 """.strip(),
-    "text_contamination": (
-        "SELECT COUNT(*) AS n_docs, "
-        + ", ".join(
-            f"CAST(SUM(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END) "
-            f"AS BIGINT) AS probe_{i}"
-            for i, p in enumerate(CONTAMINATION_PROBES)
-        )
-        + f", CAST(SUM(CASE WHEN len(regexp_extract_all(text,"
-        f" '{REDACT_PATTERN}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS redacted_docs"
-        f", CAST(SUM(len(regexp_extract_all(text, '{REDACT_PATTERN}')))"
-        f" AS BIGINT) AS n_redacted_total"
-        f", CAST(SUM(doc_id * len(regexp_extract_all(text,"
-        f" '{REDACT_PATTERN}'))) AS BIGINT) AS redact_id_sum"
-        f", CAST(SUM(LENGTH(regexp_replace(text, '{REDACT_PATTERN}',"
-        f" '{REDACT_TOKEN}', 'g'))) AS BIGINT) AS redacted_chars"
-        " FROM documents"
-    ),
+    # assigned at the bottom of the module — splices the decontamination
+    # CTE block, defined down there
+    "text_contamination": None,
 }
 
 
 def _token_counts_oracle() -> str:
-    from guagua_spark.operators.packing import PACK_BUCKETS, SEQ_TOKENS
+    from guagua_spark.operators.packing import (
+        PACK_BUCKETS,
+        SEQ_TOKENS,
+        sql_chunk_certificate,
+    )
 
     u32 = (
         "CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))"
         " AS UBIGINT)"
     )
+    n_chunks, chunk_hash_sum = sql_chunk_certificate()
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -604,7 +655,9 @@ WITH base AS (
          len(list_distinct({_sql_tokens()})) AS n_distinct_tokens,
          len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
          {u32} AS h,
-         LEAST(len({_sql_tokens()}), {SEQ_TOKENS}) AS capped
+         LEAST(len({_sql_tokens()}), {SEQ_TOKENS}) AS capped,
+         {n_chunks} AS n_chunks,
+         {chunk_hash_sum} AS chunk_hash_sum
   FROM documents
 )
 SELECT doc_id, n_tokens, n_distinct_tokens, n_bpe_tokens,
@@ -612,7 +665,8 @@ SELECT doc_id, n_tokens, n_distinct_tokens, n_bpe_tokens,
        CAST(FLOOR((SUM(capped) OVER (PARTITION BY h % {PACK_BUCKETS}
                                      ORDER BY h, doc_id
                                      ROWS UNBOUNDED PRECEDING) - capped)
-                  / {float(SEQ_TOKENS)!r}) AS BIGINT) AS pack_seq
+                  / {float(SEQ_TOKENS)!r}) AS BIGINT) AS pack_seq,
+       n_chunks, chunk_hash_sum
 FROM base ORDER BY doc_id
 """.strip()
 
@@ -752,6 +806,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side; the per-doc rollup partial-aggregates; short docs
     (< DECON_GRAM tokens) survive via explode_outer with zero grams."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate_df(docs).orderBy("doc_id")
+
+
+def decontaminate_df(docs: DataFrame) -> DataFrame:
+    """Core per-training-doc decontamination rollup over a
+    (doc_id, text) DataFrame — shared by the standalone LOCAL query and
+    the corpus-level certificate columns merged into
+    text_contamination (see decontaminate for the plan notes)."""
     grams = _decon_grams()
     train = docs.filter(F.col("doc_id") >= DECON_HELDOUT).select(
         "doc_id", F.explode_outer(grams).alias("g")
@@ -775,36 +837,75 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             (F.col("n_hits") > 0).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
-def _decontaminate_oracle() -> str:
+def _decon_ctes(source: str = "documents") -> str:
+    """``dtoks`` → … → ``dec`` CTE block replaying decontaminate_df
+    over any (doc_id, text) source — shared by the standalone LOCAL
+    oracle and the certificate columns inside the contamination
+    oracle."""
     w = DECON_GRAM
-    return f"""
-WITH toks AS (
-  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    return f"""dtoks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM {source}
 ),
-grams AS (
+dgrams AS (
   SELECT doc_id, array_to_string(t[i:i+{w - 1}], ' ') AS g
-  FROM toks, unnest(range(1, len(t) - {w - 2})) AS u(i)
+  FROM dtoks, unnest(range(1, len(t) - {w - 2})) AS u(i)
   WHERE len(t) >= {w}
 ),
-held AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_HELDOUT}),
-hits AS (
+dheld AS (SELECT DISTINCT g FROM dgrams WHERE doc_id < {DECON_HELDOUT}),
+dhits AS (
   SELECT g.doc_id, COUNT(*) AS n_grams,
          SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-  FROM grams g LEFT JOIN held h ON g.g = h.g
+  FROM dgrams g LEFT JOIN dheld h ON g.g = h.g
   WHERE g.doc_id >= {DECON_HELDOUT}
   GROUP BY g.doc_id
+),
+dec AS (
+  SELECT d.doc_id,
+         COALESCE(n_grams, 0) AS n_grams,
+         CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         COALESCE(n_hits, 0) > 0 AS contaminated
+  FROM {source} d LEFT JOIN dhits ON dhits.doc_id = d.doc_id
+  WHERE d.doc_id >= {DECON_HELDOUT}
+)"""
+
+
+def _decontaminate_oracle() -> str:
+    return f"WITH {_decon_ctes()}\nSELECT * FROM dec ORDER BY doc_id"
+
+
+def _contamination_oracle() -> str:
+    probes = ", ".join(
+        f"CAST(SUM(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS probe_{i}"
+        for i, p in enumerate(CONTAMINATION_PROBES)
+    )
+    return f"""
+WITH {_decon_ctes()},
+dcert AS (
+  SELECT CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS decon_flagged,
+         CAST(SUM(n_hits) AS BIGINT) AS decon_hits_total,
+         CAST(SUM(CASE WHEN contaminated THEN doc_id ELSE 0 END) AS BIGINT)
+           AS decon_id_sum
+  FROM dec
+),
+main AS (
+  SELECT COUNT(*) AS n_docs, {probes},
+         CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+           '{REDACT_PATTERN}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS redacted_docs,
+         CAST(SUM(len(regexp_extract_all(text, '{REDACT_PATTERN}')))
+           AS BIGINT) AS n_redacted_total,
+         CAST(SUM(doc_id * len(regexp_extract_all(text,
+           '{REDACT_PATTERN}'))) AS BIGINT) AS redact_id_sum,
+         CAST(SUM(LENGTH(regexp_replace(text, '{REDACT_PATTERN}',
+           '{REDACT_TOKEN}', 'g'))) AS BIGINT) AS redacted_chars
+  FROM documents
 )
-SELECT d.doc_id,
-       COALESCE(n_grams, 0) AS n_grams,
-       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-       COALESCE(n_hits, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
-WHERE d.doc_id >= {DECON_HELDOUT}
-ORDER BY d.doc_id
+SELECT main.*, dcert.* FROM main, dcert
 """.strip()
 
 
@@ -836,6 +937,14 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, count) pairs or per-doc partials; a globally-hot term is
     absorbed by the map-side partial agg."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_df(docs).orderBy("doc_id")
+
+
+def unigram_logprob_df(docs: DataFrame) -> DataFrame:
+    """Core per-doc unigram-LM rollup over a (doc_id, text) DataFrame —
+    shared by the standalone LOCAL query and the corpus-level
+    certificate columns merged into text_quality_scores (see
+    unigram_logprob for the plan notes)."""
     toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total = tc.agg(F.sum("c").alias("n"))
@@ -852,21 +961,19 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logp"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("oov").alias("n_oov"),
-            F.round(F.avg("logp"), 6).alias("avg_logprob"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
     )
 
 
-def _unigram_oracle() -> str:
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+def _unigram_ctes(source: str = "documents") -> str:
+    """``toks`` → … → ``uni`` CTE block replaying unigram_logprob_df
+    over any (doc_id, text) source — shared by the standalone LOCAL
+    oracle and the certificate columns inside the quality oracle."""
+    return f"""toks AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM {source}
 ),
 tc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
 tot AS (SELECT SUM(c) AS n FROM tc),
@@ -876,12 +983,21 @@ scored AS (
          CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov,
          ln(COALESCE(CAST(v.c AS DOUBLE), {OOV_FLOOR!r}) / tot.n) AS logp
   FROM toks t LEFT JOIN vocab v ON t.term = v.term, tot
-)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       CAST(SUM(oov) AS BIGINT) AS n_oov,
-       ROUND(AVG(logp), 6) AS avg_logprob
-FROM scored GROUP BY doc_id ORDER BY doc_id
-""".strip()
+),
+uni AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(oov) AS BIGINT) AS n_oov,
+         ROUND(AVG(logp), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id
+)"""
+
+
+def _unigram_oracle() -> str:
+    return f"WITH {_unigram_ctes()}\nSELECT * FROM uni ORDER BY doc_id"
+
+
+ORACLE_SQL["text_quality_scores"] = _quality_oracle()
+ORACLE_SQL["text_contamination"] = _contamination_oracle()
 
 
 #: standalone building-block queries kept oracle-tested locally
