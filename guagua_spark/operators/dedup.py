@@ -104,28 +104,97 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_CERT_VECS = 500
 
 
+#: memo of the bounded semantic-dedup certificate scalars per
+#: (sf_dir, embeddings fingerprint) — the certificate is O(1) by
+#: construction (SEM_CERT_VECS rows) but costs two applyInPandas
+#: stages; recomputing it on every dedup_exact_stats call measured
+#: ~1.1 s of repeated work. Tiny values (two ints), so no eviction
+#: pressure; clear_caches() drops it with the pair graph.
+_SEM_CERT_CACHE: dict = {}
+
+
+def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (sem_kept, sem_kept_id_sum) certificate of semantic_dedup
+    over the first SEM_CERT_VECS embeddings — memoized per table
+    fingerprint; NULL columns when the dataset dir has no embeddings
+    table (documents-only datasets must not fail the whole stats
+    row)."""
+    import os
+
+    from guagua_spark.sources.tables import table_fingerprint
+
+    schema = "sem_kept bigint, sem_kept_id_sum bigint"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return spark.createDataFrame([(None, None)], schema)
+    key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    vals = _SEM_CERT_CACHE.get(key)
+    if vals is None:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < SEM_CERT_VECS)
+            .select("vec_id", "embedding")
+        )
+        row = (
+            semantic_dedup_df(emb)
+            .agg(F.count(F.lit(1)), F.sum("vec_id"))
+            .collect()[0]
+        )
+        vals = (row[0], row[1])
+        _SEM_CERT_CACHE.clear()  # at most one live certificate
+        _SEM_CERT_CACHE[key] = vals
+    return spark.createDataFrame([vals], schema)
+
+
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: total docs, distinct texts, removed count — plus the
-    semantic-dedup certificate (kept-row count and kept-id sum of
-    ``semantic_dedup`` over the first SEM_CERT_VECS embeddings; the id
-    sum binds WHICH vectors the τ-neighbor rule keeps, so the driver
-    hash-certifies the round-4 operator inside the 50-slot cap; the
-    full-corpus form stays in LOCAL_QUERIES)."""
+    """One row: total docs, distinct texts, removed count — plus two
+    merged certificates binding round-4 LOCAL operators into this
+    contract row (50-slot cap):
+
+    - ``inc_*``: the incremental-ingest dedup rollup
+      (dedup_incremental) — flagged-new-doc count, total matches,
+      dup_of id sum, and the integer sum of per-doc
+      ROUND(best_jaccard·10⁶). Computed from the SESSION PAIR INDEX
+      restricted to (old, new) endpoints, which equals
+      minhash_pairs_between exactly (bucket membership and the Jaccard
+      verify are per-doc/per-pair — the same argument the oracle
+      replays); per-pair jaccard is an int/int division, so the
+      rounded integers are engine-exact.
+    - ``sem_*``: the semantic-dedup certificate (kept-row count and
+      kept-id sum over the first SEM_CERT_VECS embeddings; memoized
+      per table fingerprint, NULL when embeddings are absent)."""
     docs = load_table(spark, sf_dir, "documents")
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < SEM_CERT_VECS)
-        .select("vec_id", "embedding")
+    cross = _minhash_pair_df(spark, sf_dir).filter(
+        (F.col("doc_a") < INC_SPLIT) & (F.col("doc_b") >= INC_SPLIT)
     )
-    sem = semantic_dedup_df(emb).agg(
-        F.count(F.lit(1)).alias("sem_kept"),
-        F.sum("vec_id").alias("sem_kept_id_sum"),
+    per_new = cross.groupBy("doc_b").agg(
+        F.min("doc_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
     )
-    return docs.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("text").alias("distinct_texts"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("removed"),
-    ).crossJoin(F.broadcast(sem))
+    inc = per_new.agg(
+        F.count(F.lit(1)).alias("inc_flagged"),
+        F.coalesce(F.sum("n_matches"), F.lit(0))
+        .cast("bigint")
+        .alias("inc_match_total"),
+        F.coalesce(F.sum("dup_of"), F.lit(0))
+        .cast("bigint")
+        .alias("inc_dup_of_sum"),
+        F.coalesce(
+            F.sum(F.round(F.col("best_jaccard") * 1e6).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("inc_jac_musum"),
+    )
+    return (
+        docs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("text").alias("distinct_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("removed"),
+        )
+        .crossJoin(F.broadcast(inc))
+        .crossJoin(F.broadcast(_sem_cert_df(spark, sf_dir)))
+    )
 
 
 def _band_buckets(sig: DataFrame) -> DataFrame:
@@ -282,13 +351,15 @@ _PAIR_CACHE: dict = {}
 
 
 def clear_caches() -> None:
-    """Unpersist and drop the pair-graph memo (data-regen hook)."""
+    """Unpersist and drop the pair-graph memo and the semantic-dedup
+    certificate scalars (data-regen hook)."""
     for _, df in _PAIR_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _PAIR_CACHE.clear()
+    _SEM_CERT_CACHE.clear()
 
 
 def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,15 +1281,17 @@ def _semantic_dropped_ctes(source: str = "embeddings") -> str:
         "sem", SEM_TABLES, SEM_BITS, source=source
     )
     cos = sql_cosine("ea.embedding", "eb.embedding", DIM)
+    # scand, not cand: the exact-stats oracle splices this block next
+    # to the minhash pair block, which owns the `cand` name
     return f"""{buckets},
-cand AS (
+scand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bk a
   JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 dropped AS (
   SELECT DISTINCT c.vec_b AS vec_id
-  FROM cand c
+  FROM scand c
   JOIN {source} ea ON ea.vec_id = c.vec_a
   JOIN {source} eb ON eb.vec_id = c.vec_b
   WHERE {cos} >= {SEM_TAU!r}
@@ -1244,22 +1317,41 @@ sem AS (
   SELECT COUNT(*) AS sem_kept,
          CAST(SUM(vec_id) AS BIGINT) AS sem_kept_id_sum
   FROM cert WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+),
+{_minhash_pair_ctes()},
+inc_per AS (
+  SELECT doc_b, MIN(doc_a) AS dup_of, COUNT(*) AS n_matches,
+         MAX(jaccard) AS best_jaccard
+  FROM pairs
+  WHERE doc_a < {INC_SPLIT} AND doc_b >= {INC_SPLIT}
+  GROUP BY doc_b
+),
+inc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS inc_flagged,
+         CAST(COALESCE(SUM(n_matches), 0) AS BIGINT) AS inc_match_total,
+         CAST(COALESCE(SUM(dup_of), 0) AS BIGINT) AS inc_dup_of_sum,
+         CAST(COALESCE(SUM(CAST(ROUND(best_jaccard * 1000000) AS BIGINT)),
+                       0) AS BIGINT) AS inc_jac_musum
+  FROM inc_per
 )
-SELECT d.total, d.distinct_texts, d.removed, s.sem_kept, s.sem_kept_id_sum
+SELECT d.total, d.distinct_texts, d.removed,
+       i.inc_flagged, i.inc_match_total, i.inc_dup_of_sum, i.inc_jac_musum,
+       s.sem_kept, s.sem_kept_id_sum
 FROM (
   SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,
          COUNT(*) - COUNT(DISTINCT text) AS removed
   FROM documents
-) d, sem s
+) d, inc i, sem s
 """.strip()
-
-
-ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
 
 
 #: id split for the incremental-dedup fixture: doc_id ≥ INC_SPLIT plays
 #: the freshly-ingested batch, doc_id < INC_SPLIT the standing corpus
+#: (defined before the exact-stats oracle assignment below, which
+#: splices the incremental certificate block)
 INC_SPLIT = 450
+
+ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
