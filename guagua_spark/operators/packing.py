@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from guagua_spark.operators.pipeline import _u32
+# the shared deterministic uniform hash, imported from its home module
+# (not via operators.pipeline — pipeline's oracle splices this module's
+# CTE blocks, and a top-level import in both directions would make the
+# module init order matter)
+from guagua_spark.functions.scale import u32_hash as _u32
 from guagua_spark.sources.tables import load_table
 
 CHUNK_TOKENS = 32

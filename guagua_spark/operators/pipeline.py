@@ -152,6 +152,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       source-mixture rule at rates min(1, budget/total_chars(source))
       computed over the clean corpus.
 
+    ``ts_n_seqs``/``ts_tokens``/``ts_checksum``: the end-to-end
+    training-set-build certificate (pipeline_build_training_set =
+    quality filter → LSH dedup → sequence packing) as a 1-row broadcast
+    cross join — sequence count, packed-token total, and a
+    (bucket·10⁶ + seq + 1)-weighted id_sum checksum binding WHICH docs
+    land in WHICH sequence of the CLEANED corpus. Computed from the
+    same checkpointed slim relation (pack_assignment needs only doc_id
+    + token count), so the clean subtree runs once; the oracle splices
+    the identical pack CTE block over its ``clean`` CTE. Certifies the
+    composition LOCAL operator inside the 50-slot cap.
+
     The mixture rates need per-source totals of the clean corpus while
     the mix predicate is per-row — two passes over the cleaned relation
     are inherent. To keep that cheap the clean corpus is condensed ONCE
@@ -160,7 +171,35 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed; the rates aggregate and the final rollup both read
     the condensed relation instead of re-running the filter + anti-join
     subtree."""
+    from guagua_spark.operators.packing import PACK_BUCKETS, pack_assignment
+
     slim = _clean_slim(spark, sf_dir)
+    bucket, seq, capped = pack_assignment(
+        F.col("doc_id"), F.col("n_toks"), PACK_BUCKETS
+    )
+    seqs = (
+        slim.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            seq.alias("seq_id"),
+            capped.alias("capped"),
+        )
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.sum("capped").alias("seq_toks"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+    tcert = seqs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ts_n_seqs"),
+        F.sum("seq_toks").cast("bigint").alias("ts_tokens"),
+        F.sum(
+            (F.col("bucket") * 1_000_000 + F.col("seq_id") + 1)
+            * F.col("id_sum")
+        )
+        .cast("bigint")
+        .alias("ts_checksum"),
+    )
     rates = slim.groupBy("source").agg(
         F.least(
             F.lit(1.0),
@@ -191,11 +230,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_chars"
             ),
         )
+        .crossJoin(F.broadcast(tcert))
         .orderBy("lang", "source")
     )
 
 
 def _pipeline_oracle() -> str:
+    from guagua_spark.operators.packing import SEQ_TOKENS, _pack_ctes
+
     strat_cases = " ".join(
         f"WHEN lang = '{lang}' THEN {r!r}"
         for lang, r in STRATIFIED_RATES.items()
@@ -238,6 +280,21 @@ rates AS (
   SELECT source,
          LEAST(1.0, {float(MIX_CHAR_BUDGET)!r} / SUM(n_chars)) AS rate
   FROM clean GROUP BY source
+),
+{_pack_ctes(source="clean")},
+seqs AS (
+  SELECT bucket,
+         CAST(FLOOR((running - n_toks) / {float(SEQ_TOKENS)!r}) AS BIGINT)
+           AS seq_id,
+         SUM(n_toks) AS seq_toks, SUM(doc_id) AS id_sum
+  FROM placed GROUP BY 1, 2
+),
+tcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ts_n_seqs,
+         CAST(SUM(seq_toks) AS BIGINT) AS ts_tokens,
+         CAST(SUM((bucket * 1000000 + seq_id + 1) * id_sum) AS BIGINT)
+           AS ts_checksum
+  FROM seqs
 )
 SELECT lang, c.source, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -249,9 +306,11 @@ SELECT lang, c.source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN {mix_keep} THEN 1 ELSE 0 END) AS BIGINT)
          AS mix_docs,
        CAST(SUM(CASE WHEN {mix_keep} THEN n_chars ELSE 0 END) AS BIGINT)
-         AS mix_chars
-FROM clean c JOIN rates r ON c.source = r.source
-GROUP BY lang, c.source ORDER BY lang, c.source
+         AS mix_chars,
+       ts_n_seqs, ts_tokens, ts_checksum
+FROM clean c JOIN rates r ON c.source = r.source, tcert
+GROUP BY lang, c.source, ts_n_seqs, ts_tokens, ts_checksum
+ORDER BY lang, c.source
 """.strip()
 
 

@@ -201,8 +201,7 @@ def exact_rescore_topk(cand: DataFrame, emb: DataFrame, q: DataFrame) -> DataFra
     )
 
 
-RESCORE_ORACLE_SQL = f"""
-WITH scored AS (
+RESCORE_CTES = f"""scored AS (
   SELECT cand.query_id, c.vec_id AS neighbor_id,
          {sql_cosine("c.embedding", "q.embedding", DIM)} AS cosine
   FROM cand
@@ -214,11 +213,13 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, rank, cosine
+)"""
+
+RESCORE_SELECT = f"""SELECT query_id, neighbor_id, rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
-""".strip()
+ORDER BY query_id, rank"""
+
+RESCORE_ORACLE_SQL = f"WITH {RESCORE_CTES}\n{RESCORE_SELECT}"
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,12 +342,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across 32 Python workers for no compute benefit, and sampling
     through that shuffle would shuffle the full corpus to feed a
     ``limit``.
+
+    ``bal_*``: the cluster-balanced-sampling certificate
+    (embedding_balanced_sample, 1-row broadcast cross join) — cell
+    count, total kept, kept-id sum, and the (cell+1)-weighted kept-id
+    sum binding WHICH ids survive in WHICH cell. It reuses this row's
+    memoized quantizer, so the extra cost is one more cell-UDF pass +
+    a ≤k-row rollup; the oracle replays it off the same ``asg`` CTE.
+    Certifies the standalone LOCAL operator inside the 50-slot cap.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return exact_rescore_topk(ivf_candidates(spark, sf_dir), emb, q)
+    bal = _balanced_cells_df(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("bal_cells"),
+        F.sum("n_kept").cast("bigint").alias("bal_kept"),
+        F.sum("kept_id_sum").cast("bigint").alias("bal_id_sum"),
+        F.sum((F.col("cell") + 1) * F.col("kept_id_sum"))
+        .cast("bigint")
+        .alias("bal_cell_wsum"),
+    )
+    return (
+        exact_rescore_topk(ivf_candidates(spark, sf_dir), emb, q)
+        .crossJoin(F.broadcast(bal))
+        .orderBy("query_id", "rank")
+    )
 
 
 def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -536,8 +557,10 @@ asg AS (
 def _ivf_oracle() -> str:
     """ann_ivf_topk end-to-end in SQL: the shared quantizer replay
     (_quantizer_asg_ctes), then each query probes its IVF_NPROBE
-    nearest cells and the candidate set feeds the shared exact-rescore
-    stage. Candidate-set equality with the numpy path verified at
+    nearest cells, the candidate set feeds the shared exact-rescore
+    stage, and the balanced-sampling certificate (_balance_ctes, off
+    the same ``asg`` relation) cross-joins onto every rank row.
+    Candidate-set equality with the numpy path verified at
     sf0.01/sf0.1 (float-noise hazard documented on the CTE block)."""
     probes = f"""probes AS (
   SELECT query_id, pcell FROM (
@@ -551,17 +574,30 @@ cand AS (
   SELECT DISTINCT p.query_id, a.vec_id
   FROM probes p JOIN asg a ON a.cell = p.pcell AND a.vec_id <> p.query_id
 )"""
-    assert RESCORE_ORACLE_SQL.startswith("WITH scored AS")
+    bal = """bal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bal_cells,
+         CAST(SUM(n_kept) AS BIGINT) AS bal_kept,
+         CAST(SUM(kept_id_sum) AS BIGINT) AS bal_id_sum,
+         CAST(SUM((cell + 1) * kept_id_sum) AS BIGINT) AS bal_cell_wsum
+  FROM balcells
+)"""
+    final = f"""SELECT r.query_id, r.neighbor_id, r.rank, r.cosine,
+       b.bal_cells, b.bal_kept, b.bal_id_sum, b.bal_cell_wsum
+FROM ranked r, bal b WHERE r.rank <= {TOP_K}
+ORDER BY r.query_id, r.rank"""
     return (
         "WITH RECURSIVE " + _quantizer_asg_ctes() + ",\n" + probes + ",\n"
-        + RESCORE_ORACLE_SQL[len("WITH ") :]
+        + RESCORE_CTES + ",\n" + _balance_ctes() + ",\n" + bal + "\n"
+        + final
     )
 
 
 ORACLE_SQL = {
     "ann_bruteforce_topk": _bruteforce_oracle(),
     "ann_lsh_topk": _lsh_oracle(),
-    "ann_ivf_topk": _ivf_oracle(),
+    # assigned at the bottom of the module — the IVF oracle splices the
+    # balanced-sampling CTE block, defined down there
+    "ann_ivf_topk": None,
 }
 
 
@@ -589,6 +625,13 @@ def embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, the rate join is AQE-sized (cell count is bounded = k),
     and the keep rule is a map-side hash predicate — reproducible
     engine-to-engine and under repartitioning."""
+    return _balanced_cells_df(spark, sf_dir).orderBy("cell")
+
+
+def _balanced_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-cell (cell, n_total, n_kept, kept_id_sum) rollup —
+    shared by the standalone LOCAL query and the certificate columns
+    merged into ann_ivf_topk (see embedding_balanced_sample)."""
     from guagua_spark.functions.scale import u32_hash
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -620,18 +663,20 @@ def embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_id_sum"
             ),
         )
-        .orderBy("cell")
     )
 
 
-def _balanced_sample_oracle() -> str:
+def _balance_ctes() -> str:
+    """``counts`` → … → ``balcells`` CTE block replaying
+    embedding_balanced_sample over the shared quantizer assignment
+    (``asg`` from _quantizer_asg_ctes) — shared by the standalone
+    LOCAL oracle and the certificate columns inside the IVF-ANN
+    oracle."""
     u32 = (
         "CAST(('0x' || substr(md5('bal|' || CAST(a.vec_id AS VARCHAR)), 1, 8))"
         " AS UBIGINT)"
     )
-    return f"""
-WITH RECURSIVE {_quantizer_asg_ctes()},
-counts AS (SELECT cell, COUNT(*) AS n_total FROM asg GROUP BY cell),
+    return f"""counts AS (SELECT cell, COUNT(*) AS n_total FROM asg GROUP BY cell),
 rates AS (
   SELECT cell, n_total,
          LEAST(1.0, {float(BALANCE_BUDGET)!r} / n_total) AS rate
@@ -641,15 +686,26 @@ k AS (
   SELECT a.vec_id, a.cell, r.n_total,
          {u32} < r.rate * 4294967296.0 AS keep
   FROM asg a JOIN rates r USING (cell)
-)
-SELECT CAST(cell AS BIGINT) AS cell,
-       CAST(MIN(n_total) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(SUM(CASE WHEN keep THEN vec_id ELSE 0 END) AS BIGINT)
-         AS kept_id_sum
-FROM k GROUP BY cell ORDER BY cell
+),
+balcells AS (
+  SELECT CAST(cell AS BIGINT) AS cell,
+         CAST(MIN(n_total) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN keep THEN vec_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+  FROM k GROUP BY cell
+)"""
+
+
+def _balanced_sample_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_quantizer_asg_ctes()},
+{_balance_ctes()}
+SELECT * FROM balcells ORDER BY cell
 """.strip()
 
+
+ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
 
 #: oracle-tested locally, not in the 50-slot driver contract
 LOCAL_QUERIES = {"embedding_balanced_sample": embedding_balanced_sample}

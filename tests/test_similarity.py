@@ -61,6 +61,10 @@ def test_rescoring_stage_matches_oracle(spark, oracle_sf_dir, duck, name):
     duck.register("cand", cand_pdf)
     try:
         df = QUERIES[name](spark, oracle_sf_dir)
+        # the IVF row carries the balanced-sampling certificate columns
+        # (bal_*) on top of the rescore output — certified against the
+        # full merged oracle elsewhere; this test pins the rescore stage
+        df = df.select("query_id", "neighbor_id", "rank", "cosine")
         assert_matches_oracle(df, duck, RESCORE_ORACLE_SQL)
     finally:
         duck.unregister("cand")
