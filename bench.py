@@ -55,11 +55,27 @@ def main() -> None:
     # discarding it made cold-start regressions in exactly those
     # entries invisible. Cold also absorbs JIT/codegen + parquet footer
     # caches; that's what a real first invocation pays too.
+    #
+    # Index attribution: shared memo builds (the MinHash pair graph,
+    # quantizer, assets, feature inputs) land on whichever query runs
+    # first, which made that query's cold number an index build and the
+    # index's real consumers look free. Builders self-report via
+    # guagua_spark.metrics; each build becomes its own `_index:*` cold
+    # entry and is SUBTRACTED from the triggering query's time — so
+    # per-query cold values are independent and cold_total still sums
+    # to real wall time.
+    from guagua_spark.metrics import drain_index_builds
+
+    drain_index_builds()  # discard anything from session setup
     cold: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
-        cold[name] = round(time.monotonic() - t0, 4)
+        elapsed = time.monotonic() - t0
+        for iname, secs in drain_index_builds().items():
+            cold[iname] = round(cold.get(iname, 0.0) + secs, 4)
+            elapsed -= secs
+        cold[name] = round(max(elapsed, 0.0), 4)
 
     # WARM lane — median of N runs per query: single-run numbers on a
     # shared sandbox drifted ±45% round-to-round on untouched queries,

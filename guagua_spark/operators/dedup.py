@@ -129,6 +129,11 @@ def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
     vals = _SEM_CERT_CACHE.get(key)
     if vals is None:
+        import time
+
+        from guagua_spark.metrics import record_index_build
+
+        t0 = time.monotonic()
         emb = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") < SEM_CERT_VECS)
@@ -140,6 +145,7 @@ def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         vals = (row[0], row[1])
+        record_index_build("sem_cert", time.monotonic() - t0)
         _SEM_CERT_CACHE.clear()  # at most one live certificate
         _SEM_CERT_CACHE[key] = vals
     return spark.createDataFrame([vals], schema)
@@ -376,6 +382,11 @@ def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # touching several scale dirs must not pin one persisted pair graph
     # per dir in the block manager — evict everything before caching
     clear_caches()
+    import time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = time.monotonic()
     # repartition the raw text BEFORE computing signatures: the
     # k·|shingles| md5 calls are the dominant cost and projections run
     # below the exchange — on the single scan partition of a small file
@@ -387,6 +398,7 @@ def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
+    record_index_build("minhash_pairs", time.monotonic() - t0)
     _PAIR_CACHE[sf_dir] = (fp, pairs)
     return pairs
 

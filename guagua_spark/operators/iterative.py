@@ -236,10 +236,16 @@ def _cached_persisted(
         if hit[0] == fp:
             return hit[1]
         hit[1].unpersist()  # data regenerated under the same path
+    import time
+
     from pyspark.storagelevel import StorageLevel
 
+    from guagua_spark.metrics import record_index_build
+
+    t0 = time.monotonic()
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    record_index_build(f"features:{key}", time.monotonic() - t0)
     _FEATURE_CACHE[(key, sf_dir)] = (fp, df)
     return df
 
@@ -281,6 +287,11 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     cached = _KMEANS_INIT_CACHE.get(memo_key)
     if cached is not None:
         return cached
+    import time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = time.monotonic()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
     m = max(1, n // KMEANS_K)
@@ -292,6 +303,7 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
         dtype=np.float64,
     )
     init = select_centroids_by_norm(cands, KMEANS_K)
+    record_index_build("kmeans_init", time.monotonic() - t0)
     _KMEANS_INIT_CACHE.clear()  # at most one live init per session
     _KMEANS_INIT_CACHE[memo_key] = init
     return init

@@ -232,6 +232,11 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every cached dir before persisting a new one so a multi-dir
     # session never pins several full asset tables simultaneously
     clear_caches()
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    _t0 = _time.monotonic()
     # repartition before the encode/decode UDF chain: a small parquet
     # file scans as ONE partition and projections (incl. pandas UDFs)
     # run below the exchange — without this every multimodal operator
@@ -257,6 +262,7 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     assets.count()
+    record_index_build("media_assets", _time.monotonic() - _t0)
     _ASSET_CACHE[sf_dir] = (fp, assets)
     return assets
 

@@ -270,10 +270,62 @@ QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
 #: fresh quantizer instead of silently-stale cells (see ivf_candidates)
 _IVF_CENTROID_CACHE: dict = {}
 
+#: memo of the per-corpus (vec_id, cell) ASSIGNMENT table, persisted —
+#: the inverted-file index itself. Probing and the balanced-sampling
+#: certificate both consume it; without the memo each invocation
+#: re-runs the cell UDF over the full embedding table (at 100 TB the
+#: assignment is a stored dataset next to the corpus — SCALE.md's
+#: index-memo-to-dataset mapping). Same contract as the pair-graph
+#: memo: fingerprint-keyed, ONE live entry total, clear_caches()
+#: unpins, build cost visible as `_index:ivf_cells` in the bench cold
+#: lane. ~12 B/row pinned (two longs), nothing embedding-sized.
+_IVF_CELLS_CACHE: dict = {}
+
 
 def clear_caches() -> None:
-    """Drop the quantizer memo (tiny arrays; hook for data-regen paths)."""
+    """Drop the quantizer + assignment memos (data-regen hook)."""
     _IVF_CENTROID_CACHE.clear()
+    for _, df in _IVF_CELLS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _IVF_CELLS_CACHE.clear()
+
+
+def _ivf_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, cell) assignment of every corpus vector to
+    its quantizer cell — the session's IVF index table."""
+    from pyspark.storagelevel import StorageLevel
+
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "embeddings")
+    hit = _IVF_CELLS_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    for _, df in _IVF_CELLS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _IVF_CELLS_CACHE.clear()
+    import time
+
+    from guagua_spark.metrics import record_index_build
+
+    centroids = _quantizer_centroids(spark, sf_dir)
+    t0 = time.monotonic()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = (
+        emb.withColumn("cell", _cell_udf(centroids)(F.col("embedding")))
+        .select("vec_id", "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cells.count()
+    record_index_build("ivf_cells", time.monotonic() - t0)
+    _IVF_CELLS_CACHE[sf_dir] = (fp, cells)
+    return cells
 
 
 def _sample_kmeans(
@@ -382,6 +434,11 @@ def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
     centroids = _IVF_CENTROID_CACHE.get(memo_key)
     if centroids is None:
+        import time
+
+        from guagua_spark.metrics import record_index_build
+
+        t0 = time.monotonic()
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
@@ -395,6 +452,7 @@ def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
             dtype=np.float64,
         )
         centroids = _sample_kmeans(sample, IVF_CELLS)
+        record_index_build("ivf_quantizer", time.monotonic() - t0)
         _IVF_CENTROID_CACHE.clear()  # at most one live quantizer
         _IVF_CENTROID_CACHE[memo_key] = centroids
     return centroids
@@ -414,7 +472,10 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     centroids = _quantizer_centroids(spark, sf_dir)
-    corpus_c = emb.withColumn("cell", _cell_udf(centroids)(F.col("embedding")))
+    # the persisted (vec_id, cell) index table — candidate probing
+    # needs only ids and cells, never the vectors (rescore joins the
+    # embeddings back separately)
+    corpus_c = _ivf_cells_df(spark, sf_dir)
     # nprobe nearest cells per query, driver-side (queries are small)
     qrows = q.collect()
     probe_rows = []
@@ -631,14 +692,12 @@ def embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _balanced_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered per-cell (cell, n_total, n_kept, kept_id_sum) rollup —
     shared by the standalone LOCAL query and the certificate columns
-    merged into ann_ivf_topk (see embedding_balanced_sample)."""
+    merged into ann_ivf_topk (see embedding_balanced_sample). Reads the
+    session's persisted (vec_id, cell) index table rather than
+    re-running the cell UDF over the embeddings."""
     from guagua_spark.functions.scale import u32_hash
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = _quantizer_centroids(spark, sf_dir)
-    cells = emb.withColumn(
-        "cell", _cell_udf(centroids)(F.col("embedding"))
-    ).select("vec_id", "cell")
+    cells = _ivf_cells_df(spark, sf_dir)
     rates = (
         cells.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_total"))
