@@ -176,3 +176,73 @@ def test_non_png_payload_is_honest():
 
     with _pytest.raises(NotImplementedError):
         decode_with_real_codec(b"\xff\xd8\xff\xe0 not a png")
+
+
+# -- optional-dependency codec breadth (PIL / ffmpeg) -----------------------
+
+
+def test_decode_image_batch_palette_png_and_jpeg_with_pil(spark):
+    """Palette PNG and JPEG are exactly what the stdlib PNG path can't
+    decode — with PIL installed, decode_image_batch must handle both;
+    without it, the seam stays honest (skip)."""
+    PIL_Image = pytest.importorskip("PIL.Image", reason="PIL not installed")
+    import io
+
+    import numpy as np
+
+    from guagua_spark.operators.multimodal import decode_image_batch
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    pal_buf, jpg_buf = io.BytesIO(), io.BytesIO()
+    # palette PNG: quantize to 16 colors, save as PNG (color type 3)
+    PIL_Image.fromarray(rgb).quantize(colors=16).save(pal_buf, format="PNG")
+    PIL_Image.fromarray(rgb).save(jpg_buf, format="JPEG", quality=90)
+    df = spark.createDataFrame(
+        [(0, pal_buf.getvalue()), (1, jpg_buf.getvalue())],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_batch(df).collect()}
+    assert rows[0].height == 12 and rows[0].width == 10
+    assert rows[1].height == 12 and rows[1].width == 10
+    assert rows[1].channels == 3
+    # JPEG is lossy: mean within a loose band of the source mean
+    assert abs(rows[1].mean_value - float(rgb.mean())) < 16.0
+
+
+def test_ffmpeg_seam_honest_without_binary(monkeypatch):
+    """Without an ffmpeg binary the video seam must raise, never fake."""
+    import shutil as _shutil
+
+    from guagua_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(_shutil, "which", lambda _: None)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.sample_frames_with_real_codec(b"\x00\x00\x00\x18ftypisom", 4)
+
+
+def test_frame_sample_batch_real_video(spark):
+    """With ffmpeg present: synthesize an 8-frame test video, sample
+    every 4th frame through the deployment twin, check fan-out shape."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("ffmpeg not installed")
+    from guagua_spark.operators.multimodal import frame_sample_batch
+
+    proc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=size=32x24:rate=4:duration=2",
+            "-f", "mpegts", "-vcodec", "mpeg2video", "pipe:1",
+        ],
+        stdout=subprocess.PIPE,
+        check=True,
+    )
+    df = spark.createDataFrame(
+        [(0, proc.stdout)], "doc_id long, media binary"
+    )
+    rows = frame_sample_batch(df, every_n=4).collect()
+    assert [r.frame_idx for r in rows] == [0, 4]
+    assert all((r.height, r.width) == (24, 32) for r in rows)

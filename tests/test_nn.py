@@ -104,6 +104,92 @@ def test_nn_halt_on_tolerance(spark, xor_df):
     assert len(errors) < 200
 
 
+def test_nn_resilient_matches_serial_replay(spark, xor_df):
+    """VALUE oracle for resilient propagation — the reference's DEFAULT
+    NN update (guagua-examples nn/NNMaster.java:109 dispatching
+    Weight.java:74-86's RESILIENTPROPAGATION), which the driver contract
+    can only rows-check (its validation split is worker-local): the
+    distributed engine run (per-partition backprop folds, gradient
+    AllReduce, driver-side adaptive steps) must equal an INDEPENDENT
+    single-process numpy replay — forward, backward, split rule, and
+    the RPROP step rule all re-implemented here, sharing only the
+    seeded init constants with the library."""
+    import pyspark.sql.functions as F
+
+    layers, rounds, vrate = [4, 8, 1], 5, 0.2
+
+    # learn the exact per-partition row order the engine's workers see
+    rows = xor_df.withColumn("pid", F.spark_partition_id()).collect()
+    parts: dict[int, list] = {}
+    for r in rows:
+        parts.setdefault(r.pid, []).append(
+            ([r.f1, r.f2, r.f3, r.f4], r.target)
+        )
+
+    # -- independent serial replay -----------------------------------
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    weights = [(w.copy(), b.copy()) for w, b in init_weights(layers, 42)]
+    flat = lambda prs: [a for p in prs for a in p]  # noqa: E731
+    steps = prev = None
+    train_error = test_error = None
+    for _ in range(rounds):
+        g_tot = [(np.zeros_like(w), np.zeros_like(b)) for w, b in weights]
+        tr_sse = te_sse = 0.0
+        tr_n = te_n = 0
+        for pdata in parts.values():
+            X = np.array([x for x, _ in pdata])
+            y = np.array([t for _, t in pdata]).reshape(-1, 1)
+            idx = np.arange(len(X))
+            is_te = (idx * 2654435761 % 1000) < vrate * 1000
+            Xtr, ytr, Xte, yte = X[~is_te], y[~is_te], X[is_te], y[is_te]
+            # forward
+            a1 = sig(Xtr @ weights[0][0] + weights[0][1])
+            out = sig(a1 @ weights[1][0] + weights[1][1])
+            e = out - ytr
+            tr_sse += float((e * e).sum())
+            tr_n += len(Xtr)
+            d2 = e * out * (1 - out)
+            d1 = (d2 @ weights[1][0].T) * a1 * (1 - a1)
+            for gi, (ga, da) in enumerate(((Xtr, d1), (a1, d2))):
+                g_tot[gi] = (
+                    g_tot[gi][0] + ga.T @ da,
+                    g_tot[gi][1] + da.sum(axis=0),
+                )
+            if len(Xte):
+                o = sig(sig(Xte @ weights[0][0] + weights[0][1])
+                        @ weights[1][0] + weights[1][1])
+                te_sse += float(((o - yte) ** 2).sum())
+                te_n += len(Xte)
+        mean_g = flat([(gw / tr_n, gb / tr_n) for gw, gb in g_tot])
+        if steps is None:
+            steps = [np.full_like(g, 0.1) for g in mean_g]
+            prev = [np.zeros_like(g) for g in mean_g]
+        flat_w = flat(weights)
+        for i, g in enumerate(mean_g):
+            agree = np.sign(g * prev[i])
+            steps[i] = np.clip(
+                np.where(agree > 0, steps[i] * 1.2,
+                         np.where(agree < 0, steps[i] * 0.5, steps[i])),
+                1e-6, 50.0,
+            )
+            g_eff = np.where(agree < 0, 0.0, g)
+            flat_w[i] = flat_w[i] - steps[i] * np.sign(g_eff)
+            prev[i] = g_eff
+        weights = [(flat_w[0], flat_w[1]), (flat_w[2], flat_w[3])]
+        train_error = tr_sse / tr_n
+        test_error = te_sse / te_n
+
+    # -- distributed engine run ---------------------------------------
+    model, _ = _train(spark, xor_df, "resilient", iters=rounds)
+    np.testing.assert_allclose(model.train_error, train_error, rtol=1e-9)
+    np.testing.assert_allclose(model.test_error, test_error, rtol=1e-9)
+    for (gw, gb), (ww, wb) in zip(model.weights, weights):
+        np.testing.assert_allclose(gw, ww, rtol=1e-9)
+        np.testing.assert_allclose(gb, wb, rtol=1e-9)
+
+
 def test_backprop_numeric_gradient():
     """Analytic gradient matches finite differences (pure numpy)."""
     rng = np.random.default_rng(0)
