@@ -3,6 +3,7 @@ from guagua_spark.streaming.stream_ops import (  # noqa: F401
     streaming_click_purchase_join,
     streaming_decontaminate,
     streaming_dedup_docs,
+    streaming_dedup_incremental,
     streaming_doc_chunks,
     streaming_sessionize,
     streaming_stratified_sample,

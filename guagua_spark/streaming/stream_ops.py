@@ -222,6 +222,108 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup.dedup_incremental via a STREAM-STATIC
+    join against the standing corpus's LSH index: freshly-ingested
+    documents (the doc_id ≥ INC_SPLIT slice plays the ingest stream)
+    are MinHash-signed map-side (the salted-md5 signature is a pure
+    stateless projection), exploded to (band, bucket) rows, and joined
+    against the STATIC bucket + shingle tables of the standing corpus
+    (doc_id < INC_SPLIT) — exactly minhash_pairs_between with the old
+    side as reference data. At deployment the static side is the
+    STORED LSH index dataset, re-read per micro-batch, so a corpus
+    re-index is picked up without restarting the ingest query.
+
+    One stateful operator only (the final per-doc rollup): the stream
+    side carries its shingle set and full bucket array THROUGH the band
+    explode (so the verify needs no join back into the stream — a
+    stream-stream self-join would need its own unbounded state), both
+    joins are stream-static and stateless, and the pair-level distinct
+    (illegal on a stream, like countDistinct) is replaced by FIRST-BAND
+    emission: a (new, old) pair is kept only from the lowest band where
+    the two bucket arrays collide, so every verified pair reaches the
+    rollup exactly once and a plain count equals the batch form's
+    distinct-pairs count (equality asserted in
+    tests/test_streaming.py)."""
+    from guagua_spark.operators.dedup import (
+        INC_SPLIT,
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        LSH_ROWS,
+        NUM_HASHES,
+        with_signature,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    def buckets_arr(prefix: str = "__mh") -> F.Column:
+        out = []
+        for b in range(LSH_BANDS):
+            cols = [
+                F.col(f"{prefix}{b * LSH_ROWS + r}") for r in range(LSH_ROWS)
+            ]
+            out.append(F.md5(F.concat_ws("|", *cols)))
+        return F.array(*out)
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    new = docs.filter(F.col("doc_id") >= INC_SPLIT).select("doc_id", "text")
+    bn = (
+        with_signature(new)
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.col("__shingles").alias("sh_n"),
+            buckets_arr().alias("nb"),
+        )
+        .select(
+            "new_id",
+            "sh_n",
+            "nb",
+            F.posexplode("nb").alias("band", "bucket"),
+        )
+    )
+    old = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < INC_SPLIT)
+        .select("doc_id", "text")
+    )
+    # static side: materialized once (the stored index); one relation
+    # carrying ids, shingles, and the bucket array
+    sig_o = (
+        with_signature(old)
+        .select(
+            F.col("doc_id").alias("old_id"),
+            F.col("__shingles").alias("sh_o"),
+            buckets_arr().alias("ob"),
+        )
+        .localCheckpoint()
+    )
+    bo = sig_o.select(
+        "old_id", "sh_o", "ob", F.posexplode("ob").alias("band", "bucket")
+    )
+    # first-band rule: no earlier band b' < band may also collide
+    earlier = F.filter(
+        F.zip_with("nb", "ob", lambda a, b: a == b),
+        lambda eq, i: eq & (i < F.col("band")),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+    jac = inter.cast("double") / (F.size("sh_n") + F.size("sh_o") - inter)
+    pairs = (
+        bn.join(bo, ["band", "bucket"])
+        .filter(F.size(earlier) == 0)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.min("old_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+
+
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user lifetime event count and value
     total, maintained incrementally via applyInPandasWithState.

@@ -153,3 +153,26 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir):
     want = decontaminate(spark, sf_dir)
     cols = ("doc_id", "n_grams", "n_hits", "contaminated")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_dedup_incremental_matches_batch(spark, sf_dir):
+    """Stream-static LSH twin: new docs stream against the standing
+    corpus's static bucket/shingle index; the drained per-doc rollup
+    must equal the batch incremental-dedup operator row-for-row
+    (jaccard rounded — the stream dodges the pair distinct, so its max
+    may combine float-identical duplicates)."""
+    from guagua_spark.operators.dedup import dedup_incremental
+    from guagua_spark.streaming import streaming_dedup_incremental
+
+    got = run_available_now(
+        streaming_dedup_incremental(spark, sf_dir), "s_inc", "complete"
+    )
+    want = dedup_incremental(spark, sf_dir)
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.dup_of, r.n_matches, round(r.best_jaccard, 9))
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(want)
