@@ -968,19 +968,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
+        # partition-scoped token→bit-row memo: md5 is the dominant cost
+        # and corpora are Zipf-distributed, so most tokens repeat —
+        # hash each DISTINCT token once per partition and reuse its
+        # ±1 bit row. The vote accumulation is one matrix sum per doc
+        # instead of a Python loop over tokens.
+        bit_cache: dict[str, np.ndarray] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+
+        def bit_row(tok: str) -> np.ndarray:
+            row = bit_cache.get(tok)
+            if row is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                )
+                row = np.where(((h >> shifts) & one) == one, 1, -1).astype(
+                    np.int64
+                )
+                bit_cache[tok] = row
+            return row
+
         for pdf in it:
             out = np.zeros(len(pdf), dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
             for row_i, text in enumerate(pdf["text"].tolist()):
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in set(text.split(" ")):
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.md5(tok.encode()).digest()[:8], "big"
-                        )
-                    )
-                    bits = (h >> shifts) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
+                toks = set(text.split(" "))
+                acc = np.sum([bit_row(t) for t in toks], axis=0)
                 sh = sum(1 << i for i in range(64) if acc[i] > 0)
                 if sh >= 1 << 63:  # two's-complement into int64
                     sh -= 1 << 64

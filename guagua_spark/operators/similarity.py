@@ -223,10 +223,12 @@ RESCORE_ORACLE_SQL = f"WITH {RESCORE_CTES}\n{RESCORE_SELECT}"
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id) LSH candidate pairs — the approximate stage."""
+    """(query_id, vec_id) LSH candidate pairs — the approximate stage.
+    The corpus side reads the session's persisted bucket index
+    (_lsh_buckets_df); only the query batch is bucketed per call."""
     planes = _planes()
-    q, emb = _queries_and_corpus(spark, sf_dir)
-    corpus_b = _with_tables(emb.select("vec_id", "embedding"), "embedding", planes)
+    q, _ = _queries_and_corpus(spark, sf_dir)
+    corpus_b = _lsh_buckets_df(spark, sf_dir)
     q_b = _with_tables(q, "qe", planes).select(
         "query_id",
         "qe",
@@ -282,15 +284,58 @@ _IVF_CENTROID_CACHE: dict = {}
 _IVF_CELLS_CACHE: dict = {}
 
 
+#: memo of the per-corpus (vec_id, table, bucket) hyperplane LSH index,
+#: persisted — same contract and rationale as _IVF_CELLS_CACHE: the
+#: bucket table IS the stored index a deployment materializes once per
+#: corpus version; without it every ann_lsh_topk invocation re-runs the
+#: bucketing UDF over the full embedding table. ~20 B/row × L tables.
+_LSH_BUCKETS_CACHE: dict = {}
+
+
 def clear_caches() -> None:
-    """Drop the quantizer + assignment memos (data-regen hook)."""
+    """Drop the quantizer + assignment + LSH-index memos."""
     _IVF_CENTROID_CACHE.clear()
-    for _, df in _IVF_CELLS_CACHE.values():
+    for cache in (_IVF_CELLS_CACHE, _LSH_BUCKETS_CACHE):
+        for _, df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+
+
+def _lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, table, bucket) hyperplane index of the
+    corpus — the session's LSH index table."""
+    from pyspark.storagelevel import StorageLevel
+
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "embeddings")
+    hit = _LSH_BUCKETS_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    for _, df in _LSH_BUCKETS_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
-    _IVF_CELLS_CACHE.clear()
+    _LSH_BUCKETS_CACHE.clear()
+    import time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = time.monotonic()
+    _, emb = _queries_and_corpus(spark, sf_dir)
+    buckets = (
+        _with_tables(emb.select("vec_id", "embedding"), "embedding", _planes())
+        .select("vec_id", "table", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    buckets.count()
+    record_index_build("lsh_buckets", time.monotonic() - t0)
+    _LSH_BUCKETS_CACHE[sf_dir] = (fp, buckets)
+    return buckets
 
 
 def _ivf_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
