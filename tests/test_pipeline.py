@@ -120,3 +120,38 @@ def test_quality_pred_survives_empty_docs(spark):
     )
     kept = df.filter(_quality_pred()).collect()
     assert [r.doc_id for r in kept] == [2]
+
+
+def test_certmemo_invalidates_on_fingerprint_change(spark, oracle_sf_dir):
+    """The certificate-scalar memo must serve cached values on a clean
+    hit (no Spark job) and recompute when the input table fingerprint
+    changes — same contract as the pair-graph memo."""
+    from unittest import mock
+
+    from guagua_spark.operators import certmemo
+
+    certmemo.clear_caches()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame([(calls["n"],)], "v bigint")
+
+    try:
+        a = certmemo.cached_cert_row(
+            spark, oracle_sf_dir, "t", ("documents",), "v bigint", build
+        ).collect()[0].v
+        b = certmemo.cached_cert_row(
+            spark, oracle_sf_dir, "t", ("documents",), "v bigint", build
+        ).collect()[0].v
+        assert (a, b) == (1, 1) and calls["n"] == 1, "hit must not rebuild"
+        with mock.patch(
+            "guagua_spark.sources.tables.table_fingerprint",
+            return_value=("changed", 0, 0),
+        ):
+            c = certmemo.cached_cert_row(
+                spark, oracle_sf_dir, "t", ("documents",), "v bigint", build
+            ).collect()[0].v
+        assert c == 2 and calls["n"] == 2, "fingerprint change must rebuild"
+    finally:
+        certmemo.clear_caches()

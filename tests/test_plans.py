@@ -217,6 +217,39 @@ def test_unigram_logprob_broadcasts_bounded_model(spark, oracle_sf_dir):
     assert p.count("HashAggregate") >= 4, p
 
 
+def test_ann_paths_reuse_persisted_index_tables(spark, oracle_sf_dir):
+    """LSH and IVF candidate generation must read the session's
+    persisted index tables (InMemoryTableScan), not re-run the
+    bucketing/assignment UDF over the embeddings per invocation —
+    the stored-index pattern that makes repeated queries cheap."""
+    from guagua_spark.operators.similarity import (
+        _ivf_cells_df,
+        _lsh_buckets_df,
+        ivf_candidates,
+        lsh_candidates,
+    )
+
+    # force the memos to exist, then inspect the consumer plans
+    _lsh_buckets_df(spark, oracle_sf_dir)
+    _ivf_cells_df(spark, oracle_sf_dir)
+    for gen in (lsh_candidates, ivf_candidates):
+        p = _plan(gen(spark, oracle_sf_dir))
+        assert "InMemoryTableScan" in p, p
+
+
+def test_exact_stats_certificates_are_cheap_on_warm(spark, oracle_sf_dir):
+    """dedup_exact_stats' merged certificates must not re-run heavy
+    subtrees per call: the incremental certificate reads the persisted
+    pair graph (InMemoryTableScan) and the semantic certificate is a
+    memoized literal row (no applyInPandas stage in the plan)."""
+    from guagua_spark.operators.dedup import QUERIES
+
+    df = QUERIES["dedup_exact_stats"](spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "InMemoryTableScan" in p, p
+    assert "FlatMapGroupsInPandas" not in p, p
+
+
 def test_decontaminate_no_forced_broadcast_partial_agg(spark, oracle_sf_dir):
     """The heldout gram set is usually broadcast-sized but must carry
     no MANDATORY hint (a pathological heldout set must not OOM); the
