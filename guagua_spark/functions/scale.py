@@ -133,6 +133,31 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
+    """Assign contiguous 0..n−1 row ids WITHOUT a global sort — the
+    standard corpus-ingest primitive (stable doc ids for a freshly
+    crawled dataset).
+
+    The naive forms both break at 100 TB: ``row_number() OVER ()`` is a
+    SinglePartition window (one task sorts the corpus), and
+    ``monotonically_increasing_id`` leaves ~2³³-sized gaps between
+    partitions. This uses the two-pass offset pattern (what
+    ``RDD.zipWithIndex`` implements): one cheap job counts rows per
+    partition, the driver prefix-sums the ≤P counts into start offsets,
+    and a map-side pass adds offset + local index — no shuffle of the
+    data at all. Ids follow partition order, so they are deterministic
+    exactly when the input plan is (a parquet scan is; add a sort
+    upstream if the source ordering isn't)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    schema = StructType(
+        list(df.schema.fields) + [StructField(id_col, LongType(), False)]
+    )
+    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return spark.createDataFrame(rdd, schema)
+
+
 # -- hot-key escapes for the WINDOW family ---------------------------------
 #
 # AQE splits skewed JOIN partitions and salted_agg covers groupBy, but a

@@ -97,6 +97,87 @@ def write_compacted(
     return n_files
 
 
+def zorder_value(
+    cols: "list[F.Column]",
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 8,
+) -> "F.Column":
+    """Bit-interleaved Z-curve key over numeric columns, as a pure
+    codegen expression: each column is scaled to a ``bits``-bit integer
+    rank over [min, max], then bit b of column i lands at position
+    b·ncols + i. Rows close on the curve are close in EVERY dimension,
+    which is what makes per-file min/max stats tight (``bits``·ncols
+    must stay ≤ 63)."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits({bits})×cols({n}) must be ≤ 63")
+    top = (1 << bits) - 1
+    ranks = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = (mx - mn) or 1.0
+        scaled = (c.cast("double") - F.lit(mn)) / F.lit(span) * F.lit(
+            float(top)
+        )
+        ranks.append(
+            F.least(
+                F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top)
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> int:
+    """Z-order-clustered parquet write — the multi-dimensional
+    data-skipping layout (the same recipe as lakehouse OPTIMIZE
+    ZORDER): rows are range-partitioned AND sorted by the interleaved
+    Z-curve key, so each output file covers a tight hyper-rectangle in
+    ALL the z columns and selective filters on ANY of them skip most
+    files via row-group min/max stats (a single-column sort only helps
+    filters on that column). Returns the file count used.
+
+    Column domains come from one tiny min/max aggregate — a full pass
+    at this layer; at deployment feed the mins/maxs from catalog/table
+    statistics instead (zorder_value takes them as arguments). The
+    range partitioner samples the z key, so file boundaries adapt to
+    the data distribution (no empty/overfull files on skew)."""
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(zorder_cols)],
+    ).collect()[0]
+    mins = [float(stats[f"mn_{i}"]) for i in range(len(zorder_cols))]
+    maxs = [float(stats[f"mx_{i}"]) for i in range(len(zorder_cols))]
+    z = zorder_value([F.col(c) for c in zorder_cols], mins, maxs, bits)
+    if n_files is None:
+        est = plan_size_bytes(df)
+        n_files = (
+            max(1, math.ceil(est / TARGET_FILE_BYTES))
+            if est < (1 << 50)
+            else df.rdd.getNumPartitions()
+        )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return n_files
+
+
 def write_stream_parquet(
     sdf: DataFrame,
     path: str,

@@ -216,3 +216,20 @@ def test_bucketed_sessionize_matches_naive_and_plan(spark):
     # per-key windows run over the condensed session-interval relation
     plan = safe._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan), plan
+
+
+def test_assign_dense_ids(spark):
+    """Dense, unique, 0..n−1, all original columns preserved, and
+    deterministic across invocations on the same deterministic plan."""
+    from guagua_spark.functions.scale import assign_dense_ids
+
+    df = spark.range(0, 5000, 1, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = assign_dense_ids(df, "rid")
+    rows = out.collect()
+    ids = sorted(r.rid for r in rows)
+    assert ids == list(range(5000))
+    assert {r.k for r in rows} == set(range(5000))
+    again = {r.k: r.rid for r in assign_dense_ids(df, "rid").collect()}
+    assert all(again[r.k] == r.rid for r in rows)

@@ -86,3 +86,58 @@ def test_streaming_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == batch_n
+
+
+def test_zordered_write_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order clustering must make per-file min/max stats selective in
+    BOTH z dimensions: for a point-ish predicate on either column, the
+    fraction of output files whose [min, max] overlaps the predicate
+    must be far below the round-robin layout's (where nearly every file
+    overlaps everything)."""
+    import pyspark.sql.functions as F
+
+    from guagua_spark.sources.writers import write_zordered
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 131).alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "zo"), str(tmp_path / "rr")
+    n = write_zordered(df, zpath, ["x", "y"], n_files=16)
+    assert n == 16
+    df.repartition(16).write.parquet(rpath)
+
+    import glob
+
+    def overlap_fraction(path, col, lo, hi):
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        hit = 0
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .collect()[0]
+            )
+            if r.mn <= hi and r.mx >= lo:
+                hit += 1
+        return hit / len(files)
+
+    for col in ("x", "y"):
+        zf = overlap_fraction(zpath, col, 10, 19)
+        rf = overlap_fraction(rpath, col, 10, 19)
+        assert rf > 0.9, f"round-robin should not skip ({col}: {rf})"
+        assert zf <= 0.5, f"z-order must skip most files ({col}: {zf})"
+
+    # clustering must not lose or duplicate rows
+    assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_zorder_value_bounds():
+    import pytest as _pytest
+
+    from guagua_spark.sources.writers import zorder_value
+
+    import pyspark.sql.functions as F
+
+    with _pytest.raises(ValueError):
+        zorder_value([F.col("a")] * 8, [0] * 8, [1] * 8, bits=8)
