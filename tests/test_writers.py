@@ -141,3 +141,45 @@ def test_zorder_value_bounds():
 
     with _pytest.raises(ValueError):
         zorder_value([F.col("a")] * 8, [0] * 8, [1] * 8, bits=8)
+
+
+def test_zorder_value_matches_python_reference(spark):
+    """The codegen'd interleave must equal a pure-Python Z-curve on
+    randomized domains (including negative and constant columns)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from guagua_spark.sources.writers import zorder_value
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(-50, 50), rng.randint(0, 1000), 7) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    mins = [min(r[i] for r in rows) for i in range(3)]
+    maxs = [max(r[i] for r in rows) for i in range(3)]
+    bits = 6
+    out = df.withColumn(
+        "z",
+        zorder_value(
+            [F.col("a"), F.col("b"), F.col("c")],
+            [float(m) for m in mins],
+            [float(m) for m in maxs],
+            bits,
+        ),
+    ).collect()
+    top = (1 << bits) - 1
+
+    def ref(vals):
+        z = 0
+        for i, (v, mn, mx) in enumerate(zip(vals, mins, maxs)):
+            span = (mx - mn) or 1.0
+            r = int((v - mn) / span * top)  # cast("long") truncates
+            r = max(0, min(top, r))
+            for b in range(bits):
+                z |= ((r >> b) & 1) << (b * 3 + i)
+        return z
+
+    for r in out:
+        assert r.z == ref((r.a, r.b, r.c)), (r.a, r.b, r.c, r.z)
