@@ -55,7 +55,13 @@ def cached_cert_row(
     vals = _CERT_CACHE.get(key)
     if vals is None:
         t0 = time.monotonic()
-        vals = tuple(build().collect()[0])
+        rows = build().collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"certificate {name!r} must aggregate to exactly 1 row, "
+                f"got {len(rows)}"
+            )
+        vals = tuple(rows[0])
         record_index_build(f"cert:{name}", time.monotonic() - t0)
         for k in [k for k in _CERT_CACHE if k[0] == name]:
             del _CERT_CACHE[k]  # one live entry per certificate

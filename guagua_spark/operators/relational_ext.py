@@ -421,3 +421,50 @@ SELECT COUNT(DISTINCT o_custkey) AS n_customers_exact,
 FROM orders
 """.strip(),
 }
+
+
+def rx_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-record compaction: the newest event per user
+    (ts desc, event_id desc tiebreak) — the "upsert dedup" every
+    change-capture ingest runs before merging a batch.
+
+    Skew-immune form: ``max_by(payload struct, (ts, event_id))``
+    partial-aggregates map-side, so a hot key combines on every input
+    partition before ONE hash exchange of per-key 1-row partials — no
+    per-key sort, no window. (The row_number-over-window formulation
+    the oracle uses funnels each key through a sort; fine for an
+    oracle, wrong at 100 TB with a power-law key.)"""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, order).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LATEST_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_id, event_type, value
+FROM ranked WHERE rn = 1 ORDER BY user_id
+""".strip()
+
+#: oracle-tested locally (tests/test_relational_ext.py), not in the
+#: 50-slot driver contract
+LOCAL_QUERIES = {"rx_latest_per_key": rx_latest_per_key}
+LOCAL_ORACLE_SQL = {"rx_latest_per_key": _LATEST_ORACLE}

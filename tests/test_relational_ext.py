@@ -39,3 +39,19 @@ def test_semi_join_plan_has_no_duplicating_join(spark, oracle_sf_dir):
         .toString()
     )
     assert "LeftSemi" in plan, plan
+
+
+def test_latest_per_key_matches_oracle_and_plan(spark, oracle_sf_dir, duck):
+    """The CDC latest-record compaction must match the window-based
+    oracle AND plan as a partial-aggregated max_by (two HashAggregate
+    levels, no Window, no per-key sort)."""
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["rx_latest_per_key"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["rx_latest_per_key"])
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2, p
