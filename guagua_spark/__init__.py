@@ -35,7 +35,25 @@ from guagua_spark.engine import IterativeEngine
 from guagua_spark.monitor import ComputeTimeout, computable_monitor
 from guagua_spark.session import get_spark
 
+def clear_all_caches() -> None:
+    """Unpersist and drop every session index memo across the package
+    (pair graph, IVF quantizer/cells, LSH buckets, media assets, LR/NN
+    features, k-means init, certificate scalars) — the one-call hook
+    for data-regeneration paths and cold-path benchmarking."""
+    import importlib
+
+    for mod in (
+        "operators.dedup",
+        "operators.similarity",
+        "operators.multimodal",
+        "operators.iterative",
+        "operators.certmemo",
+    ):
+        importlib.import_module(f"guagua_spark.{mod}").clear_caches()
+
+
 __all__ = [
+    "clear_all_caches",
     "ComputeTimeout",
     "computable_monitor",
     "Combinable",

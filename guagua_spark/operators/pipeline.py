@@ -205,6 +205,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: seqs.agg(
             F.count(F.lit(1)).cast("bigint").alias("ts_n_seqs"),
             F.sum("seq_toks").cast("bigint").alias("ts_tokens"),
+            # binder weight assumes seq_id < 10⁶ per bucket (true by
+            # orders of magnitude at contract scale); the oracle uses
+            # the identical formula so the COMPARISON is exact at any
+            # scale — only the checksum's injectivity would weaken
             F.sum(
                 (F.col("bucket") * 1_000_000 + F.col("seq_id") + 1)
                 * F.col("id_sum")
