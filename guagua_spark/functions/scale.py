@@ -138,24 +138,41 @@ def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
     standard corpus-ingest primitive (stable doc ids for a freshly
     crawled dataset).
 
-    The naive forms both break at 100 TB: ``row_number() OVER ()`` is a
-    SinglePartition window (one task sorts the corpus), and
+    The naive forms all break at 100 TB: ``row_number() OVER ()`` is a
+    SinglePartition window (one task sorts the corpus), raw
     ``monotonically_increasing_id`` leaves ~2³³-sized gaps between
-    partitions. This uses the two-pass offset pattern (what
-    ``RDD.zipWithIndex`` implements): one cheap job counts rows per
-    partition, the driver prefix-sums the ≤P counts into start offsets,
-    and a map-side pass adds offset + local index — no shuffle of the
-    data at all. Ids follow partition order, so they are deterministic
-    exactly when the input plan is (a parquet scan is; add a sort
-    upstream if the source ordering isn't)."""
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    partitions, and ``rdd.zipWithIndex`` round-trips every row through
+    Python serialization. This stays JVM-side end to end using
+    mono-id's documented layout (partition id in the upper bits, local
+    record index in the lower 33): one cheap job counts rows per
+    partition, the driver prefix-sums the ≤P counts into start
+    offsets, and a broadcast join + map-side add turns (partition,
+    local index) into the dense id — no shuffle of the data, whole
+    plan codegen'd. Ids follow partition order, so they are
+    deterministic exactly when the input plan is (a parquet scan is;
+    add a sort upstream if the source ordering isn't). Partitions over
+    2³³ rows would overflow the local-index bits — Spark's own mono-id
+    contract, far beyond any sane partition size."""
     spark = df.sparkSession
-    schema = StructType(
-        list(df.schema.fields) + [StructField(id_col, LongType(), False)]
+    base = df.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright("__mid", 33)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = sorted(
+        (r.p, r.n)
+        for r in base.groupBy(pid.alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return spark.createDataFrame(rdd, schema)
+    offsets, acc = [], 0
+    for p, n in counts:
+        offsets.append((p, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "p long, off long")
+    return (
+        base.join(F.broadcast(off_df), pid == F.col("p"))
+        .withColumn(id_col, F.col("off") + local)
+        .drop("__mid", "p", "off")
+    )
 
 
 # -- hot-key escapes for the WINDOW family ---------------------------------
