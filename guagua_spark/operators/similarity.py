@@ -511,7 +511,7 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered DataFrame) collected in vec_id order, so the whole
     pipeline is a pure function of the data and the SQL oracle can
     replay it (see _ivf_oracle)."""
-    n_cells, nprobe = IVF_CELLS, IVF_NPROBE
+    nprobe = IVF_NPROBE
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
