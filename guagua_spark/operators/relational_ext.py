@@ -468,3 +468,102 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 #: 50-slot driver contract
 LOCAL_QUERIES = {"rx_latest_per_key": rx_latest_per_key}
 LOCAL_ORACLE_SQL = {"rx_latest_per_key": _LATEST_ORACLE}
+
+
+#: pivot column values PINNED (TPC-H order statuses). At scale you pin
+#: the pivot domain: `pivot(col)` without values runs an extra
+#: distinct-collect pass over the corpus to infer them, and an
+#: unbounded inferred domain can explode the schema.
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def rx_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts and revenue per priority × status, statuses
+    widened into columns — `groupBy().pivot(values=...)` plans as ONE
+    partial-aggregated exchange with CASE-expanded aggregates (exactly
+    the oracle's conditional-aggregation form), never a per-value scan.
+    """
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        )
+    )
+    cols = [
+        F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s}")
+        for s in PIVOT_STATUSES
+    ] + [
+        F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"rev_{s}")
+        for s in PIVOT_STATUSES
+    ]
+    return out.select("o_orderpriority", *cols).orderBy("o_orderpriority")
+
+
+def rx_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the pivoted counts folded back to long form —
+    one row per (priority, status) including empty cells. unpivot is a
+    pure map-side Expand (no shuffle beyond the upstream pivot's); the
+    oracle replays it as priorities × statuses with COALESCE(n, 0)."""
+    from pyspark.sql import functions as F
+
+    wide = rx_pivot_status(spark, sf_dir).select(
+        "o_orderpriority", *[f"n_{s}" for s in PIVOT_STATUSES]
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            [f"n_{s}" for s in PIVOT_STATUSES],
+            "status",
+            "n",
+        )
+        .select(
+            "o_orderpriority",
+            F.expr("substring(status, 3)").alias("status"),
+            "n",
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+_PIVOT_ORACLE = (
+    "SELECT o_orderpriority, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{s}"
+        for s in PIVOT_STATUSES
+    )
+    + ", "
+    + ", ".join(
+        f"COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = '{s}' "
+        f"THEN o_totalprice END), 4), 0.0) AS rev_{s}"
+        for s in PIVOT_STATUSES
+    )
+    + " FROM orders GROUP BY 1 ORDER BY 1"
+)
+
+_UNPIVOT_ORACLE = f"""
+WITH statuses AS (
+  SELECT unnest(['F', 'O', 'P']) AS status
+),
+counts AS (
+  SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT p.o_orderpriority, s.status,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+CROSS JOIN statuses s
+LEFT JOIN counts c
+  ON c.o_orderpriority = p.o_orderpriority AND c.status = s.status
+ORDER BY p.o_orderpriority, s.status
+""".strip()
+
+LOCAL_QUERIES["rx_pivot_status"] = rx_pivot_status
+LOCAL_QUERIES["rx_unpivot_status"] = rx_unpivot_status
+LOCAL_ORACLE_SQL["rx_pivot_status"] = _PIVOT_ORACLE
+LOCAL_ORACLE_SQL["rx_unpivot_status"] = _UNPIVOT_ORACLE

@@ -55,3 +55,32 @@ def test_latest_per_key_matches_oracle_and_plan(spark, oracle_sf_dir, duck):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in p, p
     assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2, p
+
+
+@pytest.mark.parametrize("name", ["rx_pivot_status", "rx_unpivot_status"])
+def test_pivot_family_matches_oracle(spark, oracle_sf_dir, duck, name):
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    assert_matches_oracle(
+        LOCAL_QUERIES[name](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL[name],
+    )
+
+
+def test_pivot_is_single_scan_single_exchange(spark, oracle_sf_dir):
+    """Pinned-values pivot must plan as one scan + one partial-agg
+    exchange (CASE expansion), never one pass per pivot value."""
+    from guagua_spark.operators.relational_ext import rx_pivot_status
+
+    p = (
+        rx_pivot_status(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("HashAggregate") >= 2, p
