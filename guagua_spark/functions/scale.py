@@ -81,20 +81,18 @@ def salted_agg(
     for out, (_, fn) in aggs.items():
         if fn not in _PARTIAL:
             raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
-    # content-derived salt (not rand(): SPARK-23207-class task retries
-    # replay a different rand() stream, and a content hash is the same
-    # policy the partitioned writer uses — sources/writers.py). Rows
-    # with identical content land on the same salt, which only affects
-    # the split evenness of a hot key (still n_salts-way unless the hot
-    # key is one duplicated row), never correctness: the phase-2 merge
-    # is salt-agnostic for every decomposable aggregate offered here.
-    salt = F.pmod(
-        u32_hash(
-            "salt",
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]),
-        ),
-        F.lit(n_salts),
-    ).alias("__salt")
+    # partition-id salt (not rand(): SPARK-23207-class task retries
+    # replay a different rand() stream and can lose/duplicate rows
+    # through shuffle recovery; not a row-content hash either: a hot
+    # key made of IDENTICAL rows — the count-duplicates shape — would
+    # hash to ONE salt and silently degrade to a plain groupBy).
+    # spark_partition_id is stable across task retries (the same
+    # partition recomputes with the same id) and spreads a hot key
+    # across as many salts as input partitions hold it; correctness is
+    # salt-independent for every decomposable aggregate offered here.
+    salt = F.pmod(F.spark_partition_id().cast("bigint"), F.lit(n_salts)).alias(
+        "__salt"
+    )
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[
             _PARTIAL[fn](col).alias(f"__p_{out}")
@@ -167,11 +165,14 @@ def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
     for p, n in counts:
         offsets.append((p, acc))
         acc += n
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "p long, off long")
+    # dunder temp names so an input column called p/off can't collide
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__p long, __off long"
+    )
     return (
-        base.join(F.broadcast(off_df), pid == F.col("p"))
-        .withColumn(id_col, F.col("off") + local)
-        .drop("__mid", "p", "off")
+        base.join(F.broadcast(off_df), pid == F.col("__p"))
+        .withColumn(id_col, F.col("__off") + local)
+        .drop("__mid", "__p", "__off")
     )
 
 

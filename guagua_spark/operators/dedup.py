@@ -968,12 +968,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
-        # partition-scoped token→bit-row memo: md5 is the dominant cost
-        # and corpora are Zipf-distributed, so most tokens repeat —
-        # hash each DISTINCT token once per partition and reuse its
-        # ±1 bit row. The vote accumulation is one matrix sum per doc
-        # instead of a Python loop over tokens.
+        # token→bit-row memo: md5 is the dominant cost and corpora are
+        # Zipf-distributed, so most tokens repeat — hash each DISTINCT
+        # token once and reuse its ±1 bit row. The vote accumulation is
+        # one matrix sum per doc instead of a Python loop over tokens.
+        # BOUNDED: the memo clears when it reaches ~50k entries (~30 MB)
+        # — an unbounded per-partition dict over a real corpus's Zipf
+        # tail (millions of distinct tokens per 128 MB split) would be
+        # a multi-GB Python-worker memory hazard; the head of the
+        # distribution re-enters the cache immediately after a clear,
+        # which is where the win lives anyway.
         bit_cache: dict[str, np.ndarray] = {}
+        cache_cap = 50_000
         shifts = np.arange(64, dtype=np.uint64)
         one = np.uint64(1)
 
@@ -988,6 +994,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row = np.where(((h >> shifts) & one) == one, 1, -1).astype(
                     np.int64
                 )
+                if len(bit_cache) >= cache_cap:
+                    bit_cache.clear()
                 bit_cache[tok] = row
             return row
 

@@ -291,14 +291,31 @@ def sample_frames_with_real_codec(
         stdout=subprocess.PIPE,
         check=True,
     )
-    out, frames, pos = proc.stdout, [], 0
-    while True:
-        start = out.find(PNG_MAGIC, pos)
-        if start < 0:
-            break
-        nxt = out.find(PNG_MAGIC, start + 8)
-        end = nxt if nxt > 0 else len(out)
-        frames.append(decode_with_real_codec(out[start:end]))
+    return [
+        decode_with_real_codec(png) for png in _split_png_stream(proc.stdout)
+    ]
+
+
+def _split_png_stream(out: bytes) -> "list[bytes]":
+    """Split a concatenation of PNG files by WALKING CHUNKS to each
+    frame's IEND — scanning for the next 8-byte signature would split
+    mid-frame if the magic bytes ever occur inside a chunk's payload
+    (compressed IDAT data, text chunks: unlikely per frame, not across
+    a large corpus)."""
+    frames, pos = [], 0
+    while pos + 8 <= len(out):
+        if out[pos : pos + 8] != PNG_MAGIC:
+            raise ValueError(
+                f"unexpected bytes at offset {pos} of the PNG stream"
+            )
+        end = pos + 8
+        while end + 8 <= len(out):
+            (ln,) = struct.unpack(">I", out[end : end + 4])
+            typ = out[end + 4 : end + 8]
+            end += 12 + ln  # len + type + data + crc
+            if typ == b"IEND":
+                break
+        frames.append(out[pos:end])
         pos = end
     return frames
 

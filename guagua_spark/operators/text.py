@@ -548,10 +548,13 @@ def _quality_oracle() -> str:
 WITH g AS (SELECT *, {_sql_grams(REP_GRAM)} AS grams FROM documents),
 {_unigram_ctes()},
 ucert AS (
+  -- CAST per row BEFORE summing: the Spark side sums bigints, and a
+  -- double accumulator would round past 2^53 on a large corpus
   SELECT CAST(SUM(n_oov) AS BIGINT) AS ulm_oov_total,
-         CAST(SUM(ROUND(avg_logprob * 1000000)) AS BIGINT) AS ulm_mu_sum,
-         CAST(SUM(doc_id * ROUND(avg_logprob * 1000000)) AS BIGINT)
-           AS ulm_id_wsum
+         CAST(SUM(CAST(ROUND(avg_logprob * 1000000) AS BIGINT))
+              AS BIGINT) AS ulm_mu_sum,
+         CAST(SUM(doc_id * CAST(ROUND(avg_logprob * 1000000) AS BIGINT))
+              AS BIGINT) AS ulm_id_wsum
   FROM uni
 )
 SELECT doc_id,

@@ -157,6 +157,13 @@ def write_zordered(
         *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(zorder_cols)],
         *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(zorder_cols)],
     ).collect()[0]
+    if any(stats[f"mn_{i}"] is None for i in range(len(zorder_cols))):
+        # empty input or an all-NULL z column: there is no domain to
+        # cluster — write the (possibly empty) dataset as-is rather
+        # than crash an automated pipeline on a legitimate no-data
+        # partition
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return 1
     mins = [float(stats[f"mn_{i}"]) for i in range(len(zorder_cols))]
     maxs = [float(stats[f"mx_{i}"]) for i in range(len(zorder_cols))]
     z = zorder_value([F.col(c) for c in zorder_cols], mins, maxs, bits)

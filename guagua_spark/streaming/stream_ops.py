@@ -222,7 +222,9 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_incremental(
+    spark: SparkSession, sf_dir: str, refresh_static: bool = False
+) -> DataFrame:
     """Streaming twin of dedup.dedup_incremental via a STREAM-STATIC
     join against the standing corpus's LSH index: freshly-ingested
     documents (the doc_id ≥ INC_SPLIT slice plays the ingest stream)
@@ -230,9 +232,14 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless projection), exploded to (band, bucket) rows, and joined
     against the STATIC bucket + shingle tables of the standing corpus
     (doc_id < INC_SPLIT) — exactly minhash_pairs_between with the old
-    side as reference data. At deployment the static side is the
-    STORED LSH index dataset, re-read per micro-batch, so a corpus
-    re-index is picked up without restarting the ingest query.
+    side as reference data. By default the static side is
+    localCheckpoint'd, i.e. PINNED for the lifetime of the query (the
+    materialized index — cheapest when the corpus version is fixed,
+    as in the availableNow tests); pass ``refresh_static=True`` to
+    keep it lazy so each micro-batch re-reads the source and a corpus
+    re-index is picked up without restarting the ingest query (at
+    deployment the static side is then the STORED LSH index dataset,
+    not this recompute-from-text formulation).
 
     One stateful operator only (the final per-doc rollup): the stream
     side carries its shingle set and full bucket array THROUGH the band
@@ -290,17 +297,16 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < INC_SPLIT)
         .select("doc_id", "text")
     )
-    # static side: materialized once (the stored index); one relation
-    # carrying ids, shingles, and the bucket array
-    sig_o = (
-        with_signature(old)
-        .select(
-            F.col("doc_id").alias("old_id"),
-            F.col("__shingles").alias("sh_o"),
-            buckets_arr().alias("ob"),
-        )
-        .localCheckpoint()
+    # static side: one relation carrying ids, shingles, and the bucket
+    # array — materialized once unless the caller wants per-batch
+    # refresh semantics (see docstring)
+    sig_o = with_signature(old).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("__shingles").alias("sh_o"),
+        buckets_arr().alias("ob"),
     )
+    if not refresh_static:
+        sig_o = sig_o.localCheckpoint()
     bo = sig_o.select(
         "old_id", "sh_o", "ob", F.posexplode("ob").alias("band", "bucket")
     )

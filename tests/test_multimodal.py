@@ -312,3 +312,43 @@ def test_audio_codec_seam_is_honest():
 
     with _pytest.raises(NotImplementedError, match="audio"):
         decode_audio_with_real_codec(b"ID3\x04 not a wav")
+
+
+def test_png_stream_split_survives_magic_inside_chunk():
+    """The frame splitter must walk chunks, not scan for the 8-byte
+    signature: a frame carrying the PNG magic INSIDE a chunk payload
+    (here an ancillary tEXt chunk; compressed IDAT can do the same)
+    must not be split mid-frame."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from guagua_spark.operators.multimodal import (
+        _split_png_stream,
+        decode_with_real_codec,
+    )
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(6, 3, 3), dtype=np.uint8)
+    png_a, png_b = _png_encode(a), _png_encode(b)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    # inject a tEXt chunk CONTAINING the magic before IEND of frame A
+    trap = chunk(b"tEXt", b"comment\x00" + b"\x89PNG\r\n\x1a\n" + b"!")
+    iend = chunk(b"IEND", b"")
+    assert png_a.endswith(iend)
+    png_a_trapped = png_a[: -len(iend)] + trap + iend
+
+    parts = _split_png_stream(png_a_trapped + png_b)
+    assert len(parts) == 2
+    assert (decode_with_real_codec(parts[0]) == a).all()
+    assert (decode_with_real_codec(parts[1]) == b).all()

@@ -50,24 +50,31 @@ def test_salted_agg_equals_plain_agg(spark, skewed_df):
 
 def test_salted_agg_spreads_hot_key(spark, skewed_df):
     # phase-1 output must hold multiple partial rows for the hot key —
-    # mirror salted_agg's content-derived salt (u32_hash over all
-    # columns; rand() would replay differently on task retry)
-    from guagua_spark.functions.scale import u32_hash
-
-    salt = F.pmod(
-        u32_hash(
-            "salt",
-            F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in skewed_df.columns]
-            ),
-        ),
-        F.lit(8),
-    )
+    # mirror salted_agg's partition-id salt (retry-stable, and immune
+    # to the identical-rows collapse a content hash would suffer)
+    salt = F.pmod(F.spark_partition_id().cast("bigint"), F.lit(8))
     partial = (
         skewed_df.withColumn("__salt", salt).groupBy("key", "__salt").count()
     )
     hot_partials = partial.filter(F.col("key") == "hot").count()
     assert hot_partials > 1
+
+
+def test_salted_agg_spreads_identical_duplicate_rows(spark):
+    """The count-duplicates shape: the hot key's rows are ALL identical
+    (a content-derived salt would collapse them onto one reducer).
+    Partition-id salting must still produce several phase-1 partials
+    and the exact aggregate."""
+    df = spark.range(0, 40000, 1, 16).select(
+        F.lit("hot").alias("key"), F.lit(1.0).alias("v")
+    )
+    got = salted_agg(df, ["key"], {"n": ("v", "count")}, n_salts=8).collect()
+    assert [(r.key, r.n) for r in got] == [("hot", 40000)]
+    salt = F.pmod(F.spark_partition_id().cast("bigint"), F.lit(8))
+    partials = (
+        df.withColumn("__salt", salt).groupBy("key", "__salt").count().count()
+    )
+    assert partials > 1
 
 
 def test_salted_agg_rejects_non_decomposable(skewed_df):

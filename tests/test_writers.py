@@ -183,3 +183,18 @@ def test_zorder_value_matches_python_reference(spark):
 
     for r in out:
         assert r.z == ref((r.a, r.b, r.c)), (r.a, r.b, r.c, r.z)
+
+
+def test_zordered_write_handles_empty_input(spark, tmp_path):
+    """A legitimate no-data partition must write an empty dataset, not
+    crash on NULL domain stats."""
+    import pyspark.sql.functions as F
+
+    from guagua_spark.sources.writers import write_zordered
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    path = str(tmp_path / "empty_zo")
+    assert write_zordered(empty, path, ["x", "y"]) == 1
+    assert spark.read.parquet(path).count() == 0
