@@ -1,0 +1,61 @@
+"""Shared fingerprint-keyed persisted-DataFrame memo.
+
+One implementation of the session-index policy every per-corpus index
+memo follows (MinHash pair graph, IVF cell assignment, LSH bucket
+table, media assets): keyed on the input table fingerprint so
+regenerated data invalidates, ONE live entry total (caching a new
+sf_dir unpersists every other — a session touching several scale dirs
+must not pin several corpus-sized tables in the block manager),
+persist(MEMORY_AND_DISK) + count to materialize, and the build wall
+time reported as an ``_index:<name>`` entry for the bench cold lane
+(guagua_spark.metrics). Centralized here so a policy change lands in
+one place instead of drifting across hand-rolled copies.
+
+The LR/NN feature memo (operators/iterative._cached_persisted) stays
+separate by design: it retains one entry PER (workload, sf_dir) —
+several small feature projections may be live at once — rather than
+one entry total.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+
+def unpersist_all(cache: dict) -> None:
+    """Unpersist every cached DataFrame and empty the cache."""
+    for _, df in cache.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    cache.clear()
+
+
+def persisted_index(
+    cache: dict,
+    sf_dir: str,
+    fingerprint,
+    index_name: str,
+    build,
+) -> DataFrame:
+    """Return the cached persisted DataFrame for ``sf_dir`` when its
+    fingerprint matches; otherwise evict everything, build + persist +
+    materialize, record the build under ``_index:<index_name>``, and
+    cache the result."""
+    from pyspark.storagelevel import StorageLevel
+
+    from guagua_spark.metrics import record_index_build
+
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    unpersist_all(cache)
+    t0 = time.monotonic()
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    record_index_build(index_name, time.monotonic() - t0)
+    cache[sf_dir] = (fingerprint, df)
+    return df

@@ -359,48 +359,32 @@ _PAIR_CACHE: dict = {}
 def clear_caches() -> None:
     """Unpersist and drop the pair-graph memo and the semantic-dedup
     certificate scalars (data-regen hook)."""
-    for _, df in _PAIR_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _PAIR_CACHE.clear()
+    from guagua_spark.memo import unpersist_all
+
+    unpersist_all(_PAIR_CACHE)
     _SEM_CERT_CACHE.clear()
 
 
 def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
+    from guagua_spark.memo import persisted_index
     from guagua_spark.sources.tables import table_fingerprint
 
-    fp = table_fingerprint(sf_dir, "documents")
-    hit = _PAIR_CACHE.get(sf_dir)
-    if hit is not None:
-        if hit[0] == fp:
-            return hit[1]
-    # single-live-entry policy (same as _IVF_CENTROID_CACHE): a session
-    # touching several scale dirs must not pin one persisted pair graph
-    # per dir in the block manager — evict everything before caching
-    clear_caches()
-    import time
-
-    from guagua_spark.metrics import record_index_build
-
-    t0 = time.monotonic()
     # repartition the raw text BEFORE computing signatures: the
     # k·|shingles| md5 calls are the dominant cost and projections run
     # below the exchange — on the single scan partition of a small file
     # they would run serially, and once per join branch (see
     # dedup_ngram_jaccard)
-    pairs = minhash_pairs_for(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    record_index_build("minhash_pairs", time.monotonic() - t0)
-    _PAIR_CACHE[sf_dir] = (fp, pairs)
-    return pairs
+    return persisted_index(
+        _PAIR_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        "minhash_pairs",
+        lambda: minhash_pairs_for(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        ),
+    )
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

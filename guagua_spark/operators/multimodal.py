@@ -376,12 +376,9 @@ _ASSET_CACHE: dict = {}
 
 def clear_caches() -> None:
     """Unpersist and drop the asset memo (data-regen hook)."""
-    for _, df in _ASSET_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _ASSET_CACHE.clear()
+    from guagua_spark.memo import unpersist_all
+
+    unpersist_all(_ASSET_CACHE)
 
 
 def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,52 +387,42 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per (sf_dir, table fingerprint) and persisted — downstream
     decode/feature/resize operators read the stored bytes, like a real
     pipeline reads an object store."""
-    from pyspark.storagelevel import StorageLevel
-
+    from guagua_spark.memo import persisted_index
     from guagua_spark.sources.tables import table_fingerprint
 
-    fp = table_fingerprint(sf_dir, "documents")
-    hit = _ASSET_CACHE.get(sf_dir)
-    if hit is not None:
-        if hit[0] == fp:
-            return hit[1]
-    # single-live-entry policy (same as _IVF_CENTROID_CACHE): evict
-    # every cached dir before persisting a new one so a multi-dir
-    # session never pins several full asset tables simultaneously
-    clear_caches()
-    import time as _time
+    def build() -> DataFrame:
+        # repartition before the encode/decode UDF chain: a small
+        # parquet file scans as ONE partition and projections (incl.
+        # pandas UDFs) run below the exchange — without this every
+        # multimodal operator runs its Python stage serially
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
 
-    from guagua_spark.metrics import record_index_build
+        @F.pandas_udf("binary")
+        def encode(ids: pd.Series) -> pd.Series:
+            return ids.map(lambda i: _encode(int(i)))
 
-    _t0 = _time.monotonic()
-    # repartition before the encode/decode UDF chain: a small parquet
-    # file scans as ONE partition and projections (incl. pandas UDFs)
-    # run below the exchange — without this every multimodal operator
-    # runs its Python stage serially
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        kind = F.when(F.col("doc_id") % 24 == 0, "image").otherwise("video")
+        return docs.select(
+            "doc_id",
+            encode("doc_id").alias("media"),
+            F.struct(
+                kind.alias("kind"),
+                (F.lit(32) + (F.col("doc_id") % 7) * 16).alias("width"),
+                (F.lit(32) + (F.col("doc_id") % 5) * 16).alias("height"),
+            ).alias("meta"),
+        )
+
+    return persisted_index(
+        _ASSET_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        "media_assets",
+        build,
     )
-
-    @F.pandas_udf("binary")
-    def encode(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: _encode(int(i)))
-
-    kind = F.when(F.col("doc_id") % 24 == 0, "image").otherwise("video")
-    assets = docs.select(
-        "doc_id",
-        encode("doc_id").alias("media"),
-        F.struct(
-            kind.alias("kind"),
-            (F.lit(32) + (F.col("doc_id") % 7) * 16).alias("width"),
-            (F.lit(32) + (F.col("doc_id") % 5) * 16).alias("height"),
-        ).alias("meta"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    assets.count()
-    record_index_build("media_assets", _time.monotonic() - _t0)
-    _ASSET_CACHE[sf_dir] = (fp, assets)
-    return assets
 
 
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

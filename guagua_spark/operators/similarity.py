@@ -294,83 +294,59 @@ _LSH_BUCKETS_CACHE: dict = {}
 
 def clear_caches() -> None:
     """Drop the quantizer + assignment + LSH-index memos."""
+    from guagua_spark.memo import unpersist_all
+
     _IVF_CENTROID_CACHE.clear()
-    for cache in (_IVF_CELLS_CACHE, _LSH_BUCKETS_CACHE):
-        for _, df in cache.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        cache.clear()
+    unpersist_all(_IVF_CELLS_CACHE)
+    unpersist_all(_LSH_BUCKETS_CACHE)
 
 
 def _lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (vec_id, table, bucket) hyperplane index of the
     corpus — the session's LSH index table."""
-    from pyspark.storagelevel import StorageLevel
-
+    from guagua_spark.memo import persisted_index
     from guagua_spark.sources.tables import table_fingerprint
 
-    fp = table_fingerprint(sf_dir, "embeddings")
-    hit = _LSH_BUCKETS_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    for _, df in _LSH_BUCKETS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _LSH_BUCKETS_CACHE.clear()
-    import time
+    def build() -> DataFrame:
+        _, emb = _queries_and_corpus(spark, sf_dir)
+        return _with_tables(
+            emb.select("vec_id", "embedding"), "embedding", _planes()
+        ).select("vec_id", "table", "bucket")
 
-    from guagua_spark.metrics import record_index_build
-
-    t0 = time.monotonic()
-    _, emb = _queries_and_corpus(spark, sf_dir)
-    buckets = (
-        _with_tables(emb.select("vec_id", "embedding"), "embedding", _planes())
-        .select("vec_id", "table", "bucket")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return persisted_index(
+        _LSH_BUCKETS_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+        "lsh_buckets",
+        build,
     )
-    buckets.count()
-    record_index_build("lsh_buckets", time.monotonic() - t0)
-    _LSH_BUCKETS_CACHE[sf_dir] = (fp, buckets)
-    return buckets
 
 
 def _ivf_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (vec_id, cell) assignment of every corpus vector to
     its quantizer cell — the session's IVF index table."""
-    from pyspark.storagelevel import StorageLevel
-
+    from guagua_spark.memo import persisted_index
     from guagua_spark.sources.tables import table_fingerprint
 
-    fp = table_fingerprint(sf_dir, "embeddings")
-    hit = _IVF_CELLS_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    for _, df in _IVF_CELLS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _IVF_CELLS_CACHE.clear()
-    import time
-
-    from guagua_spark.metrics import record_index_build
-
+    # quantizer training is memoized + timed separately (its own
+    # _index entry) — resolve it before the build timer starts
     centroids = _quantizer_centroids(spark, sf_dir)
-    t0 = time.monotonic()
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cells = (
-        emb.withColumn("cell", _cell_udf(centroids)(F.col("embedding")))
-        .select("vec_id", "cell")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        return emb.withColumn(
+            "cell", _cell_udf(centroids)(F.col("embedding"))
+        ).select("vec_id", "cell")
+
+    return persisted_index(
+        _IVF_CELLS_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+        "ivf_cells",
+        build,
     )
-    cells.count()
-    record_index_build("ivf_cells", time.monotonic() - t0)
-    _IVF_CELLS_CACHE[sf_dir] = (fp, cells)
-    return cells
 
 
 def _sample_kmeans(
