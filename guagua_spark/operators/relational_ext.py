@@ -567,3 +567,42 @@ LOCAL_QUERIES["rx_pivot_status"] = rx_pivot_status
 LOCAL_QUERIES["rx_unpivot_status"] = rx_unpivot_status
 LOCAL_ORACLE_SQL["rx_pivot_status"] = _PIVOT_ORACLE
 LOCAL_ORACLE_SQL["rx_unpivot_status"] = _UNPIVOT_ORACLE
+
+
+def rx_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority, status), (priority), ()) —
+    the general form that cube/rollup specialize (rx_cube_quantity /
+    rx_rollup_revenue cover those). Plans exactly like them: ONE scan +
+    Expand (one input row fans to one row per set) + one partial-
+    aggregated exchange — never a scan per set. grouping_id
+    disambiguates the NULL-as-label rows from genuine NULLs."""
+    from guagua_spark.sources.tables import register_views
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+ORDER BY gid, o_orderpriority, o_orderstatus
+""".strip()
+
+LOCAL_QUERIES["rx_grouping_sets"] = rx_grouping_sets
+LOCAL_ORACLE_SQL["rx_grouping_sets"] = _GROUPING_SETS_ORACLE

@@ -84,3 +84,20 @@ def test_pivot_is_single_scan_single_exchange(spark, oracle_sf_dir):
     )
     assert p.count("Scan parquet") == 1, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_grouping_sets_matches_oracle_and_plans_one_scan(
+    spark, oracle_sf_dir, duck
+):
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["rx_grouping_sets"](spark, oracle_sf_dir)
+    # inspect the plan BEFORE executing: after a collect, AQE's
+    # toString prints Final + Initial plans and every node twice
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["rx_grouping_sets"])
