@@ -389,12 +389,13 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan-count note: the bigram and boilerplate subtrees each scan the
     corpus (two scans). Folding both gram families into one tagged
     explode + (kind, gram) shuffle was A/B-measured SLOWER at sf0.1
-    (3.3 s vs 2.5 s — struct-array materialization + the checkpoint
-    needed to stop Catalyst pushing the kind predicate below the
-    aggregate outweigh the saved scan; Catalyst otherwise re-splits it
-    into two scans anyway). At scan-dominated scale the tagged single
-    pass is the right form — switch when the corpus no longer fits the
-    page cache.
+    twice (round 4: 3.3 s vs 2.5 s; round 5 re-run on a different box:
+    3.78 s vs 2.13 s median-of-5 — struct-array materialization + the
+    checkpoint needed to stop Catalyst pushing the kind predicate
+    below the aggregate outweigh the saved scan; Catalyst otherwise
+    re-splits it into two scans anyway). At scan-dominated scale the
+    tagged single pass is the right form — switch when the corpus no
+    longer fits the page cache.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
