@@ -38,3 +38,38 @@ def test_all_queries_run_at_smoke_sf(spark, entry_mod, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} returned no columns"
         df.limit(5).collect()
+
+
+def test_every_oracle_sql_parses_in_duckdb(entry_mod, oracle_sf_dir):
+    """EXPLAIN every oracle (contract + LOCAL) against the fixture
+    views — catches SQL typos/binding errors in seconds, without
+    executing the heavy recursive CTEs (the value comparisons live in
+    the per-module oracle tests and the driver sweep)."""
+    import importlib
+
+    from oracle import duck_connection
+
+    con = duck_connection(oracle_sf_dir)
+    oracles = dict(entry_mod.oracle_sql())
+    for mod_name in (
+        "relational_ext",
+        "dedup",
+        "similarity",
+        "text",
+        "pipeline",
+        "packing",
+    ):
+        mod = importlib.import_module(f"guagua_spark.operators.{mod_name}")
+        for key, sql in getattr(mod, "LOCAL_ORACLE_SQL", {}).items():
+            oracles[f"LOCAL:{key}"] = sql
+    bad = []
+    for name, sql in oracles.items():
+        if sql is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:80]}")
+    con.close()
+    assert not bad, "\n".join(bad)
+    assert len(oracles) >= 60  # 50 contract + the LOCAL surface
