@@ -104,51 +104,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_CERT_VECS = 500
 
 
-#: memo of the bounded semantic-dedup certificate scalars per
-#: (sf_dir, embeddings fingerprint) — the certificate is O(1) by
-#: construction (SEM_CERT_VECS rows) but costs two applyInPandas
-#: stages; recomputing it on every dedup_exact_stats call measured
-#: ~1.1 s of repeated work. Tiny values (two ints), so no eviction
-#: pressure; clear_caches() drops it with the pair graph.
-_SEM_CERT_CACHE: dict = {}
-
-
 def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row (sem_kept, sem_kept_id_sum) certificate of semantic_dedup
-    over the first SEM_CERT_VECS embeddings — memoized per table
-    fingerprint; NULL columns when the dataset dir has no embeddings
-    table (documents-only datasets must not fail the whole stats
-    row)."""
+    over the first SEM_CERT_VECS embeddings — the certificate is O(1)
+    by construction but costs two applyInPandas stages, so it is
+    memoized per embeddings fingerprint (certmemo — recomputing it per
+    dedup_exact_stats call measured ~1.1 s of repeated work); NULL
+    columns when the dataset dir has no embeddings table
+    (documents-only datasets must not fail the whole stats row)."""
     import os
 
-    from guagua_spark.sources.tables import table_fingerprint
+    from guagua_spark.operators.certmemo import cached_cert_row
 
     schema = "sem_kept bigint, sem_kept_id_sum bigint"
     if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         return spark.createDataFrame([(None, None)], schema)
-    key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
-    vals = _SEM_CERT_CACHE.get(key)
-    if vals is None:
-        import time
 
-        from guagua_spark.metrics import record_index_build
-
-        t0 = time.monotonic()
+    def build() -> DataFrame:
         emb = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") < SEM_CERT_VECS)
             .select("vec_id", "embedding")
         )
-        row = (
-            semantic_dedup_df(emb)
-            .agg(F.count(F.lit(1)), F.sum("vec_id"))
-            .collect()[0]
+        return semantic_dedup_df(emb).agg(
+            F.count(F.lit(1)).alias("sem_kept"),
+            F.sum("vec_id").alias("sem_kept_id_sum"),
         )
-        vals = (row[0], row[1])
-        record_index_build("sem_cert", time.monotonic() - t0)
-        _SEM_CERT_CACHE.clear()  # at most one live certificate
-        _SEM_CERT_CACHE[key] = vals
-    return spark.createDataFrame([vals], schema)
+
+    return cached_cert_row(
+        spark, sf_dir, "semantic", ("embeddings",), schema, build
+    )
 
 
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,12 +342,12 @@ _PAIR_CACHE: dict = {}
 
 
 def clear_caches() -> None:
-    """Unpersist and drop the pair-graph memo and the semantic-dedup
-    certificate scalars (data-regen hook)."""
+    """Unpersist and drop the pair-graph memo (data-regen hook; the
+    semantic certificate scalars live in operators.certmemo and clear
+    with it / clear_all_caches)."""
     from guagua_spark.memo import unpersist_all
 
     unpersist_all(_PAIR_CACHE)
-    _SEM_CERT_CACHE.clear()
 
 
 def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
