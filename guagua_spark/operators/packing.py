@@ -314,3 +314,78 @@ LOCAL_ORACLE_SQL = {
     "pipeline_pack_sequences": _pack_oracle(),
     "pipeline_build_training_set": _build_training_set_oracle(),
 }
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-DOCUMENT (span-level) dedup signal: per document, how many
+    of its fixed-token chunks also appear verbatim in ANOTHER document
+    — the paragraph-dedup analogue on deterministic chunk boundaries
+    (real pipelines drop or rewrite spans shared across many docs:
+    boilerplate headers, licenses, templated passages that whole-doc
+    dedup never catches).
+
+    Plan: chunk explode (map-side) → per-md5 (min_doc, max_doc)
+    partial-aggregated groupBy — a chunk appears in ≥2 DISTINCT docs
+    iff min ≠ max, and the partial agg collapses a corpus-hot chunk to
+    one row per map task (a window over the md5 would funnel the hot
+    chunk's rows through one sort task — the window-family hazard) —
+    → join back on the 16-byte md5 (AQE-sized) → per-doc rollup."""
+    from pyspark.sql import functions as F
+
+    chunks = chunk_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ordered=False,
+    ).select("doc_id", "chunk_md5")
+    spread = chunks.groupBy("chunk_md5").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("shared")
+    )
+    return (
+        chunks.join(spread, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("shared"), 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(F.col("n_shared_chunks") / F.col("n_chunks"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _chunk_dedup_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks) / {float(CHUNK_TOKENS)!r})
+                           AS BIGINT))) AS k
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         md5(array_to_string(
+               toks[k * {CHUNK_TOKENS} + 1 :
+                    LEAST((k + 1) * {CHUNK_TOKENS}, len(toks))], ' ')) AS m
+  FROM c
+),
+spread AS (
+  SELECT m, MIN(doc_id) <> MAX(doc_id) AS shared FROM h GROUP BY m
+)
+SELECT h.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN s.shared THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       ROUND(CAST(SUM(CASE WHEN s.shared THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_ratio
+FROM h JOIN spread s ON s.m = h.m
+GROUP BY h.doc_id ORDER BY h.doc_id
+""".strip()
+
+
+LOCAL_QUERIES["chunk_dedup_stats"] = chunk_dedup_stats
+LOCAL_ORACLE_SQL["chunk_dedup_stats"] = _chunk_dedup_oracle()

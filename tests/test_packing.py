@@ -137,3 +137,14 @@ def test_semantic_dedup_drops_and_recall(spark, oracle_sf_dir, duck):
     assert found_dropped <= true_dropped
     # ... and the LSH candidate generation catches most of them
     assert len(found_dropped) >= 0.5 * len(true_dropped)
+
+
+def test_chunk_dedup_stats_matches_oracle_and_finds_shared(
+    spark, oracle_sf_dir, duck
+):
+    """Span-level dedup: oracle equality plus a fixture-sanity check
+    that cross-document repeated chunks actually exist (near-dup docs
+    share verbatim 32-token spans)."""
+    df = LOCAL_QUERIES["chunk_dedup_stats"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["chunk_dedup_stats"])
+    assert df.filter("n_shared_chunks > 0").count() > 0
