@@ -33,17 +33,21 @@ def clear_caches() -> None:
     _CERT_CACHE.clear()
 
 
-def cached_cert_row(
+def cached_cert_df(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     tables: tuple[str, ...],
     schema: str,
     build,
+    max_rows: int = 1024,
 ) -> DataFrame:
-    """Memoized 1-row certificate: ``build()`` must return a 1-row
-    DataFrame matching ``schema``; its collected scalars are replayed
-    as literals until any of ``tables``' fingerprints change."""
+    """Memoized BOUNDED-DOMAIN certificate: ``build()`` must return a
+    DataFrame matching ``schema`` whose cardinality is bounded by a
+    data-independent domain (an enum of statuses/priorities, never a
+    data-proportional key set — ``max_rows`` is the tripwire, not a
+    truncation). Collected rows are replayed as a literal relation
+    until any of ``tables``' fingerprints change."""
     from guagua_spark.metrics import record_index_build
     from guagua_spark.sources.tables import table_fingerprint
 
@@ -56,14 +60,30 @@ def cached_cert_row(
     if vals is None:
         t0 = time.monotonic()
         rows = build().collect()
-        if len(rows) != 1:
+        if not (1 <= len(rows) <= max_rows):
             raise ValueError(
-                f"certificate {name!r} must aggregate to exactly 1 row, "
-                f"got {len(rows)}"
+                f"certificate {name!r} must yield 1..{max_rows} rows "
+                f"(bounded domain), got {len(rows)}"
             )
-        vals = tuple(rows[0])
+        vals = tuple(tuple(r) for r in rows)
         record_index_build(f"cert:{name}", time.monotonic() - t0)
         for k in [k for k in _CERT_CACHE if k[0] == name]:
             del _CERT_CACHE[k]  # one live entry per certificate
         _CERT_CACHE[key] = vals
-    return spark.createDataFrame([vals], schema)
+    return spark.createDataFrame(list(vals), schema)
+
+
+def cached_cert_row(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: tuple[str, ...],
+    schema: str,
+    build,
+) -> DataFrame:
+    """Memoized 1-row certificate: ``build()`` must return a 1-row
+    DataFrame matching ``schema``; its collected scalars are replayed
+    as literals until any of ``tables``' fingerprints change."""
+    return cached_cert_df(
+        spark, sf_dir, name, tables, schema, build, max_rows=1
+    )

@@ -298,13 +298,41 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     a data-proportional cardinality that would OOM a forced broadcast at
     100×; both sides are already partitioned by user_id from their
     aggregations, and AQE may still pick a broadcast when the side is
-    genuinely small."""
+    genuinely small. (The 1-row certificate cross join below carries no
+    hint either — Catalyst broadcasts a 1-row literal on size alone.)
+
+    ``lat_*``: the CDC latest-per-key certificate — a 1-row rollup of
+    the ACTUAL rx_latest_per_key output (the skew-immune max_by
+    compaction, relational_ext): surviving-row count, the sum of the
+    surviving event_ids, and the user_id-weighted event_id sum, which
+    binds WHICH event was selected as latest for WHICH user (event_id
+    is unique, so it determines the whole surviving row). All integer
+    sums — exact cross-engine. Memoized per events fingerprint
+    (certmemo); miss cost reports as _index:cert:latest_per_key. This
+    certifies the standalone LOCAL operator inside the 50-slot cap."""
+    from guagua_spark.operators.certmemo import cached_cert_row
+    from guagua_spark.operators.relational_ext import rx_latest_per_key
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     user_days = ev.distinct()
     cohorts = user_days.groupBy("user_id").agg(
         F.min("day").alias("cohort_day")
+    )
+    cert = cached_cert_row(
+        spark,
+        sf_dir,
+        "latest_per_key",
+        ("events",),
+        "lat_n_users bigint, lat_eid_sum bigint, lat_uid_wsum bigint",
+        lambda: rx_latest_per_key(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("lat_n_users"),
+            F.sum("event_id").alias("lat_eid_sum"),
+            F.sum(F.col("user_id") * F.col("event_id")).alias(
+                "lat_uid_wsum"
+            ),
+        ),
     )
     return (
         user_days.join(cohorts, "user_id")
@@ -316,6 +344,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day_offset") <= RETENTION_MAX_DAYS)
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(cert)
         .orderBy("cohort_day", "day_offset")
     )
 
@@ -480,19 +509,41 @@ SELECT event_type, CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """.strip(),
+    # carries the latest-per-key certificate columns (see
+    # events_retention docstring): the lat CTE replays rx_latest_per_key
+    # as the window-based formulation and rolls it to the same 1-row
+    # integer certificate the Spark side computes with max_by
     "events_retention": f"""
 WITH user_days AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
 ),
 cohorts AS (
   SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
+),
+ranked AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+lat AS (
+  SELECT COUNT(*) AS lat_n_users,
+         CAST(SUM(event_id) AS BIGINT) AS lat_eid_sum,
+         CAST(SUM(user_id * event_id) AS BIGINT) AS lat_uid_wsum
+  FROM ranked WHERE rn = 1
+),
+ret AS (
+  SELECT c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+         COUNT(DISTINCT d.user_id) AS n_users
+  FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
+  GROUP BY 1, 2
 )
-SELECT c.cohort_day,
-       CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
-       COUNT(DISTINCT d.user_id) AS n_users
-FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
-WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
-GROUP BY 1, 2 ORDER BY 1, 2
+SELECT ret.cohort_day, ret.day_offset, ret.n_users,
+       lat.lat_n_users, lat.lat_eid_sum, lat.lat_uid_wsum
+FROM ret CROSS JOIN lat
+ORDER BY ret.cohort_day, ret.day_offset
 """.strip(),
 }
 

@@ -329,7 +329,15 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff min ≠ max, and the partial agg collapses a corpus-hot chunk to
     one row per map task (a window over the md5 would funnel the hot
     chunk's rows through one sort task — the window-family hazard) —
-    → join back on the 16-byte md5 (AQE-sized) → per-doc rollup."""
+    → join back on the 16-byte md5 → per-doc rollup.
+
+    Skew guard on the join-back: occurrences are pre-aggregated to ONE
+    row per (doc_id, chunk_md5) before probing ``spread``, so a
+    corpus-hot chunk (a license paragraph in millions of docs) fans in
+    at most #docs rows — never #occurrences — and both that aggregate
+    and the join hash on chunk_md5, so the exchange is reused. Verified
+    against an every-doc-shares-one-chunk corpus in
+    tests/test_packing.py."""
     from pyspark.sql import functions as F
 
     chunks = chunk_docs(
@@ -339,12 +347,15 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = chunks.groupBy("chunk_md5").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("shared")
     )
+    per_doc = chunks.groupBy("doc_id", "chunk_md5").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
     return (
-        chunks.join(spread, "chunk_md5")
+        per_doc.join(spread, "chunk_md5")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("shared"), 1).otherwise(0)).alias(
+            F.sum("occ").alias("n_chunks"),
+            F.sum(F.when(F.col("shared"), F.col("occ")).otherwise(0)).alias(
                 "n_shared_chunks"
             ),
         )
@@ -356,35 +367,61 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chunk_dedup_oracle() -> str:
-    return f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+def _chunk_dedup_ctes(source: str = "documents") -> str:
+    """``cdt`` → ``cd_doc`` CTE block replaying chunk_dedup_stats'
+    per-doc rollup over any (doc_id, text) source — shared by the
+    standalone oracle and the text_token_counts certificate splice."""
+    return f"""cdt AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
 ),
-c AS (
+cdc AS (
   SELECT doc_id, toks,
          unnest(range(CAST(ceil(len(toks) / {float(CHUNK_TOKENS)!r})
                            AS BIGINT))) AS k
-  FROM t
+  FROM cdt
 ),
-h AS (
+cdh AS (
   SELECT doc_id,
          md5(array_to_string(
                toks[k * {CHUNK_TOKENS} + 1 :
                     LEAST((k + 1) * {CHUNK_TOKENS}, len(toks))], ' ')) AS m
-  FROM c
+  FROM cdc
 ),
-spread AS (
-  SELECT m, MIN(doc_id) <> MAX(doc_id) AS shared FROM h GROUP BY m
-)
-SELECT h.doc_id, COUNT(*) AS n_chunks,
-       CAST(SUM(CASE WHEN s.shared THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_shared_chunks,
-       ROUND(CAST(SUM(CASE WHEN s.shared THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS shared_ratio
-FROM h JOIN spread s ON s.m = h.m
-GROUP BY h.doc_id ORDER BY h.doc_id
+cd_spread AS (
+  SELECT m, MIN(doc_id) <> MAX(doc_id) AS shared FROM cdh GROUP BY m
+),
+cd_doc AS (
+  SELECT cdh.doc_id, COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN s.shared THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks
+  FROM cdh JOIN cd_spread s ON s.m = cdh.m
+  GROUP BY cdh.doc_id
+)"""
+
+
+def _chunk_dedup_oracle() -> str:
+    return f"""
+WITH {_chunk_dedup_ctes()}
+SELECT doc_id, n_chunks, n_shared_chunks,
+       ROUND(CAST(n_shared_chunks AS DOUBLE) / n_chunks, 6)
+         AS shared_ratio
+FROM cd_doc ORDER BY doc_id
 """.strip()
+
+
+def sql_chunk_dedup_cert_cte(source: str = "documents") -> str:
+    """CTE block ending in ``cd_cert`` — the 1-row integer certificate
+    of chunk_dedup_stats (corpus shared-occurrence total, count of docs
+    holding any shared chunk, doc_id-weighted shared-occurrence sum —
+    the weighting binds WHICH doc carries WHICH shared count)."""
+    return f"""{_chunk_dedup_ctes(source)},
+cd_cert AS (
+  SELECT CAST(SUM(n_shared_chunks) AS BIGINT) AS cds_shared_total,
+         CAST(SUM(CASE WHEN n_shared_chunks > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cds_docs_shared,
+         CAST(SUM(doc_id * n_shared_chunks) AS BIGINT) AS cds_id_wsum
+  FROM cd_doc
+)"""
 
 
 LOCAL_QUERIES["chunk_dedup_stats"] = chunk_dedup_stats

@@ -14,24 +14,63 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from guagua_spark.functions.scale import u32_hash
 from guagua_spark.sources.tables import load_table
 
 
 def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (returnflag, linestatus): hierarchy subtotals + grand
     total in ONE pass — Spark expands grouping sets map-side, so it is
-    still a single shuffle, not three queries."""
+    still a single shuffle, not three queries.
+
+    ``gs_*``: the GROUPING SETS certificate — a 1-row rollup of the
+    ACTUAL rx_grouping_sets output (explicit-sets syntax over orders):
+    output row count plus label-hash-weighted integer sums of every
+    group's count and (revenue·10⁴ as bigint), where the label hash
+    covers (priority, status, gid). The weighting binds WHICH group got
+    WHICH count/revenue — a swap between two groups changes the sum —
+    and the integer form keeps the certificate exact cross-engine
+    (summing doubles is order-sensitive; summing per-row rounded
+    integers is not). This certifies the standalone LOCAL operator
+    inside the 50-slot driver cap. Memoized per orders fingerprint
+    (certmemo); cost on miss reports as _index:cert:grouping_sets."""
+    from guagua_spark.operators.certmemo import cached_cert_row
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("cnt"),
+    base = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+    def build() -> DataFrame:
+        gs = rx_grouping_sets(spark, sf_dir)
+        label = F.concat_ws(
+            "|",
+            F.coalesce(F.col("o_orderpriority"), F.lit("~")),
+            F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+            F.col("gid").cast("string"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+        # small weight (u32 % 997 + 1) so weight·(revenue·10⁴) summed
+        # over all groups stays far inside bigint range
+        w = F.pmod(u32_hash("gs", label), F.lit(997)) + 1
+        rev_i = F.round(F.col("revenue") * 10000).cast("bigint")
+        return gs.agg(
+            F.count(F.lit(1)).alias("gs_rows"),
+            F.sum(w * F.col("n_orders")).alias("gs_n_wsum"),
+            F.sum(w * rev_i).alias("gs_rev_wsum"),
         )
+
+    cert = cached_cert_row(
+        spark,
+        sf_dir,
+        "grouping_sets",
+        ("orders",),
+        "gs_rows bigint, gs_n_wsum bigint, gs_rev_wsum bigint",
+        build,
+    )
+    return base.crossJoin(F.broadcast(cert)).orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
     )
 
 
@@ -80,17 +119,60 @@ def rx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rx_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style conditional aggregation (CASE WHEN inside SUM) per
-    order priority — one scan, no join, no pivot shuffle."""
+    order priority — one scan, no join, no pivot shuffle.
+
+    ``n_F/n_O/n_P`` + ``rev_F/rev_O/rev_P``: the per-status vector from
+    the ACTUAL rx_pivot_status output (Spark's pinned-values
+    ``.pivot()`` operator), joined in per priority. ``unp_n_sum`` /
+    ``unp_wsum``: a per-priority rollup of the ACTUAL rx_unpivot_status
+    output (the ``.unpivot()`` melt) — total count across statuses plus
+    a status-hash-weighted count sum that binds WHICH status label
+    carried WHICH count through the melt. Both operators run for real
+    on certificate build; the priority×status domain is a bounded enum
+    (≤ 5×3 cells), so the certificate is a bounded-domain literal
+    (certmemo.cached_cert_df, memoized per orders fingerprint, miss
+    cost visible as _index:cert:pivot_unpivot) joined on priority —
+    never a data-proportional relation. Certifies both standalone
+    LOCAL operators inside the 50-slot driver cap."""
+    from guagua_spark.operators.certmemo import cached_cert_df
+
     orders = load_table(spark, sf_dir, "orders")
     high = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(high).alias("n_high_value"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(high).alias("n_high_value"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+    def build() -> DataFrame:
+        piv = rx_pivot_status(spark, sf_dir)
+        unp = (
+            rx_unpivot_status(spark, sf_dir)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n").alias("unp_n_sum"),
+                F.sum(u32_hash("unp", F.col("status")) * F.col("n")).alias(
+                    "unp_wsum"
+                ),
+            )
         )
-        .orderBy("o_orderpriority")
+        return piv.join(unp, "o_orderpriority")
+
+    cert = cached_cert_df(
+        spark,
+        sf_dir,
+        "pivot_unpivot",
+        ("orders",),
+        "o_orderpriority string, "
+        + ", ".join(f"n_{s} bigint" for s in PIVOT_STATUSES)
+        + ", "
+        + ", ".join(f"rev_{s} double" for s in PIVOT_STATUSES)
+        + ", unp_n_sum bigint, unp_wsum bigint",
+        build,
+        max_rows=64,
+    )
+    return base.join(F.broadcast(cert), "o_orderpriority").orderBy(
+        "o_orderpriority"
     )
 
 
@@ -364,13 +446,9 @@ SELECT n_name, COUNT(*) AS n_suppliers,
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """.strip(),
-    "rx_rollup_revenue": """
-SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice), 4) AS revenue, COUNT(*) AS cnt
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-""".strip(),
+    # assigned at the bottom of the module — splices the grouping-sets
+    # certificate CTE, whose SQL is defined down there
+    "rx_rollup_revenue": None,
     "rx_semi_join_customers": """
 SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
@@ -389,12 +467,9 @@ SELECT COUNT(DISTINCT o_custkey) AS n_customers,
        ROUND(SUM(o_totalprice), 4) AS total_price
 FROM orders
 """.strip(),
-    "rx_conditional_agg": """
-SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
-       ROUND(AVG(o_totalprice), 4) AS avg_price
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-""".strip(),
+    # assigned at the bottom of the module — splices the pivot/unpivot
+    # certificate CTEs, whose SQL is defined down there
+    "rx_conditional_agg": None,
     "rx_range_join_events": """
 WITH bounds AS (
   SELECT 0 AS bucket, 0.0 AS lo, 50000.0 AS hi
@@ -530,7 +605,7 @@ def rx_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIVOT_ORACLE = (
+_PIVOT_CORE = (
     "SELECT o_orderpriority, "
     + ", ".join(
         f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) "
@@ -543,24 +618,36 @@ _PIVOT_ORACLE = (
         f"THEN o_totalprice END), 4), 0.0) AS rev_{s}"
         for s in PIVOT_STATUSES
     )
-    + " FROM orders GROUP BY 1 ORDER BY 1"
+    + " FROM orders GROUP BY 1"
 )
 
-_UNPIVOT_ORACLE = f"""
-WITH statuses AS (
+_PIVOT_ORACLE = _PIVOT_CORE + " ORDER BY 1"
+
+#: CTE block (statuses/counts/prio/unp_long) replaying the unpivot melt
+#: in long form — shared by the standalone oracle and the
+#: rx_conditional_agg certificate splice
+_UNPIVOT_CTES = """statuses AS (
   SELECT unnest(['F', 'O', 'P']) AS status
 ),
 counts AS (
   SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
   FROM orders GROUP BY 1, 2
-)
-SELECT p.o_orderpriority, s.status,
-       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
-FROM (SELECT DISTINCT o_orderpriority FROM orders) p
-CROSS JOIN statuses s
-LEFT JOIN counts c
-  ON c.o_orderpriority = p.o_orderpriority AND c.status = s.status
-ORDER BY p.o_orderpriority, s.status
+),
+prio AS (SELECT DISTINCT o_orderpriority FROM orders),
+unp_long AS (
+  SELECT p.o_orderpriority, s.status,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM prio p
+  CROSS JOIN statuses s
+  LEFT JOIN counts c
+    ON c.o_orderpriority = p.o_orderpriority AND c.status = s.status
+)"""
+
+_UNPIVOT_ORACLE = f"""
+WITH {_UNPIVOT_CTES}
+SELECT o_orderpriority, status, n
+FROM unp_long
+ORDER BY o_orderpriority, status
 """.strip()
 
 LOCAL_QUERIES["rx_pivot_status"] = rx_pivot_status
@@ -576,8 +663,6 @@ def rx_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand (one input row fans to one row per set) + one partial-
     aggregated exchange — never a scan per set. grouping_id
     disambiguates the NULL-as-label rows from genuine NULLs."""
-    from guagua_spark.sources.tables import register_views
-
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -606,3 +691,78 @@ ORDER BY gid, o_orderpriority, o_orderstatus
 
 LOCAL_QUERIES["rx_grouping_sets"] = rx_grouping_sets
 LOCAL_ORACLE_SQL["rx_grouping_sets"] = _GROUPING_SETS_ORACLE
+
+
+# -- contract-row oracles spliced from the LOCAL operators' SQL ------------
+#
+# rx_conditional_agg carries the pivot/unpivot certificate columns and
+# rx_rollup_revenue the grouping-sets certificate (see their docstrings)
+# — each oracle replays the host aggregate plus the certified operator's
+# own oracle SQL, so a driver hash-match proves the LOCAL operator's
+# math, not just the host's.
+
+_U32_SQL = "CAST(('0x' || substr(md5('{tag}|' || {expr}), 1, 8)) AS UBIGINT)"
+
+ORACLE_SQL["rx_conditional_agg"] = f"""
+WITH {_UNPIVOT_CTES},
+piv AS ({_PIVOT_CORE}),
+unp AS (
+  SELECT o_orderpriority,
+         CAST(SUM(n) AS BIGINT) AS unp_n_sum,
+         CAST(SUM({_U32_SQL.format(tag="unp", expr="status")} * n)
+              AS BIGINT) AS unp_wsum
+  FROM unp_long GROUP BY 1
+),
+base AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_high_value,
+         ROUND(AVG(o_totalprice), 4) AS avg_price
+  FROM orders GROUP BY 1
+)
+SELECT base.o_orderpriority, base.n_orders, base.n_high_value,
+       base.avg_price,
+       {", ".join(f"piv.n_{s}" for s in PIVOT_STATUSES)},
+       {", ".join(f"piv.rev_{s}" for s in PIVOT_STATUSES)},
+       unp.unp_n_sum, unp.unp_wsum
+FROM base
+JOIN piv USING (o_orderpriority)
+JOIN unp USING (o_orderpriority)
+ORDER BY o_orderpriority
+""".strip()
+
+_GS_LABEL = (
+    "coalesce(o_orderpriority, '~') || '|' || "
+    "coalesce(o_orderstatus, '~') || '|' || CAST(gid AS VARCHAR)"
+)
+
+ORACLE_SQL["rx_rollup_revenue"] = f"""
+WITH gs AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                          (o_orderpriority), ())
+),
+cert AS (
+  SELECT COUNT(*) AS gs_rows,
+         CAST(SUM(({_U32_SQL.format(tag="gs", expr=_GS_LABEL)} % 997 + 1)
+                  * n_orders) AS BIGINT) AS gs_n_wsum,
+         CAST(SUM(({_U32_SQL.format(tag="gs", expr=_GS_LABEL)} % 997 + 1)
+                  * CAST(ROUND(revenue * 10000) AS BIGINT))
+              AS BIGINT) AS gs_rev_wsum
+  FROM gs
+),
+roll AS (
+  SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_extendedprice), 4) AS revenue, COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
+SELECT roll.l_returnflag, roll.l_linestatus, roll.revenue, roll.cnt,
+       cert.gs_rows, cert.gs_n_wsum, cert.gs_rev_wsum
+FROM roll CROSS JOIN cert
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""".strip()

@@ -95,10 +95,22 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_chunks``/``chunk_hash_sum``: the fixed-token chunking
     certificate (packing.chunk_certificate_cols — same slice/md5 chunk
     values as pipeline_doc_chunks, summed per doc instead of exploded),
-    certifying the chunking operator in this row too. Map-side only."""
+    certifying the chunking operator in this row too. Map-side only.
+
+    ``cds_*``: the span-level chunk-dedup certificate — a 1-row rollup
+    of the ACTUAL chunk_dedup_stats output (packing.py): corpus total
+    of shared-chunk occurrences, count of docs holding any shared
+    chunk, and the doc_id-weighted shared-occurrence sum (binds WHICH
+    doc got WHICH shared count). All integer sums — exact cross-engine.
+    Memoized per documents fingerprint (certmemo, miss cost reports as
+    _index:cert:chunk_dedup) and cross-joined as a 1-row literal, so
+    the host row stays a single map-side scan on warm calls. Certifies
+    the standalone LOCAL operator inside the 50-slot cap."""
+    from guagua_spark.operators.certmemo import cached_cert_row
     from guagua_spark.operators.packing import (
         PACK_BUCKETS,
         chunk_certificate_cols,
+        chunk_dedup_stats,
         pack_assignment,
     )
 
@@ -107,18 +119,38 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.size(_tokens()), PACK_BUCKETS
     )
     n_chunks, chunk_hash_sum = chunk_certificate_cols()
-    return docs.select(
-        "doc_id",
-        F.size(_tokens()).alias("n_tokens"),
-        F.size(F.array_distinct(_tokens())).alias("n_distinct_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).alias(
-            "n_bpe_tokens"
+    cds = cached_cert_row(
+        spark,
+        sf_dir,
+        "chunk_dedup",
+        ("documents",),
+        "cds_shared_total bigint, cds_docs_shared bigint, cds_id_wsum bigint",
+        lambda: chunk_dedup_stats(spark, sf_dir).agg(
+            F.sum("n_shared_chunks").alias("cds_shared_total"),
+            F.sum(
+                F.when(F.col("n_shared_chunks") > 0, 1).otherwise(0)
+            ).alias("cds_docs_shared"),
+            F.sum(F.col("doc_id") * F.col("n_shared_chunks")).alias(
+                "cds_id_wsum"
+            ),
         ),
-        bucket.alias("pack_bucket"),
-        seq.alias("pack_seq"),
-        n_chunks.alias("n_chunks"),
-        chunk_hash_sum.alias("chunk_hash_sum"),
-    ).orderBy("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).alias("n_tokens"),
+            F.size(F.array_distinct(_tokens())).alias("n_distinct_tokens"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)
+            ).alias("n_bpe_tokens"),
+            bucket.alias("pack_bucket"),
+            seq.alias("pack_seq"),
+            n_chunks.alias("n_chunks"),
+            chunk_hash_sum.alias("chunk_hash_sum"),
+        )
+        .crossJoin(F.broadcast(cds))
+        .orderBy("doc_id")
+    )
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +703,7 @@ def _token_counts_oracle() -> str:
         PACK_BUCKETS,
         SEQ_TOKENS,
         sql_chunk_certificate,
+        sql_chunk_dedup_cert_cte,
     )
 
     u32 = (
@@ -679,7 +712,8 @@ def _token_counts_oracle() -> str:
     )
     n_chunks, chunk_hash_sum = sql_chunk_certificate()
     return f"""
-WITH base AS (
+WITH {sql_chunk_dedup_cert_cte()},
+base AS (
   SELECT doc_id,
          len({_sql_tokens()}) AS n_tokens,
          len(list_distinct({_sql_tokens()})) AS n_distinct_tokens,
@@ -696,8 +730,9 @@ SELECT doc_id, n_tokens, n_distinct_tokens, n_bpe_tokens,
                                      ORDER BY h, doc_id
                                      ROWS UNBOUNDED PRECEDING) - capped)
                   / {float(SEQ_TOKENS)!r}) AS BIGINT) AS pack_seq,
-       n_chunks, chunk_hash_sum
-FROM base ORDER BY doc_id
+       n_chunks, chunk_hash_sum,
+       cds_shared_total, cds_docs_shared, cds_id_wsum
+FROM base CROSS JOIN cd_cert ORDER BY doc_id
 """.strip()
 
 
