@@ -81,16 +81,24 @@ def salted_agg(
     for out, (_, fn) in aggs.items():
         if fn not in _PARTIAL:
             raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
-    # partition-id salt (not rand(): SPARK-23207-class task retries
-    # replay a different rand() stream and can lose/duplicate rows
-    # through shuffle recovery; not a row-content hash either: a hot
-    # key made of IDENTICAL rows — the count-duplicates shape — would
-    # hash to ONE salt and silently degrade to a plain groupBy).
-    # spark_partition_id is stable across task retries (the same
-    # partition recomputes with the same id) and spreads a hot key
-    # across as many salts as input partitions hold it; correctness is
-    # salt-independent for every decomposable aggregate offered here.
-    salt = F.pmod(F.spark_partition_id().cast("bigint"), F.lit(n_salts)).alias(
+    # monotonically_increasing_id salt (not rand(): SPARK-23207-class
+    # task retries replay a different rand() stream and can lose or
+    # duplicate rows through shuffle recovery; not a row-content hash:
+    # a hot key made of IDENTICAL rows — the count-duplicates shape —
+    # would hash to ONE salt; not spark_partition_id alone: that
+    # spreads a hot key across at most as many salts as input
+    # partitions hold it, so a key clustered into 1-2 partitions — a
+    # sorted/bucketed-by-key input, or one big gzip scanning as a
+    # single split — silently degrades to a plain groupBy).
+    # mono-id = (partition_id << 33) + per-partition record index;
+    # both components are deterministic under task retry (the same
+    # partition recomputes the same record order — the invariant
+    # assign_dense_ids also relies on), and the record index varies
+    # per ROW, so even a hot key confined to ONE partition of
+    # identical rows fans out across all n_salts reducers. Correctness
+    # is salt-independent for every decomposable aggregate offered
+    # here.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias(
         "__salt"
     )
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
@@ -131,7 +139,9 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
-def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
+def assign_dense_ids(
+    df: DataFrame, id_col: str = "row_id", pin: bool = False
+) -> DataFrame:
     """Assign contiguous 0..n−1 row ids WITHOUT a global sort — the
     standard corpus-ingest primitive (stable doc ids for a freshly
     crawled dataset).
@@ -150,9 +160,23 @@ def assign_dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
     deterministic exactly when the input plan is (a parquet scan is;
     add a sort upstream if the source ordering isn't). Partitions over
     2³³ rows would overflow the local-index bits — Spark's own mono-id
-    contract, far beyond any sane partition size."""
+    contract, far beyond any sane partition size.
+
+    TWO-EVALUATION HAZARD: the plan executes twice (the counts job,
+    then the join). With a NON-deterministic upstream — a shuffle
+    whose retry recomputes different partition contents, sample(),
+    limit() without an order — the per-partition row sets can differ
+    between the two jobs, yielding duplicate or gapped ids even though
+    each id is individually well-formed. Pass ``pin=True`` for such
+    inputs: the __mid-stamped relation is localCheckpoint'd (computed
+    once; both jobs read the materialized blocks), trading one
+    materialization for the uniqueness/contiguity guarantee.
+    Deterministic inputs (parquet scans, sorted relations) don't need
+    it."""
     spark = df.sparkSession
     base = df.withColumn("__mid", F.monotonically_increasing_id())
+    if pin:
+        base = base.localCheckpoint(eager=True)
     pid = F.shiftright("__mid", 33)
     local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = sorted(

@@ -309,14 +309,29 @@ def _split_png_stream(out: bytes) -> "list[bytes]":
                 f"unexpected bytes at offset {pos} of the PNG stream"
             )
         end = pos + 8
+        closed = False
         while end + 8 <= len(out):
             (ln,) = struct.unpack(">I", out[end : end + 4])
             typ = out[end + 4 : end + 8]
             end += 12 + ln  # len + type + data + crc
             if typ == b"IEND":
+                closed = True
                 break
+        if not closed or end > len(out):
+            # a truncated encoder stream (killed ffmpeg, broken pipe)
+            # must fail HERE, not surface later as a confusing decode
+            # error on a half-frame — or worse, a silently wrong frame
+            raise ValueError(
+                f"PNG stream truncated: frame starting at offset {pos} "
+                "ended before its IEND chunk"
+            )
         frames.append(out[pos:end])
         pos = end
+    if pos != len(out):
+        raise ValueError(
+            f"PNG stream has {len(out) - pos} trailing bytes after the "
+            "last complete frame"
+        )
     return frames
 
 

@@ -152,21 +152,53 @@ def write_zordered(
     at this layer; at deployment feed the mins/maxs from catalog/table
     statistics instead (zorder_value takes them as arguments). The
     range partitioner samples the z key, so file boundaries adapt to
-    the data distribution (no empty/overfull files on skew)."""
+    the data distribution (no empty/overfull files on skew).
+
+    STRING z columns are rank-domained the way lakehouse OPTIMIZE
+    ZORDER handles them: a monotone numeric ranking (_lex_rank_col
+    packs the leading UTF-8 bytes big-endian) is quantile-binned into
+    ≤2^bits EQUI-POPULATED bins (one approx-quantile pass per string
+    column; min/max scaling would collapse under shared prefixes —
+    'user_000'…'user_099' all land in one bin of a min/max domain) and
+    the bin index joins the interleave through a ≤2^bits-literal array
+    comparison, fully codegen'd. Timestamps/dates rank via epoch
+    seconds with min/max scaling (temporal domains don't share
+    prefixes). Exactness of bin EDGES is irrelevant to correctness:
+    any monotone binning yields a valid clustering, only
+    skip-tightness varies.
+
+    Degenerate domains degrade safely: an EMPTY input writes one empty
+    file; a NON-empty input with an all-NULL z column drops that
+    column from the key and clusters on the rest — and if every z
+    column is all-NULL, writes unclustered at the stats-sized file
+    count. Never a single-task funnel of a non-empty dataset."""
+    # one monotone numeric rank source per z column (typed dispatch);
+    # quantile[i] marks columns needing equi-populated binning
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    srcs, quantile = [], []
+    for c in zorder_cols:
+        t = types.get(c, "string")
+        if (
+            t in ("byte", "short", "integer", "long", "float", "double")
+            or t.startswith("decimal")
+        ):
+            srcs.append(F.col(c).cast("double"))
+            quantile.append(False)
+        elif t == "timestamp":
+            srcs.append(F.col(c).cast("double"))  # epoch seconds
+            quantile.append(False)
+        elif t == "date":
+            srcs.append(F.col(c).cast("timestamp").cast("double"))
+            quantile.append(False)
+        else:
+            srcs.append(
+                _lex_rank_col(F.col(c).cast("string")).cast("double")
+            )
+            quantile.append(True)
     stats = df.agg(
-        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(zorder_cols)],
-        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.min(s).alias(f"mn_{i}") for i, s in enumerate(srcs)],
+        *[F.max(s).alias(f"mx_{i}") for i, s in enumerate(srcs)],
     ).collect()[0]
-    if any(stats[f"mn_{i}"] is None for i in range(len(zorder_cols))):
-        # empty input or an all-NULL z column: there is no domain to
-        # cluster — write the (possibly empty) dataset as-is rather
-        # than crash an automated pipeline on a legitimate no-data
-        # partition
-        df.coalesce(1).write.mode(mode).parquet(path)
-        return 1
-    mins = [float(stats[f"mn_{i}"]) for i in range(len(zorder_cols))]
-    maxs = [float(stats[f"mx_{i}"]) for i in range(len(zorder_cols))]
-    z = zorder_value([F.col(c) for c in zorder_cols], mins, maxs, bits)
     if n_files is None:
         est = plan_size_bytes(df)
         n_files = (
@@ -174,6 +206,60 @@ def write_zordered(
             if est < (1 << 50)
             else df.rdd.getNumPartitions()
         )
+    # drop all-NULL z columns: no domain to cluster on
+    live = [
+        i for i in range(len(zorder_cols)) if stats[f"mn_{i}"] is not None
+    ]
+    if not live:
+        if df.isEmpty():
+            df.coalesce(1).write.mode(mode).parquet(path)
+            return 1
+        # non-empty but nothing to cluster on: unclustered at natural
+        # file count — NOT coalesce(1), which would funnel a large
+        # dataset through one write task
+        df.repartition(n_files).write.mode(mode).parquet(path)
+        return n_files
+    if bits * len(live) > 63:
+        raise ValueError(f"bits({bits})×live cols({len(live)}) must be ≤ 63")
+    top = (1 << bits) - 1
+    ranks = []
+    for i in live:
+        if quantile[i]:
+            probs = [(q + 1) / (1 << bits) for q in range((1 << bits) - 1)]
+            edges = df.select(srcs[i].alias("__zr")).approxQuantile(
+                "__zr", probs, 0.01
+            )
+            uniq = sorted(set(edges))
+            arr = F.array(*[F.lit(float(e)) for e in uniq])
+            src = srcs[i]
+            # bin = #quantile edges ≤ value: equi-populated by
+            # construction, one codegen'd array pass per row. Low
+            # cardinality leaves few distinct bins, so stretch the bin
+            # index across the FULL bits range — otherwise this
+            # column's high interleave bits are constant zero and the
+            # file split degenerates to the other columns.
+            bin_c = F.size(F.filter(arr, lambda e: e <= src)).cast("long")
+            ranks.append(
+                F.floor(bin_c * F.lit(top) / F.lit(max(1, len(uniq)))).cast(
+                    "long"
+                )
+            )
+        else:
+            mn = float(stats[f"mn_{i}"])
+            mx = float(stats[f"mx_{i}"])
+            span = (mx - mn) or 1.0
+            scaled = (srcs[i] - F.lit(mn)) / F.lit(span) * F.lit(float(top))
+            ranks.append(
+                F.least(
+                    F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top)
+                )
+            )
+    n = len(ranks)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
@@ -183,6 +269,24 @@ def write_zordered(
         .parquet(path)
     )
     return n_files
+
+
+def _lex_rank_col(s: "F.Column") -> "F.Column":
+    """Order-preserving numeric rank of a string: the first 7 bytes of
+    its UTF-8 form packed big-endian into a non-negative long, NULL for
+    NULL input. Monotone in the string's byte order (values equal in
+    the first 7 bytes collapse to one rank — harmless for skip stats,
+    which only need a monotone coarsening; write_zordered quantile-bins
+    this rank, so shared prefixes cost resolution only past the 7th
+    byte, not bin balance)."""
+    b = F.encode(s, "UTF-8")
+    out = F.lit(0).cast("long")
+    for k in range(1, 8):
+        out = out * 256 + F.coalesce(
+            F.conv(F.hex(F.substring(b, k, 1)), 16, 10).cast("long"),
+            F.lit(0),
+        )
+    return F.when(s.isNull(), F.lit(None).cast("long")).otherwise(out)
 
 
 def write_stream_parquet(

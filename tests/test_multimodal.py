@@ -352,3 +352,24 @@ def test_png_stream_split_survives_magic_inside_chunk():
     assert len(parts) == 2
     assert (decode_with_real_codec(parts[0]) == a).all()
     assert (decode_with_real_codec(parts[1]) == b).all()
+
+
+def test_png_stream_split_rejects_truncation():
+    """A truncated encoder stream (killed ffmpeg, broken pipe) must
+    fail AT THE SPLITTER with a clear error, not surface downstream as
+    a confusing half-frame decode error or a wrong frame."""
+    import numpy as np
+    import pytest
+
+    from guagua_spark.operators.multimodal import _split_png_stream
+
+    rng = np.random.default_rng(7)
+    png = _png_encode(rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8))
+    # cut inside the final IEND chunk → last frame never closes
+    with pytest.raises(ValueError, match="truncated"):
+        _split_png_stream(png + png[:-5])
+    # a few trailing junk bytes after the last complete frame
+    with pytest.raises(ValueError, match="trailing"):
+        _split_png_stream(png + b"\x00\x01\x02")
+    # intact stream still splits
+    assert len(_split_png_stream(png + png)) == 2

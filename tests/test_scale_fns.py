@@ -50,9 +50,10 @@ def test_salted_agg_equals_plain_agg(spark, skewed_df):
 
 def test_salted_agg_spreads_hot_key(spark, skewed_df):
     # phase-1 output must hold multiple partial rows for the hot key —
-    # mirror salted_agg's partition-id salt (retry-stable, and immune
-    # to the identical-rows collapse a content hash would suffer)
-    salt = F.pmod(F.spark_partition_id().cast("bigint"), F.lit(8))
+    # mirror salted_agg's mono-id salt (retry-stable, immune to the
+    # identical-rows collapse a content hash would suffer, and spreads
+    # even a key confined to one input partition)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
     partial = (
         skewed_df.withColumn("__salt", salt).groupBy("key", "__salt").count()
     )
@@ -63,18 +64,44 @@ def test_salted_agg_spreads_hot_key(spark, skewed_df):
 def test_salted_agg_spreads_identical_duplicate_rows(spark):
     """The count-duplicates shape: the hot key's rows are ALL identical
     (a content-derived salt would collapse them onto one reducer).
-    Partition-id salting must still produce several phase-1 partials
+    Mono-id salting must still produce several phase-1 partials
     and the exact aggregate."""
     df = spark.range(0, 40000, 1, 16).select(
         F.lit("hot").alias("key"), F.lit(1.0).alias("v")
     )
     got = salted_agg(df, ["key"], {"n": ("v", "count")}, n_salts=8).collect()
     assert [(r.key, r.n) for r in got] == [("hot", 40000)]
-    salt = F.pmod(F.spark_partition_id().cast("bigint"), F.lit(8))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
     partials = (
         df.withColumn("__salt", salt).groupBy("key", "__salt").count().count()
     )
     assert partials > 1
+
+
+def test_salted_agg_spreads_single_partition_hot_key(spark):
+    """A hot key confined to ONE input partition (sorted/bucketed-
+    by-key inputs, one big gzip scanning as a single split): the
+    partition-id salt degraded this to a plain groupBy; the mono-id
+    salt must still fan it across all n_salts reducers AND stay
+    exact."""
+    df = spark.range(0, 30000, 1, 1).select(
+        F.lit("hot").alias("key"), (F.col("id") % 5).cast("double").alias("v")
+    )
+    assert df.rdd.getNumPartitions() == 1
+    got = salted_agg(
+        df,
+        ["key"],
+        {"n": ("v", "count"), "total": ("v", "sum"), "hi": ("v", "max")},
+        n_salts=8,
+    ).collect()
+    assert [(r.key, r.n, r.total, r.hi) for r in got] == [
+        ("hot", 30000, float(sum(i % 5 for i in range(30000))), 4.0)
+    ]
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    partials = (
+        df.withColumn("__salt", salt).groupBy("key", "__salt").count().count()
+    )
+    assert partials == 8, "single-partition hot key must use every salt"
 
 
 def test_salted_agg_rejects_non_decomposable(skewed_df):
@@ -240,3 +267,20 @@ def test_assign_dense_ids(spark):
     assert {r.k for r in rows} == set(range(5000))
     again = {r.k: r.rid for r in assign_dense_ids(df, "rid").collect()}
     assert all(again[r.k] == r.rid for r in rows)
+
+
+def test_assign_dense_ids_pinned_nondeterministic_input(spark):
+    """pin=True must yield dense unique ids even when the upstream
+    plan is non-deterministic between jobs (simulated with an
+    unseeded sample — each evaluation draws different rows)."""
+    from guagua_spark.functions.scale import assign_dense_ids
+
+    df = (
+        spark.range(0, 20000, 1, 8)
+        .select(F.col("id").alias("k"))
+        .sample(0.5)
+    )
+    out = assign_dense_ids(df, "rid", pin=True)
+    rows = out.collect()
+    ids = sorted(r.rid for r in rows)
+    assert ids == list(range(len(rows))), "gapped or duplicate ids"

@@ -185,6 +185,111 @@ def test_zorder_value_matches_python_reference(spark):
         assert r.z == ref((r.a, r.b, r.c)), (r.a, r.b, r.c, r.z)
 
 
+def test_zordered_write_null_domain_column_keeps_parallelism(
+    spark, tmp_path
+):
+    """A NON-empty dataset with one all-NULL z column must NOT funnel
+    through a single write task: the NULL column drops out of the z key
+    and the write still clusters on the remaining column at the
+    requested file count."""
+    import pyspark.sql.functions as F
+
+    from guagua_spark.sources.writers import write_zordered
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        F.lit(None).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "null_col_zo")
+    n = write_zordered(df, path, ["x", "y"], n_files=8)
+    assert n == 8
+    files = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(files) == 8, f"single-task funnel: {len(files)} files"
+    assert spark.read.parquet(path).count() == 20_000
+    # still clustered on the surviving column: x point predicates skip
+    hit = 0
+    for f in sorted(files):
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .collect()[0]
+        )
+        if r.mn <= 19 and r.mx >= 10:
+            hit += 1
+    assert hit / len(files) <= 0.5, "x clustering lost with NULL y"
+
+
+def test_zordered_write_all_null_domain_keeps_parallelism(spark, tmp_path):
+    """Every z column all-NULL on non-empty input: unclustered write at
+    the requested parallelism, never coalesce(1)."""
+    import pyspark.sql.functions as F
+
+    from guagua_spark.sources.writers import write_zordered
+
+    df = spark.range(5_000).select(
+        F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "all_null_zo")
+    n = write_zordered(df, path, ["x", "y"], n_files=4)
+    assert n == 4
+    assert len(glob.glob(os.path.join(path, "part-*.parquet"))) == 4
+    assert spark.read.parquet(path).count() == 5_000
+
+
+def test_zordered_write_string_column_skips(spark, tmp_path):
+    """Rank-domain z-order on (numeric, string): point predicates on
+    EITHER column must skip most files — the string column goes through
+    the lexicographic byte-pack ranking."""
+    import pyspark.sql.functions as F
+
+    from guagua_spark.sources.writers import write_zordered
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        F.format_string("user_%03d", (F.col("id") * 7919) % 131).alias("s"),
+    )
+    zpath = str(tmp_path / "zo_str")
+    n = write_zordered(df, zpath, ["x", "s"], n_files=16)
+    assert n == 16
+    files = sorted(glob.glob(os.path.join(zpath, "part-*.parquet")))
+
+    def overlap(col, lo, hi):
+        hit = 0
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .collect()[0]
+            )
+            if r.mn <= hi and r.mx >= lo:
+                hit += 1
+        return hit / len(files)
+
+    assert overlap("x", 10, 19) <= 0.5
+    assert overlap("s", "user_010", "user_019") <= 0.5
+    assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_lex_rank_is_monotone(spark):
+    """_lex_rank_col must preserve lexicographic order (UTF-8 byte
+    order) for arbitrary strings, with NULL → NULL."""
+    from guagua_spark.sources.writers import _lex_rank_col
+
+    import pyspark.sql.functions as F
+
+    vals = ["", "a", "aa", "ab", "abcdefgh", "b", "user_001", "user_100",
+            "zzz", "Ω"]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "s string")
+    rows = df.select("s", _lex_rank_col(F.col("s")).alias("r")).collect()
+    got = {r.s: r.r for r in rows}
+    assert got[None] is None
+    ordered = sorted(vals, key=lambda v: v.encode("utf-8"))
+    ranks = [got[v] for v in ordered]
+    assert ranks == sorted(ranks), list(zip(ordered, ranks))
+
+
 def test_zordered_write_handles_empty_input(spark, tmp_path):
     """A legitimate no-data partition must write an empty dataset, not
     crash on NULL domain stats."""
