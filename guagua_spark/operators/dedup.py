@@ -264,6 +264,168 @@ def minhash_pairs_between(new_docs: DataFrame, old_docs: DataFrame) -> DataFrame
     )
 
 
+# -- stored LSH index (write-once, probe-many) ------------------------------
+#
+# The session memos (_minhash_pair_df, similarity's bucket/cell tables)
+# are the SINGLE-SESSION analogue of what a deployment materializes as
+# datasets next to the corpus. This section is that deployment form:
+# save_lsh_index writes the index as bucketed parquet tables via
+# functions/scale.write_bucketed, and the probe paths below read the
+# STORED tables — no recompute-from-text, no session cache — so a new
+# session (or another team's job) dedups an incoming batch against a
+# corpus it never scanned.
+
+#: bucket count for the stored index tables. At 100 TB size this to the
+#: cluster (thousands); it must match across tables that join (both
+#: writers below use the same value, which is what makes the posting
+#: table's self-join Exchange-free).
+LSH_INDEX_BUCKETS = 16
+
+
+def bucket_array_col(prefix: str = "__mh") -> Column:
+    """Ordered per-band bucket hashes as ONE array column (index =
+    band) over a signature table's __mh columns — shared by the stored
+    index writer and the streaming twin's first-band rule."""
+    out = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"{prefix}{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        out.append(F.md5(F.concat_ws("|", *cols)))
+    return F.array(*out)
+
+
+def save_lsh_index(
+    docs: DataFrame, name: str, n_buckets: int = LSH_INDEX_BUCKETS
+) -> None:
+    """Materialize the MinHash-LSH index of a (doc_id, text) corpus as
+    TWO stored bucketed tables — the classic inverted + forward layout:
+
+    - ``<name>_docs`` — forward index, ONE row per doc
+      (doc_id, shingles, buckets array; bucketed by doc_id): feeds
+      verification join-backs and the streaming twin's static side.
+    - ``<name>_buckets`` — posting table, one row per (doc, band)
+      (doc_id, band, bucket; bucketed by (band, bucket)): feeds
+      collision probing, and self-joins with ZERO Exchange because the
+      write pre-shuffled it on exactly the probe key.
+
+    The signature pass runs ONCE (localCheckpoint) and feeds both
+    writes. Overwrites any previous index of the same name — an
+    overwrite is the corpus re-index, picked up lazily by catalog
+    readers (see streaming_dedup_incremental's index_table mode)."""
+    from guagua_spark.functions.scale import (
+        ensure_parallelism,
+        write_bucketed,
+    )
+
+    sig = (
+        with_signature(ensure_parallelism(docs, docs.sparkSession))
+        .select(
+            "doc_id",
+            F.col("__shingles").alias("shingles"),
+            bucket_array_col().alias("buckets"),
+        )
+        .localCheckpoint()
+    )
+    write_bucketed(sig, f"{name}_docs", ["doc_id"], n_buckets)
+    write_bucketed(
+        sig.select(
+            "doc_id", F.posexplode("buckets").alias("band", "bucket")
+        ),
+        f"{name}_buckets",
+        ["band", "bucket"],
+        n_buckets,
+    )
+
+
+def minhash_pairs_against_index(
+    new_docs: DataFrame, name: str
+) -> DataFrame:
+    """minhash_pairs_between with the OLD side read from the stored
+    index: only the incoming batch is signed; the standing corpus
+    contributes its posting table (collision probe) and forward table
+    (shingle verification) as catalog reads. Per-batch cost is
+    O(|batch| signatures + collisions) and the corpus text is never
+    rescanned — the stored-index deployment story, round-trip-tested
+    for equality with the recompute-from-text path."""
+    spark = new_docs.sparkSession
+    from guagua_spark.functions.scale import ensure_parallelism
+
+    sig_n = (
+        with_signature(ensure_parallelism(new_docs, spark))
+        .select(
+            "doc_id",
+            "__shingles",
+            *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
+        )
+        .localCheckpoint()
+    )
+    bn = _band_buckets(sig_n).withColumnRenamed("doc_id", "new_id")
+    bo = spark.table(f"{name}_buckets").withColumnRenamed(
+        "doc_id", "old_id"
+    )
+    cand = (
+        bn.join(bo, ["band", "bucket"]).select("new_id", "old_id").distinct()
+    )
+    sh_o = spark.table(f"{name}_docs").select(
+        F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+    jac = inter.cast("double") / (F.size("sh_n") + F.size("sh_o") - inter)
+    return (
+        cand.join(
+            sig_n.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("__shingles").alias("sh_n"),
+            ),
+            "new_id",
+        )
+        .join(sh_o, "old_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
+def minhash_pairs_from_index(spark: SparkSession, name: str) -> DataFrame:
+    """Near-dup pairs of the indexed corpus itself, computed ENTIRELY
+    from the stored tables: the candidate stage self-joins the posting
+    table on its own bucketing key (band, bucket), so the plan carries
+    ZERO Exchange under that join — the shuffle was paid once at index
+    write time (asserted in tests/test_index_store.py). Equal to
+    minhash_pairs_for over the original text by construction."""
+    b = spark.table(f"{name}_buckets")
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = spark.table(f"{name}_docs")
+    joined = cand.join(
+        sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
 def minhash_pairs_for(docs: DataFrame) -> DataFrame:
     """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) for
     an arbitrary (doc_id, text) DataFrame — shared by

@@ -223,7 +223,10 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_dedup_incremental(
-    spark: SparkSession, sf_dir: str, refresh_static: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    refresh_static: bool = False,
+    index_table: str | None = None,
 ) -> DataFrame:
     """Streaming twin of dedup.dedup_incremental via a STREAM-STATIC
     join against the standing corpus's LSH index: freshly-ingested
@@ -237,9 +240,18 @@ def streaming_dedup_incremental(
     materialized index — cheapest when the corpus version is fixed,
     as in the availableNow tests); pass ``refresh_static=True`` to
     keep it lazy so each micro-batch re-reads the source and a corpus
-    re-index is picked up without restarting the ingest query (at
-    deployment the static side is then the STORED LSH index dataset,
-    not this recompute-from-text formulation).
+    re-index is picked up without restarting the ingest query.
+
+    ``index_table``: the DEPLOYMENT form — the name previously passed
+    to dedup.save_lsh_index. The static side then reads the STORED
+    forward index (``<name>_docs``: doc_id, shingles, buckets) from
+    the catalog instead of recomputing signatures from text: the
+    standing corpus is never rescanned, and because the read is lazy a
+    save_lsh_index overwrite (corpus re-index) is picked up on the
+    next micro-batch without restarting the ingest query —
+    refresh_static semantics for free. Round-trip equality with both
+    the recompute path and the batch operator is asserted in
+    tests/test_index_store.py.
 
     One stateful operator only (the final per-doc rollup): the stream
     side carries its shingle set and full bucket array THROUGH the band
@@ -255,21 +267,10 @@ def streaming_dedup_incremental(
     from guagua_spark.operators.dedup import (
         INC_SPLIT,
         JACCARD_THRESHOLD,
-        LSH_BANDS,
-        LSH_ROWS,
-        NUM_HASHES,
+        bucket_array_col as buckets_arr,
         with_signature,
     )
     from guagua_spark.sources.tables import load_table
-
-    def buckets_arr(prefix: str = "__mh") -> F.Column:
-        out = []
-        for b in range(LSH_BANDS):
-            cols = [
-                F.col(f"{prefix}{b * LSH_ROWS + r}") for r in range(LSH_ROWS)
-            ]
-            out.append(F.md5(F.concat_ws("|", *cols)))
-        return F.array(*out)
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -292,21 +293,29 @@ def streaming_dedup_incremental(
             F.posexplode("nb").alias("band", "bucket"),
         )
     )
-    old = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < INC_SPLIT)
-        .select("doc_id", "text")
-    )
     # static side: one relation carrying ids, shingles, and the bucket
-    # array — materialized once unless the caller wants per-batch
-    # refresh semantics (see docstring)
-    sig_o = with_signature(old).select(
-        F.col("doc_id").alias("old_id"),
-        F.col("__shingles").alias("sh_o"),
-        buckets_arr().alias("ob"),
-    )
-    if not refresh_static:
-        sig_o = sig_o.localCheckpoint()
+    # array — the stored forward index when index_table is given, else
+    # recomputed from text and materialized once unless the caller
+    # wants per-batch refresh semantics (see docstring)
+    if index_table is not None:
+        sig_o = spark.table(f"{index_table}_docs").select(
+            F.col("doc_id").alias("old_id"),
+            F.col("shingles").alias("sh_o"),
+            F.col("buckets").alias("ob"),
+        )
+    else:
+        old = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < INC_SPLIT)
+            .select("doc_id", "text")
+        )
+        sig_o = with_signature(old).select(
+            F.col("doc_id").alias("old_id"),
+            F.col("__shingles").alias("sh_o"),
+            buckets_arr().alias("ob"),
+        )
+        if not refresh_static:
+            sig_o = sig_o.localCheckpoint()
     bo = sig_o.select(
         "old_id", "sh_o", "ob", F.posexplode("ob").alias("band", "bucket")
     )

@@ -1,0 +1,127 @@
+"""Stored LSH index round trip: write bucketed index datasets → probe
+from the catalog (no recompute, no session memo) → equality with the
+recompute-from-text paths, plus the zero-Exchange bucketed self-join
+the write pays for once."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from guagua_spark.operators.dedup import (
+    INC_SPLIT,
+    minhash_pairs_against_index,
+    minhash_pairs_between,
+    minhash_pairs_for,
+    minhash_pairs_from_index,
+    save_lsh_index,
+)
+from guagua_spark.sources.tables import load_table
+
+
+def _drop(spark, name: str) -> None:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_docs", "_buckets"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+        shutil.rmtree(f"{wh}/{name}{suffix}", ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def lsh_index(spark, sf_dir):
+    """The standing corpus's stored index (old side of the incremental
+    fixture), written once for the module."""
+    _drop(spark, "t_lshidx")
+    old = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < INC_SPLIT)
+        .select("doc_id", "text")
+    )
+    save_lsh_index(old, "t_lshidx")
+    yield "t_lshidx"
+    _drop(spark, "t_lshidx")
+
+
+def _pairs(df, a="new_id", b="old_id"):
+    return sorted(
+        (r[a], r[b], round(r.jaccard, 9)) for r in df.collect()
+    )
+
+
+def test_stored_index_probe_equals_recompute_path(spark, sf_dir, lsh_index):
+    """Probing a fresh batch against the STORED index must yield
+    exactly the pairs minhash_pairs_between computes from text. The
+    probe touches no session memo and no corpus text — a new session
+    (or another job) gets the same result from the catalog alone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= INC_SPLIT)
+    old = docs.filter(F.col("doc_id") < INC_SPLIT)
+    got = minhash_pairs_against_index(new, lsh_index)
+    want = minhash_pairs_between(new, old)
+    assert _pairs(got) == _pairs(want)
+    assert len(_pairs(got)) > 0, "fixture must produce cross pairs"
+
+
+def test_stored_index_self_pairs_equal_and_exchange_free(
+    spark, sf_dir, lsh_index
+):
+    """Pair generation from the stored index alone must (a) equal
+    minhash_pairs_for over the original text and (b) plan the posting
+    table's candidate self-join with ZERO Exchange — the shuffle was
+    paid once by write_bucketed."""
+    old = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < INC_SPLIT)
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    got = minhash_pairs_from_index(spark, lsh_index)
+    want = minhash_pairs_for(old)
+    assert _pairs(got, "doc_a", "doc_b") == _pairs(want, "doc_a", "doc_b")
+
+    # force the shuffle-join path: the tiny fixture index would
+    # otherwise broadcast (the right call at this size — bucketing
+    # pays off when both sides are LARGE, which is what this asserts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = spark.table(f"{lsh_index}_buckets")
+        cand = b.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_streaming_static_side_reads_stored_index(spark, sf_dir, lsh_index):
+    """The streaming twin pointed at the stored index must drain to the
+    same per-doc rollup as the batch incremental operator (and as its
+    own recompute-from-text form)."""
+    from guagua_spark.operators.dedup import dedup_incremental
+    from guagua_spark.streaming import run_available_now
+    from guagua_spark.streaming.stream_ops import (
+        streaming_dedup_incremental,
+    )
+
+    got = run_available_now(
+        streaming_dedup_incremental(spark, sf_dir, index_table=lsh_index),
+        "s_inc_idx",
+        "complete",
+    )
+    want = dedup_incremental(spark, sf_dir)
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.dup_of, r.n_matches, round(r.best_jaccard, 9))
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(want)
