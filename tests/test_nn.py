@@ -190,6 +190,122 @@ def test_nn_resilient_matches_serial_replay(spark, xor_df):
         np.testing.assert_allclose(gb, wb, rtol=1e-9)
 
 
+def _partition_rows(xor_df):
+    """The exact per-partition row order the engine's workers see."""
+    import pyspark.sql.functions as F
+
+    rows = xor_df.withColumn("pid", F.spark_partition_id()).collect()
+    parts: dict[int, list] = {}
+    for r in rows:
+        parts.setdefault(r.pid, []).append(
+            ([r.f1, r.f2, r.f3, r.f4], r.target)
+        )
+    return parts
+
+
+def _serial_round(parts, weights, vrate=0.2):
+    """One engine round replayed serially: per-partition validation
+    split + backprop gradient accumulation over a [4, 8, 1] sigmoid
+    MLP — forward, backward, and split rule re-implemented
+    independently of the library. Returns (mean flat gradients,
+    train_error, test_error)."""
+
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    g_tot = [(np.zeros_like(w), np.zeros_like(b)) for w, b in weights]
+    tr_sse = te_sse = 0.0
+    tr_n = te_n = 0
+    for pdata in parts.values():
+        X = np.array([x for x, _ in pdata])
+        y = np.array([t for _, t in pdata]).reshape(-1, 1)
+        idx = np.arange(len(X))
+        is_te = (idx * 2654435761 % 1000) < vrate * 1000
+        Xtr, ytr, Xte, yte = X[~is_te], y[~is_te], X[is_te], y[is_te]
+        a1 = sig(Xtr @ weights[0][0] + weights[0][1])
+        out = sig(a1 @ weights[1][0] + weights[1][1])
+        e = out - ytr
+        tr_sse += float((e * e).sum())
+        tr_n += len(Xtr)
+        d2 = e * out * (1 - out)
+        d1 = (d2 @ weights[1][0].T) * a1 * (1 - a1)
+        for gi, (ga, da) in enumerate(((Xtr, d1), (a1, d2))):
+            g_tot[gi] = (
+                g_tot[gi][0] + ga.T @ da,
+                g_tot[gi][1] + da.sum(axis=0),
+            )
+        if len(Xte):
+            o = sig(
+                sig(Xte @ weights[0][0] + weights[0][1]) @ weights[1][0]
+                + weights[1][1]
+            )
+            te_sse += float(((o - yte) ** 2).sum())
+            te_n += len(Xte)
+    mean_g = [a for gw, gb in g_tot for a in (gw / tr_n, gb / tr_n)]
+    return mean_g, tr_sse / tr_n, (te_sse / te_n if te_n else 0.0)
+
+
+@pytest.mark.parametrize(
+    ("algorithm", "lr"),
+    [("backprop", 1.0), ("manhattan", 0.005), ("quickprop", 1.0)],
+)
+def test_nn_optimizers_match_serial_replay(spark, xor_df, algorithm, lr):
+    """VALUE oracles for the remaining weight-update strategies the
+    reference dispatches (guagua-examples nn/Weight.java:74-86:
+    BACKPROPAGATION with momentum, MANHATTANPROPAGATION,
+    QUICKPROPAGATION — RPROP has its own replay above, SCG a
+    determinism + convergence pair): the distributed engine run must
+    equal an independent single-process numpy replay of the update
+    rule to 1e-9, not merely reduce error."""
+    layers, rounds, momentum, mu = [4, 8, 1], 5, 0.5, 1.75
+    parts = _partition_rows(xor_df)
+
+    weights = [(w.copy(), b.copy()) for w, b in init_weights(layers, 42)]
+    train_error = test_error = None
+    vel = qp_pg = qp_pd = None
+    for _ in range(rounds):
+        mean_g, train_error, test_error = _serial_round(parts, weights)
+        flat_w = [a for w, b in weights for a in (w, b)]
+        if algorithm == "backprop":
+            if vel is None:
+                vel = [np.zeros_like(g) for g in mean_g]
+            for i, g in enumerate(mean_g):
+                vel[i] = momentum * vel[i] - lr * g
+                flat_w[i] = flat_w[i] + vel[i]
+        elif algorithm == "manhattan":
+            for i, g in enumerate(mean_g):
+                flat_w[i] = flat_w[i] - lr * np.sign(g)
+        else:  # quickprop: parabola-fit step from consecutive gradients
+            if qp_pg is None:
+                deltas = [-lr * g for g in mean_g]
+            else:
+                deltas = []
+                for g, pg, pd in zip(mean_g, qp_pg, qp_pd):
+                    denom = pg - g
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        step = np.where(
+                            np.abs(denom) > 1e-12, pd * g / denom, -lr * g
+                        )
+                    limit = mu * np.abs(pd)
+                    step = np.clip(
+                        step, -np.maximum(limit, lr), np.maximum(limit, lr)
+                    )
+                    deltas.append(step)
+            for i, d in enumerate(deltas):
+                flat_w[i] = flat_w[i] + d
+            qp_pg, qp_pd = mean_g, deltas
+        weights = [(flat_w[0], flat_w[1]), (flat_w[2], flat_w[3])]
+
+    model, _ = _train(
+        spark, xor_df, algorithm, iters=rounds, learning_rate=lr
+    )
+    np.testing.assert_allclose(model.train_error, train_error, rtol=1e-9)
+    np.testing.assert_allclose(model.test_error, test_error, rtol=1e-9)
+    for (gw, gb), (ww, wb) in zip(model.weights, weights):
+        np.testing.assert_allclose(gw, ww, rtol=1e-9)
+        np.testing.assert_allclose(gb, wb, rtol=1e-9)
+
+
 def test_backprop_numeric_gradient():
     """Analytic gradient matches finite differences (pure numpy)."""
     rng = np.random.default_rng(0)
