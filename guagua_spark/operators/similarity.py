@@ -487,7 +487,6 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered DataFrame) collected in vec_id order, so the whole
     pipeline is a pure function of the data and the SQL oracle can
     replay it (see _ivf_oracle)."""
-    nprobe = IVF_NPROBE
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -497,10 +496,23 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs only ids and cells, never the vectors (rescore joins the
     # embeddings back separately)
     corpus_c = _ivf_cells_df(spark, sf_dir)
-    # nprobe nearest cells per query, driver-side (queries are small)
-    qrows = q.collect()
+    return _ivf_probe(q, centroids, corpus_c)
+
+
+def _ivf_probe(
+    q: DataFrame,
+    centroids: np.ndarray,
+    corpus_c: DataFrame,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(query_id, vec_id) candidates from a quantizer + (vec_id, cell)
+    assignment relation: nprobe nearest cells per query are picked
+    driver-side (queries are small), then one broadcast join against
+    the assignment — shared by the session-memo path (ivf_candidates)
+    and the stored-index path (ann_ivf_topk_from_index)."""
+    spark = q.sparkSession
     probe_rows = []
-    for r in qrows:
+    for r in q.collect():
         qv = np.array(r.qe, dtype=np.float64)
         d = np.linalg.norm(centroids - qv, axis=1)
         for cell in np.argsort(d, kind="stable")[:nprobe]:
@@ -511,6 +523,61 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell") == F.col("pcell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", "vec_id")
+
+
+#: bucket count for the stored IVF tables (matches the LSH index's
+#: write-once-join-many contract; size to the cluster at 100 TB)
+IVF_INDEX_BUCKETS = 16
+
+
+def save_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Materialize the IVF index as stored datasets — the deployment
+    form of the session memos (same move as dedup.save_lsh_index):
+
+    - ``<name>_cells`` — the inverted file, (vec_id, cell) bucketed by
+      cell: probing joins it on cell with zero corpus rescan.
+    - ``<name>_centroids`` — the quantizer model, one row per cell
+      (cell, centroid array): tiny, collected by probers at plan time.
+
+    Overwrites any previous index of the same name (corpus re-index)."""
+    from guagua_spark.functions.scale import write_bucketed
+
+    centroids = _quantizer_centroids(spark, sf_dir)
+    write_bucketed(
+        _ivf_cells_df(spark, sf_dir), f"{name}_cells", ["cell"], n_buckets
+    )
+    cen_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cen_df.write.mode("overwrite").saveAsTable(f"{name}_centroids")
+
+
+def ann_ivf_topk_from_index(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """IVF top-k probing the STORED index: the quantizer centroids and
+    the (vec_id, cell) assignment come from catalog tables — no
+    quantizer training, no assignment UDF pass, no session memo. Only
+    the query batch and the final rescore touch the embeddings table.
+    Round-trip equality with the memo path is asserted in
+    tests/test_index_store.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cen_rows = spark.table(f"{name}_centroids").orderBy("cell").collect()
+    centroids = np.array([r.centroid for r in cen_rows], dtype=np.float64)
+    corpus_c = spark.table(f"{name}_cells")
+    cand = _ivf_probe(q, centroids, corpus_c)
+    return exact_rescore_topk(cand, emb, q).orderBy("query_id", "rank")
 
 
 def _bruteforce_oracle() -> str:

@@ -101,6 +101,48 @@ def test_stored_index_self_pairs_equal_and_exchange_free(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_stored_ivf_index_probe_equals_memo_path(spark, sf_dir):
+    """save_ivf_index → clear the session memos (a new session has
+    none) → probing the stored tables must reproduce the memo path's
+    top-k exactly (quantizer + assignment come from the catalog, and
+    no rebuild happens — asserted via the _index build metrics)."""
+    from guagua_spark.metrics import drain_index_builds
+    from guagua_spark.operators import similarity as sim
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_cells", "_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivfidx{suffix}")
+        shutil.rmtree(f"{wh}/t_ivfidx{suffix}", ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < sim.NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in sim.exact_rescore_topk(
+            sim.ivf_candidates(spark, sf_dir), emb, q
+        ).collect()
+    )
+    sim.save_ivf_index(spark, sf_dir, "t_ivfidx")
+    sim.clear_caches()  # new-session semantics: no memos survive
+    drain_index_builds()
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in sim.ann_ivf_topk_from_index(
+            spark, sf_dir, "t_ivfidx"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    rebuilt = drain_index_builds()
+    assert not rebuilt, f"stored path rebuilt session indexes: {rebuilt}"
+    for suffix in ("_cells", "_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivfidx{suffix}")
+        shutil.rmtree(f"{wh}/t_ivfidx{suffix}", ignore_errors=True)
+
+
 def test_streaming_static_side_reads_stored_index(spark, sf_dir, lsh_index):
     """The streaming twin pointed at the stored index must drain to the
     same per-doc rollup as the batch incremental operator (and as its
