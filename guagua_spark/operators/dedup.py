@@ -336,6 +336,29 @@ def save_lsh_index(
     )
 
 
+def append_to_lsh_index(docs: DataFrame, name: str) -> None:
+    """Index MAINTENANCE: merge a new batch into a stored LSH index —
+    the step after minhash_pairs_against_index dropped the batch's
+    near-duplicates, completing the ingest loop (probe → drop dups →
+    merge survivors). Appends sign the batch ONCE and insert into both
+    tables; Spark keeps the bucket spec on insert, so the posting
+    table's Exchange-free join property survives the merge. Caller
+    owns dedup between batch and corpus ids (the probe step)."""
+    sig = (
+        with_signature(docs)
+        .select(
+            "doc_id",
+            F.col("__shingles").alias("shingles"),
+            bucket_array_col().alias("buckets"),
+        )
+        .localCheckpoint()
+    )
+    sig.write.insertInto(f"{name}_docs")
+    sig.select(
+        "doc_id", F.posexplode("buckets").alias("band", "bucket")
+    ).write.insertInto(f"{name}_buckets")
+
+
 def minhash_pairs_against_index(
     new_docs: DataFrame, name: str
 ) -> DataFrame:

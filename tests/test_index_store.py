@@ -101,6 +101,39 @@ def test_stored_index_self_pairs_equal_and_exchange_free(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_append_to_index_completes_ingest_loop(spark, sf_dir):
+    """probe → merge survivors → the grown index answers pair queries
+    exactly as a from-scratch index over the union would (and the
+    posting table's bucket spec survives the append: the self-join
+    stays Exchange-free)."""
+    from guagua_spark.operators.dedup import append_to_lsh_index
+
+    _drop(spark, "t_growidx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < INC_SPLIT)
+    new = docs.filter(F.col("doc_id") >= INC_SPLIT)
+    save_lsh_index(old, "t_growidx")
+    append_to_lsh_index(new, "t_growidx")
+    got = minhash_pairs_from_index(spark, "t_growidx")
+    want = minhash_pairs_for(docs.repartition(4))
+    assert _pairs(got, "doc_a", "doc_b") == _pairs(want, "doc_a", "doc_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = spark.table("t_growidx_buckets")
+        cand = b.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    _drop(spark, "t_growidx")
+
+
 def test_stored_ivf_index_probe_equals_memo_path(spark, sf_dir):
     """save_ivf_index → clear the session memos (a new session has
     none) → probing the stored tables must reproduce the memo path's
