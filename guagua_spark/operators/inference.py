@@ -1,0 +1,316 @@
+"""Batch model inference + evaluation: the missing half of a training
+engine.
+
+The reference trains (LogisticRegressionMaster.java:78-100 aggregates
+worker gradients into the model) and hands the converged weights to the
+surrounding ecosystem for scoring and evaluation; this module is that
+half, Spark-first: the engine-trained model becomes a handful of
+literals folded into Catalyst expressions, so scoring is a map-side
+whole-stage-codegen pass over the feature relation — no UDF, no
+shuffle — and the evaluation rollups (separation stats, tie-aware AUC,
+decile gains) are standard partial aggregates on top. The scoring math
+is the reference's own worker-side sigmoid-of-dot-product
+(guagua-examples/src/main/java/ml/shifu/guagua/example/lr/
+LogisticRegressionWorker.java:118-137).
+
+Every operator here is DuckDB-oracle-checked end to end INCLUDING
+training: the oracle replays the identical 5-step gradient descent as a
+recursive CTE (shared verbatim with lr_train's hash-certified oracle via
+``lr_train_it_cte``), rounds the weights to 6dp exactly as the engine
+side does, then scores and aggregates — so a drift in either the engine
+math or the scoring expression breaks the comparison.
+
+Determinism: weights are rounded to 6dp on both sides (bit-identical —
+lr_train is driver-hash-green on exactly this rounding), and scores are
+rounded to 6dp before any grouping/ranking so the tie structure the AUC
+and decile ops depend on is identical across engines. libm ``exp`` may
+differ by 1 ulp between JVM and DuckDB; a 6dp rounding flips only if a
+score sits within ~1e-16 of a 0.0000005 boundary — measure-zero on real
+data, and tolerated by the tests' 1e-9 rtol everywhere it could matter.
+
+100 TB notes, per operator:
+- scoring: map-side only — broadcast-free (literals travel in the plan),
+  fuses into whatever scan feeds it.
+- AUC: exact tie-averaged Mann-Whitney WITHOUT a SinglePartition window:
+  range-repartition by score + in-partition sort (the TeraSort shape,
+  fully parallel) + dense-id ranks (functions/scale.assign_dense_ids —
+  per-partition counts + driver prefix sum, no data shuffle), then a
+  per-score-group rollup. The 6dp rounding bounds distinct scores at
+  ~1e6, so the group-by stays small however large the input.
+- deciles: boundaries via EXACT percentile — scale-safe for the same
+  reason (the aggregation state is one count per distinct rounded
+  score, ≤1e6 entries), then bucket assignment is a map-side CASE
+  against 9 literals; swap in approx_percentile only if you drop the
+  rounding.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guagua_spark.functions.scale import assign_dense_ids
+from guagua_spark.metrics import record_index_build
+from guagua_spark.operators.iterative import (
+    _cached_persisted,
+    lr_train_it_cte,
+)
+from guagua_spark.sources.tables import load_table, table_fingerprint
+
+#: session memo for the engine-trained model: unlike lr_train (whose
+#: POINT is to time the engine run), inference treats the model as an
+#: input artifact — built once per table fingerprint, build cost
+#: attributed via record_index_build like every other index memo.
+_MODEL_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    _MODEL_CACHE.clear()
+
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same key + same projection as lr_train → the two share one
+    # persisted relation instead of pinning the table twice
+    return _cached_persisted(
+        "lr",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity",
+            "l_discount",
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+        ),
+    )
+
+
+def trained_lr_weights(
+    spark: SparkSession, sf_dir: str
+) -> tuple[float, float, float]:
+    """(bias, w_qty, w_disc) from the same 5-iteration engine run
+    lr_train certifies, rounded to 6dp — bit-identical to the oracle
+    CTE's rounded weights (the rounding rationale lives at
+    iterative.lr_train:196)."""
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _MODEL_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    from guagua_spark.algorithms.gradient import (
+        GradientDescentMaster,
+        LogisticGradientWorker,
+    )
+    from guagua_spark.engine import IterativeEngine
+
+    t0 = time.monotonic()
+    model = IterativeEngine(spark).run(
+        GradientDescentMaster(dim=2, learning_rate=0.5),
+        LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
+        _lr_features(spark, sf_dir),
+        total_iteration=5,
+        persist=False,
+    )
+    weights = tuple(round(float(x), 6) for x in model.weights)
+    record_index_build("model:lr_weights", time.monotonic() - t0)
+    _MODEL_CACHE[sf_dir] = (fp, weights)
+    return weights
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label double, score double): sigmoid(w·x) with the trained
+    weights inlined as literals — pure map-side codegen, rounded to 6dp
+    (see module docstring)."""
+    w0, w1, w2 = trained_lr_weights(spark, sf_dir)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.col("l_quantity")
+        + F.lit(w2) * F.col("l_discount")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return _lr_features(spark, sf_dir).select(
+        "label", score.alias("score")
+    )
+
+
+def _scored_cte() -> str:
+    """Oracle twin of trained_lr_weights + _scored: replay training
+    (shared CTE), round the final weights to 6dp, score every row."""
+    return f"""
+WITH RECURSIVE {lr_train_it_cte()},
+w AS (
+  SELECT ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
+  FROM it WHERE i = 5
+),
+sc AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         ROUND(1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount))), 6)
+           AS score
+  FROM lineitem, w
+)""".strip()
+
+
+def infer_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-separation report: per-label score distribution + decision
+    counts at the 0.5 threshold. The shape an eval pipeline checks
+    first — are the classes separated at all, and which way does the
+    thresholded decision split them."""
+    sc = _scored(spark, sf_dir)
+    return (
+        sc.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("score").alias("avg_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _score_stats_oracle() -> str:
+    return f"""
+{_scored_cte()}
+SELECT CAST(label AS INT) AS label, COUNT(*) AS n,
+       AVG(score) AS avg_score, MIN(score) AS min_score,
+       MAX(score) AS max_score,
+       SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_flagged
+FROM sc GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-averaged AUC (Mann-Whitney U) at scale.
+
+    rank sum of positives → AUC = (Σr⁺ − P(P+1)/2) / (P·N). Global
+    ranks come from range-repartition + in-partition sort + dense ids
+    (no SinglePartition window; see module docstring), tie averaging
+    from the per-score group's (min_id + max_id)/2 — range partitioning
+    keeps equal scores in one partition, so a tie group's dense ids are
+    contiguous and their mean is exactly the tie-averaged rank."""
+    sc = _scored(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    # pin=False: the upstream is a persisted projection + deterministic
+    # range sort, so both dense-id jobs see identical partitions
+    ranked = assign_dense_ids(
+        sc.repartitionByRange(n_part, "score").sortWithinPartitions(
+            "score"
+        ),
+        "rid",
+    )
+    g = ranked.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("bigint")).alias("np"),
+        ((F.min("rid") + F.max("rid")) / F.lit(2.0) + F.lit(1.0)).alias(
+            "avg_rank"
+        ),
+    )
+    t = g.agg(
+        F.sum(F.col("np") * F.col("avg_rank")).alias("spr"),
+        F.sum("np").alias("p"),
+        F.sum("n").alias("tot"),
+    )
+    return t.select(
+        (
+            (F.col("spr") - F.col("p") * (F.col("p") + 1) / F.lit(2.0))
+            / (F.col("p") * (F.col("tot") - F.col("p")))
+        ).alias("auc"),
+        F.col("p").alias("n_pos"),
+        (F.col("tot") - F.col("p")).alias("n_neg"),
+    )
+
+
+def _auc_oracle() -> str:
+    # avg rank of a tie group ending at cumulative count `cum` with `n`
+    # members = cum − n + (n+1)/2 — same value the Spark side derives
+    # from (min_id + max_id)/2 + 1
+    return f"""
+{_scored_cte()},
+g AS (
+  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
+  FROM sc GROUP BY score
+),
+o AS (
+  SELECT np, n,
+         SUM(n) OVER (ORDER BY score) AS cum
+  FROM g
+),
+t AS (
+  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
+         SUM(np) AS p, SUM(n) AS tot
+  FROM o
+)
+SELECT (spr - p*(p+1)/2.0) / (p * (tot - p)) AS auc,
+       p AS n_pos, (tot - p) AS n_neg
+FROM t
+""".strip()
+
+
+#: decile boundaries: exact interior percentiles 0.1 .. 0.9
+_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def infer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains table: score deciles (exact-percentile boundaries) →
+    volume, mean score, observed positive rate. Bucket assignment is
+    `Σ (score > bᵢ)` against 9 plan literals — map-side only.
+
+    Boundary-comparison safety: Spark's `percentile` and DuckDB's
+    `quantile_cont` both use type-7 linear interpolation; when the
+    boundary interpolates strictly between two adjacent distinct data
+    values no row can equal it (nothing sorts between neighbors), and
+    when it lands exactly ON a data value both engines return that
+    value bit-exactly (g = 0 ⇒ no interpolation arithmetic) — so
+    `score > boundary` partitions rows identically even if the two
+    engines' interpolation expressions differ in the last ulp."""
+    sc = _scored(spark, sf_dir)
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    bounds = sc.select(
+        F.expr(f"percentile(score, array({qs}))").alias("b")
+    ).first()["b"]
+    decile = F.lit(0)
+    for b in bounds:
+        decile = decile + (F.col("score") > F.lit(float(b))).cast("int")
+    return (
+        sc.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("score").alias("avg_score"),
+            F.avg("label").alias("pos_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _deciles_oracle() -> str:
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    bucket = " + ".join(
+        f"(CASE WHEN score > q[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(9)
+    )
+    return f"""
+{_scored_cte()},
+b AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc)
+SELECT {bucket} AS decile, COUNT(*) AS n,
+       AVG(score) AS avg_score, AVG(label) AS pos_rate
+FROM sc, b GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+#: oracle-tested locally (tests/test_inference.py); the 50-slot driver
+#: contract is full, and lr_train already certifies the training math
+#: these replay — the inference ops add the SCORING layer on top.
+LOCAL_QUERIES = {
+    "infer_score_stats": infer_score_stats,
+    "infer_auc": infer_auc,
+    "infer_deciles": infer_deciles,
+}
+
+LOCAL_ORACLE_SQL = {
+    "infer_score_stats": _score_stats_oracle(),
+    "infer_auc": _auc_oracle(),
+    "infer_deciles": _deciles_oracle(),
+}

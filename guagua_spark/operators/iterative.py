@@ -127,8 +127,12 @@ def _kmeans_oracle() -> str:
     )
 
 
-def _lr_train_oracle() -> str:
-    """5 full-batch gradient steps as a DuckDB recursive CTE.
+def lr_train_it_cte() -> str:
+    """The 5-step LR training loop as the body of a recursive CTE named
+    ``it`` — shared verbatim between ``_lr_train_oracle`` and the
+    inference oracles (operators/inference.py), so the weights the
+    scoring oracles replay are bit-identical to the ones lr_train is
+    hash-certified against.
 
     Mirrors the engine exactly (gradient.py GradientDescentMaster):
     err = sigmoid(w·x) − y per row, then w ← w − lr·Σ(err·x)/n and
@@ -136,8 +140,7 @@ def _lr_train_oracle() -> str:
     CAST AS DOUBLE or DuckDB types the whole CTE DECIMAL(2,1).
     """
     lr = 0.5
-    return f"""
-WITH RECURSIVE it AS (
+    return f"""it AS (
   SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
          CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS loss
   UNION ALL
@@ -155,7 +158,12 @@ WITH RECURSIVE it AS (
     WHERE i < 5
   ) s
   GROUP BY i, w0, w1, w2
-)
+)""".strip()
+
+
+def _lr_train_oracle() -> str:
+    return f"""
+WITH RECURSIVE {lr_train_it_cte()}
 SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_qty, ROUND(w2, 6) AS w_disc,
        ROUND(loss, 6) AS loss, CAST(i AS INT) AS iterations
 FROM it WHERE i = 5

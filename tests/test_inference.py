@@ -1,0 +1,68 @@
+"""Batch inference + evaluation ops vs the DuckDB oracle (training
+replayed inside every oracle via the shared recursive CTE) plus value
+sanity on the eval statistics themselves."""
+
+from __future__ import annotations
+
+import pytest
+
+from guagua_spark.operators.inference import (
+    LOCAL_ORACLE_SQL,
+    LOCAL_QUERIES,
+    trained_lr_weights,
+)
+
+from oracle import assert_matches_oracle, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(LOCAL_ORACLE_SQL))
+def test_matches_oracle(spark, oracle_sf_dir, duck, name):
+    df = LOCAL_QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL[name])
+
+
+def test_weights_memoized(spark, oracle_sf_dir):
+    w1 = trained_lr_weights(spark, oracle_sf_dir)
+    w2 = trained_lr_weights(spark, oracle_sf_dir)
+    assert w1 is w2  # second call is the memo hit, not a re-train
+    assert len(w1) == 3
+
+
+def test_auc_in_range_and_consistent(spark, oracle_sf_dir):
+    row = LOCAL_QUERIES["infer_auc"](spark, oracle_sf_dir).first()
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+
+
+def test_deciles_partition_the_input(spark, oracle_sf_dir):
+    rows = LOCAL_QUERIES["infer_deciles"](spark, oracle_sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    stats = LOCAL_QUERIES["infer_score_stats"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert total == sum(r["n"] for r in stats)
+    deciles = [r["decile"] for r in rows]
+    assert deciles == sorted(deciles)
+    assert all(0 <= d <= 9 for d in deciles)
+    # gains monotonicity is data-dependent; partitioning is not
+    assert len(rows) >= 2
+
+
+def test_scoring_plan_is_map_side(spark, oracle_sf_dir):
+    """The scored relation must add NO exchange over the feature scan —
+    weights travel as plan literals, scoring fuses into the scan."""
+    from guagua_spark.operators.inference import _lr_features, _scored
+
+    base = _lr_features(spark, oracle_sf_dir)
+    scored = _scored(spark, oracle_sf_dir)
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+    assert n_exchanges(scored) == n_exchanges(base)
