@@ -426,3 +426,73 @@ cd_cert AS (
 
 LOCAL_QUERIES["chunk_dedup_stats"] = chunk_dedup_stats
 LOCAL_ORACLE_SQL["chunk_dedup_stats"] = _chunk_dedup_oracle()
+
+
+#: epoch tag folded into the shuffle hash — a new seed is a new
+#: independent permutation (epoch reshuffling), same engine, same code
+SHUFFLE_SEED = "epoch-0"
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str = SHUFFLE_SEED,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded TOTAL-ORDER corpus shuffle: adds ``pos`` = the row's rank
+    in the md5(seed:key) permutation — the "shuffle the corpus before
+    training, reproducibly" step (epoch reshuffles = new seed).
+
+    Pack_docs' bucketed hash order randomizes WITHIN streams; this is
+    the stronger primitive a sharded training-data writer needs: one
+    explicit global position per row, stable across engines and
+    cluster layouts because it derives only from (seed, key).
+
+    100 TB plan — no SinglePartition anywhere: range-repartition on the
+    hash (the TeraSort shape: a driver-side boundary sample, then a
+    fully parallel range exchange) + in-partition sort gives global
+    hash order across ordered partitions; dense ids turn that into
+    ranks via per-partition counts + a driver prefix sum (no second
+    data shuffle — functions/scale.assign_dense_ids). A
+    row_number() OVER (ORDER BY hash) window would sort the corpus in
+    ONE task. Hash ties are impossible for distinct keys (md5) and
+    harmless for duplicate keys (any tie order yields a valid
+    permutation of identical rows)."""
+    from guagua_spark.functions.scale import assign_dense_ids
+
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    ordered = (
+        df.withColumn("__shuffle_h", h)
+        .repartitionByRange(n, "__shuffle_h")
+        .sortWithinPartitions("__shuffle_h")
+    )
+    # pin=False: parquet scan + deterministic range sort — both
+    # dense-id jobs replay identical partitions
+    return assign_dense_ids(ordered, "pos").drop("__shuffle_h")
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: the epoch-0 permutation of the documents table as
+    (pos, doc_id) — oracle = ROW_NUMBER over the same md5 order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, ["doc_id"]).select("pos", "doc_id")
+
+
+def _corpus_shuffle_oracle() -> str:
+    return f"""
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+       ) - 1 AS BIGINT) AS pos,
+       doc_id
+FROM documents
+""".strip()
+
+
+LOCAL_QUERIES["corpus_shuffle"] = corpus_shuffle
+LOCAL_ORACLE_SQL["corpus_shuffle"] = _corpus_shuffle_oracle()

@@ -148,3 +148,34 @@ def test_chunk_dedup_stats_matches_oracle_and_finds_shared(
     df = LOCAL_QUERIES["chunk_dedup_stats"](spark, oracle_sf_dir)
     assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["chunk_dedup_stats"])
     assert df.filter("n_shared_chunks > 0").count() > 0
+
+
+def test_deterministic_shuffle_is_seeded_permutation(spark, oracle_sf_dir):
+    """pos is a 0..n−1 permutation; a different seed yields a different
+    permutation; the same seed reproduces it exactly; and the plan has
+    no Window (global rank without the SinglePartition sort)."""
+    from guagua_spark.operators.packing import deterministic_shuffle
+    from guagua_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    a = deterministic_shuffle(docs, ["doc_id"], seed="epoch-1")
+    rows = {r["doc_id"]: r["pos"] for r in a.collect()}
+    assert sorted(rows.values()) == list(range(n))
+    again = {
+        r["doc_id"]: r["pos"]
+        for r in deterministic_shuffle(
+            docs, ["doc_id"], seed="epoch-1"
+        ).collect()
+    }
+    assert again == rows
+    other = {
+        r["doc_id"]: r["pos"]
+        for r in deterministic_shuffle(
+            docs, ["doc_id"], seed="epoch-2"
+        ).collect()
+    }
+    assert other != rows  # a new epoch is a new permutation
+    assert sorted(other.values()) == list(range(n))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
