@@ -117,19 +117,27 @@ def trained_lr_weights(
     return weights
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(label double, score double): sigmoid(w·x) with the trained
-    weights inlined as literals — pure map-side codegen, rounded to 6dp
-    (see module docstring)."""
-    w0, w1, w2 = trained_lr_weights(spark, sf_dir)
+def lr_score_col(weights: tuple[float, float, float]):
+    """sigmoid(w·x) over (l_quantity, l_discount) with the weights
+    inlined as plan literals, rounded to 6dp (see module docstring) —
+    shared by the batch ops and the streaming twin so the two cannot
+    drift. Works unchanged on bounded and unbounded relations: it is a
+    pure map-side expression."""
+    w0, w1, w2 = weights
     z = (
         F.lit(w0)
         + F.lit(w1) * F.col("l_quantity")
         + F.lit(w2) * F.col("l_discount")
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label double, score double): pure map-side codegen scoring of
+    the persisted feature projection."""
+    w = trained_lr_weights(spark, sf_dir)
     return _lr_features(spark, sf_dir).select(
-        "label", score.alias("score")
+        "label", lr_score_col(w).alias("score")
     )
 
 

@@ -222,6 +222,42 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the inference family: TRAIN OFFLINE (the batch
+    engine's 5-iteration LR run, memoized like any index build), SCORE
+    THE STREAM — the deploy shape of every scoring pipeline. The model
+    rides into the micro-batch plans as three literals via the SAME
+    ``lr_score_col`` expression the batch ops use (the twins cannot
+    drift), so scoring is stateless map-side codegen: no state store,
+    no watermark, and a replayed or late record re-scores identically.
+    A model refresh is a query restart — weights are plan constants by
+    design (cheaper than a stream-static join against a 1-row model
+    table, and semantically identical between restarts)."""
+    from guagua_spark.operators.inference import (
+        lr_score_col,
+        trained_lr_weights,
+    )
+
+    w = trained_lr_weights(spark, sf_dir)
+    li = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_quantity double, "
+            "l_discount double, l_returnflag string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+        lr_score_col(w).alias("score"),
+    )
+
+
 def streaming_dedup_incremental(
     spark: SparkSession,
     sf_dir: str,

@@ -176,3 +176,33 @@ def test_streaming_dedup_incremental_matches_batch(spark, sf_dir):
         )
 
     assert rows(got) == rows(want)
+
+
+def test_streaming_score_matches_batch(spark, sf_dir):
+    """Train-offline/score-the-stream: the availableNow drain must equal
+    scoring the same table in batch with the same memoized weights —
+    the expression is shared (lr_score_col), so any drift is a harness
+    bug, not a model one."""
+    from guagua_spark.operators.inference import (
+        lr_score_col,
+        trained_lr_weights,
+    )
+    from guagua_spark.streaming import streaming_score
+
+    got = run_available_now(
+        streaming_score(spark, sf_dir), "s_score", "append"
+    )
+    w = trained_lr_weights(spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+            lr_score_col(w).alias("score"),
+        )
+    )
+    cols = ("l_orderkey", "l_linenumber", "label", "score")
+    assert _rows(got, *cols) == _rows(want, *cols)
