@@ -308,6 +308,75 @@ FROM sc, b GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+#: fixed 64-dim weight vector for the array-scoring certification —
+#: small rationals so the dot product is exactly replayable in SQL
+#: (the literal list is generated ONCE and rendered into both sides)
+EMB_DIM = 64
+EMB_WEIGHTS = [((i * 37) % 101 - 50) / 100.0 for i in range(EMB_DIM)]
+EMB_BIAS = -0.05
+
+
+def infer_embedding_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARRAY-typed batch inference: logistic score over the 64-dim
+    embedding column with the model JVM-side — ``zip_with`` (elementwise
+    product) + ``aggregate`` (left-to-right fold) keep the dot product
+    inside Catalyst, no Python in the loop. This is the scoring plumbing
+    for any vector-input model (an embedding classifier, an NN output
+    layer): the weights here are fixed literals so the SQL oracle can
+    replay the arithmetic exactly (same role as LR_WEIGHTS in the
+    lr_gradient_step certification, iterative.py:29-30); a trained
+    vector drops in without changing the plan shape.
+
+    Output: per-label rollup — n, mean score, decisions at 0.5 —
+    bounded rows whatever the corpus size."""
+    w = F.array(*[F.lit(x) for x in EMB_WEIGHTS])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            w,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(EMB_BIAS) + dot))), 6
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", score.alias("score")
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("score").alias("avg_score"),
+            F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _embedding_scores_oracle() -> str:
+    # list_dot_product folds left-to-right like F.aggregate; weights
+    # rendered from the SAME Python list the Spark side uses
+    lits = ", ".join(repr(x) for x in EMB_WEIGHTS)
+    return f"""
+WITH sc AS (
+  SELECT label,
+         ROUND(1.0/(1.0 + EXP(-({EMB_BIAS!r} + list_dot_product(
+           CAST(embedding AS DOUBLE[]), [{lits}])))), 6) AS score
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n, AVG(score) AS avg_score,
+       SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_flagged
+FROM sc GROUP BY label ORDER BY label
+""".strip()
+
+
 #: oracle-tested locally (tests/test_inference.py); the 50-slot driver
 #: contract is full, and lr_train already certifies the training math
 #: these replay — the inference ops add the SCORING layer on top.
@@ -315,10 +384,12 @@ LOCAL_QUERIES = {
     "infer_score_stats": infer_score_stats,
     "infer_auc": infer_auc,
     "infer_deciles": infer_deciles,
+    "infer_embedding_scores": infer_embedding_scores,
 }
 
 LOCAL_ORACLE_SQL = {
     "infer_score_stats": _score_stats_oracle(),
     "infer_auc": _auc_oracle(),
     "infer_deciles": _deciles_oracle(),
+    "infer_embedding_scores": _embedding_scores_oracle(),
 }
