@@ -117,6 +117,30 @@ def trained_lr_weights(
     return weights
 
 
+def save_lr_model(spark: SparkSession, name: str, sf_dir: str) -> None:
+    """Persist the engine-trained LR model as a catalog table — the
+    stored-MODEL analogue of save_lsh_index/save_ivf_index: a new
+    session (or another team's scoring job) loads three rows instead of
+    re-running 5 training iterations over the corpus. Schema (idx,
+    weight) with idx 0 = bias, matching model.weights order."""
+    w = trained_lr_weights(spark, sf_dir)
+    spark.createDataFrame(
+        list(enumerate(w)), "idx int, weight double"
+    ).write.saveAsTable(name)
+
+
+def load_lr_model(
+    spark: SparkSession, name: str
+) -> tuple[float, float, float]:
+    """Load a stored model into the literal-weights form every scoring
+    op consumes — an O(1) 3-row collect at plan-construction time, so
+    the scoring plan is IDENTICAL to the fresh-trained one (weights are
+    plan literals either way; test_inference asserts round-trip
+    equality)."""
+    rows = spark.table(name).orderBy("idx").collect()
+    return tuple(r["weight"] for r in rows)
+
+
 def lr_score_col(weights: tuple[float, float, float]):
     """sigmoid(w·x) over (l_quantity, l_discount) with the weights
     inlined as plan literals, rounded to 6dp (see module docstring) —

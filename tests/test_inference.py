@@ -66,3 +66,17 @@ def test_scoring_plan_is_map_side(spark, oracle_sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return plan.count("Exchange")
     assert n_exchanges(scored) == n_exchanges(base)
+
+
+def test_stored_model_round_trip(spark, oracle_sf_dir):
+    """train → save_lr_model → load in 'another session' (memo
+    cleared) → scoring plan and results identical to fresh-trained."""
+    from guagua_spark.operators import inference as inf
+
+    spark.sql("DROP TABLE IF EXISTS t_lr_model")
+    inf.save_lr_model(spark, "t_lr_model", oracle_sf_dir)
+    fresh = inf.trained_lr_weights(spark, oracle_sf_dir)
+    inf.clear_caches()  # a new session has no memo
+    stored = inf.load_lr_model(spark, "t_lr_model")
+    assert stored == fresh
+    spark.sql("DROP TABLE IF EXISTS t_lr_model")
