@@ -332,6 +332,108 @@ FROM sc, b GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def trained_nn_model(spark: SparkSession, sf_dir: str):
+    """Engine-trained NN (same run as iterative.nn_train_gd: [4,8,1],
+    plain backprop+momentum, 5 rounds) memoized as an inference input
+    artifact — returns the full weight list [(W1,b1),(W2,b2)]."""
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _MODEL_CACHE.get(("nn", sf_dir))
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    from guagua_spark.algorithms.nn import NNMaster, NNWorker
+    from guagua_spark.engine import IterativeEngine
+    from guagua_spark.operators.iterative import (
+        NN_GD_LAYERS,
+        NN_GD_LR,
+        NN_GD_ROUNDS,
+        _nn_features,
+        _nn_partitions,
+    )
+
+    t0 = time.monotonic()
+    li = _cached_persisted(
+        "nn",
+        sf_dir,
+        lambda: _nn_features(spark, sf_dir).repartition(
+            _nn_partitions(spark)
+        ),
+    )
+    model = IterativeEngine(spark).run(
+        NNMaster(NN_GD_LAYERS, learning_rate=NN_GD_LR, algorithm="backprop"),
+        NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.0),
+        li,
+        total_iteration=NN_GD_ROUNDS,
+        persist=False,
+    )
+    record_index_build("model:nn_weights", time.monotonic() - t0)
+    _MODEL_CACHE[("nn", sf_dir)] = (fp, model.weights)
+    return model.weights
+
+
+def nn_score_col(weights, feature_cols=("f1", "f2", "f3", "f4")):
+    """The NN forward pass (algorithms/nn.py:forward — sigmoid
+    throughout, Encog default; NNWorker.java:111-135 parity) UNROLLED
+    into a Catalyst expression tree: every weight becomes a plan
+    literal, each hidden unit one sigmoid-of-affine expression, the
+    output layer one more. For driver-sized models (a [4,8,1] net is
+    41 doubles) this keeps batch scoring inside WholeStageCodegen with
+    no UDF and no broadcast at all — the model IS the plan. Wider nets
+    graduate to an Arrow-batched matmul UDF; this is the
+    small-model fast path."""
+
+    def sig(z):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    (w1, b1), (w2, b2) = weights
+    hidden = []
+    for j in range(w1.shape[1]):
+        z = F.lit(float(b1[j]))
+        for i, c in enumerate(feature_cols):
+            z = z + F.lit(float(w1[i, j])) * F.col(c)
+        hidden.append(sig(z))
+    out = F.lit(float(b2[0]))
+    for j, h in enumerate(hidden):
+        out = out + F.lit(float(w2[j, 0])) * h
+    return sig(out)
+
+
+def infer_nn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch NN inference: per-label rollup of the forward-pass score
+    over the same engineered features nn_train_gd trains on. Tested
+    against an independent serial-numpy forward replay (no SQL oracle:
+    the weights exist only after the engine run — the numpy replay is
+    the same oracle style as the NN optimizer value tests,
+    tests/test_nn.py)."""
+    from guagua_spark.operators.iterative import (
+        _nn_features,
+        _nn_partitions,
+    )
+
+    w = trained_nn_model(spark, sf_dir)
+    li = _cached_persisted(
+        "nn",
+        sf_dir,
+        lambda: _nn_features(spark, sf_dir).repartition(
+            _nn_partitions(spark)
+        ),
+    )
+    sc = li.select(
+        F.col("target").cast("int").alias("label"),
+        nn_score_col(w).alias("score"),
+    )
+    return (
+        sc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("score").alias("avg_score"),
+            F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 #: fixed 64-dim weight vector for the array-scoring certification —
 #: small rationals so the dot product is exactly replayable in SQL
 #: (the literal list is generated ONCE and rendered into both sides)
@@ -409,6 +511,7 @@ LOCAL_QUERIES = {
     "infer_auc": infer_auc,
     "infer_deciles": infer_deciles,
     "infer_embedding_scores": infer_embedding_scores,
+    "infer_nn_scores": infer_nn_scores,  # numpy-replay tested (no SQL)
 }
 
 LOCAL_ORACLE_SQL = {

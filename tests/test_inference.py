@@ -80,3 +80,38 @@ def test_stored_model_round_trip(spark, oracle_sf_dir):
     stored = inf.load_lr_model(spark, "t_lr_model")
     assert stored == fresh
     spark.sql("DROP TABLE IF EXISTS t_lr_model")
+
+
+def test_nn_scores_match_serial_numpy_replay(spark, oracle_sf_dir):
+    """The unrolled Catalyst forward pass must agree with an
+    independent serial-numpy forward over the same collected features
+    (same oracle style as the optimizer value replays in test_nn.py),
+    and the plan must contain no Python eval."""
+    import numpy as np
+
+    from guagua_spark.algorithms.nn import forward
+    from guagua_spark.operators.inference import (
+        infer_nn_scores,
+        trained_nn_model,
+    )
+    from guagua_spark.operators.iterative import _nn_features
+
+    got = {r["label"]: r for r in infer_nn_scores(spark, oracle_sf_dir).collect()}
+    w = trained_nn_model(spark, oracle_sf_dir)
+    pdf = _nn_features(spark, oracle_sf_dir).toPandas()
+    x = pdf[["f1", "f2", "f3", "f4"]].to_numpy(dtype=float)
+    scores = forward(w, x)[-1][:, 0]
+    labels = pdf["target"].to_numpy(dtype=int)
+    for lab in np.unique(labels):
+        m = labels == lab
+        row = got[int(lab)]
+        assert row["n"] == int(m.sum())
+        assert abs(row["avg_score"] - float(scores[m].mean())) < 1e-9
+        assert row["n_flagged"] == int((scores[m] >= 0.5).sum())
+    plan = (
+        infer_nn_scores(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
