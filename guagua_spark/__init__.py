@@ -48,6 +48,7 @@ def clear_all_caches() -> None:
         "operators.multimodal",
         "operators.iterative",
         "operators.certmemo",
+        "operators.inference",
     ):
         importlib.import_module(f"guagua_spark.{mod}").clear_caches()
 

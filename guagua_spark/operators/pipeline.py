@@ -426,14 +426,76 @@ GROUP BY d.source ORDER BY d.source
 """.strip()
 
 
+WSAMPLE_K = 100
+WSAMPLE_TAG = "wsample"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    tag: str = WSAMPLE_TAG,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): per row draw u from the engine-portable
+    u32 hash, rank by u^(1/w), keep the k largest — inclusion
+    probability proportional to weight, reproducible on any engine and
+    under any repartitioning (the 'importance-sample documents by
+    quality weight' step of a data mixture, where Bernoulli sampling
+    can't hit an exact budget k).
+
+    100 TB plan: orderBy(limit k) compiles to TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges P·k rows —
+    no global sort, no single-task window. Weight 0 rows get key
+    u^inf = 0 and can never enter the sample."""
+    from guagua_spark.functions.scale import u32_hash
+
+    u = (
+        u32_hash(tag, F.col(key_col).cast("string")).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    skey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("__skey", skey)
+        .orderBy(F.desc("__skey"))
+        .limit(k)
+        .drop("__skey")
+    )
+
+
+def pipeline_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Query entry: the k=WSAMPLE_K length-weighted document sample —
+    longer documents proportionally likelier, exact budget."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return weighted_sample(docs, "n_chars", "doc_id", WSAMPLE_K)
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+SELECT doc_id, n_chars FROM documents
+ORDER BY POWER(
+  (CAST(('0x' || substr(md5('{WSAMPLE_TAG}|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        AS UBIGINT) + 0.5) / 4294967296.0,
+  1.0 / n_chars) DESC
+LIMIT {WSAMPLE_K}
+""".strip()
+
+
 #: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
 #: driver contract
 LOCAL_QUERIES = {
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_source_mix": pipeline_source_mix,
+    "pipeline_weighted_sample": pipeline_weighted_sample,
 }
 
 LOCAL_ORACLE_SQL = {
     "pipeline_stratified_sample": _stratified_oracle(),
     "pipeline_source_mix": _source_mix_oracle(),
+    "pipeline_weighted_sample": _weighted_sample_oracle(),
 }

@@ -45,7 +45,14 @@ def test_pipeline_actually_filters_and_dedups(spark, oracle_sf_dir, duck):
     assert kept < filtered, "near-dup removal must drop rows"
 
 
-@pytest.mark.parametrize("name", ["pipeline_stratified_sample", "pipeline_source_mix"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pipeline_stratified_sample",
+        "pipeline_source_mix",
+        "pipeline_weighted_sample",
+    ],
+)
 def test_sampling_operators_match_oracle(spark, oracle_sf_dir, duck, name):
     from guagua_spark.operators.pipeline import LOCAL_ORACLE_SQL, LOCAL_QUERIES
 
@@ -155,3 +162,30 @@ def test_certmemo_invalidates_on_fingerprint_change(spark, oracle_sf_dir):
         assert c == 2 and calls["n"] == 2, "fingerprint change must rebuild"
     finally:
         certmemo.clear_caches()
+
+
+def test_weighted_sample_favors_heavy_rows_and_avoids_global_sort(
+    spark, oracle_sf_dir
+):
+    """Inclusion ∝ weight: the length-weighted sample's mean n_chars
+    must exceed the corpus mean; the plan must be TakeOrderedAndProject
+    (per-partition top-k), not a global Sort."""
+    from guagua_spark.operators.pipeline import (
+        WSAMPLE_K,
+        pipeline_weighted_sample,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    df = pipeline_weighted_sample(spark, oracle_sf_dir)
+    rows = df.collect()
+    assert len(rows) == WSAMPLE_K
+    assert len({r["doc_id"] for r in rows}) == WSAMPLE_K  # no replacement
+    corpus_avg = (
+        load_table(spark, oracle_sf_dir, "documents")
+        .agg({"n_chars": "avg"})
+        .first()[0]
+    )
+    sample_avg = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_avg > corpus_avg
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
