@@ -261,3 +261,40 @@ def test_decontaminate_no_forced_broadcast_partial_agg(spark, oracle_sf_dir):
     assert "ResolvedHint" not in logical, logical
     p = _plan(df)
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_auc_has_no_window_no_single_partition_sort(spark, oracle_sf_dir):
+    """infer_auc's global ranks must come from range-sort + dense ids —
+    never a Window (whose global ORDER BY is a SinglePartition sort).
+    The ONLY SinglePartition exchange allowed is the final scalar
+    aggregate's 1-row combine — data-sized relations must never pass
+    through one."""
+    from guagua_spark.operators.inference import infer_auc
+
+    p = _plan(infer_auc(spark, oracle_sf_dir))
+    assert "Window" not in p, p
+    assert p.count("Exchange SinglePartition") <= 1, p
+    # no Sort may sit directly under a SinglePartition exchange
+    for chunk in p.split("Exchange SinglePartition")[1:]:
+        first_op = chunk.strip().splitlines()[0] if chunk.strip() else ""
+        assert "Sort" not in first_op, p
+
+
+def test_pagerank_rounds_are_join_plus_partial_agg(spark, oracle_sf_dir):
+    """Each superstep is a src join + dst hash aggregate with a partial
+    phase (map-side combine absorbs celebrity in-degree); no cartesian
+    product anywhere."""
+    from guagua_spark.operators.graph import LOCAL_QUERIES
+
+    p = _plan(LOCAL_QUERIES["graph_pagerank"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "partial_sum" in p or "partial" in p.lower(), p
+
+
+def test_weighted_sample_is_take_ordered(spark, oracle_sf_dir):
+    from guagua_spark.operators.pipeline import LOCAL_QUERIES
+
+    p = _plan(LOCAL_QUERIES["pipeline_weighted_sample"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    # a global Sort would be the scale bug this helper exists to avoid
+    assert "Sort [" not in p.replace("TakeOrderedAndProject", ""), p
