@@ -115,6 +115,75 @@ def salted_agg(
     )
 
 
+def save_rollup(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 16,
+) -> None:
+    """Materialize a grouped rollup as a bucketed table — the stored
+    half of incremental aggregate maintenance (see merge_rollup).
+    ``aggs`` is salted_agg's contract: output column → (input column,
+    fn) with fn decomposable ({sum, count, min, max}); store sum+count
+    to maintain an average. Bucketed on the keys so later merges and
+    reads of the rollup hash the same way."""
+    for out, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
+    rollup = df.groupBy(*keys).agg(
+        *[_PARTIAL[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    rollup.write.mode("overwrite").bucketBy(n_buckets, *keys).saveAsTable(
+        table
+    )
+
+
+def merge_rollup(
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 16,
+) -> None:
+    """Incremental aggregate maintenance: fold a delta batch into the
+    stored rollup WITHOUT rescanning the corpus — the materialized-view
+    maintenance move that turns a daily 100 TB re-aggregation into an
+    O(batch + groups) job. Works for exactly the decomposable
+    aggregates salted_agg accepts, by the same partial/merge algebra:
+    aggregate the batch alone, union with the stored per-group rows,
+    re-merge (counts become sums, sums sum, min/min, max/max).
+
+    The merged rollup is localCheckpoint'ed before the overwrite —
+    materializing it severs the plan's dependency on the table being
+    replaced (a group-count-sized materialization, corpus-independent).
+    A production deployment writes version N+1 beside N and swaps the
+    catalog pointer instead; the algebra is identical."""
+    for out, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
+    delta = batch.groupBy(*keys).agg(
+        *[_PARTIAL[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    merged = (
+        spark.table(table)
+        .unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            *[
+                _MERGE[fn](out).alias(out)
+                for out, (_, fn) in aggs.items()
+            ]
+        )
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").bucketBy(n_buckets, *keys).saveAsTable(
+        table
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -284,3 +284,58 @@ def test_assign_dense_ids_pinned_nondeterministic_input(spark):
     rows = out.collect()
     ids = sorted(r.rid for r in rows)
     assert ids == list(range(len(rows))), "gapped or duplicate ids"
+
+
+def test_rollup_maintenance_equals_full_recompute(spark, sf_dir):
+    """save_rollup on an old slice + merge_rollup over two delta
+    batches must equal the one-shot rollup of the full table — for
+    every decomposable aggregate kind at once."""
+    from guagua_spark.functions.scale import merge_rollup, save_rollup
+    from guagua_spark.sources.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS t_rollup")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    aggs = {
+        "n_docs": ("doc_id", "count"),
+        "total_chars": ("n_chars", "sum"),
+        "min_chars": ("n_chars", "min"),
+        "max_chars": ("n_chars", "max"),
+    }
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    save_rollup(spark, "t_rollup", old, ["lang"], aggs)
+    merge_rollup(spark, "t_rollup", b1, ["lang"], aggs)
+    merge_rollup(spark, "t_rollup", b2, ["lang"], aggs)
+    got = {
+        r["lang"]: (r["n_docs"], r["total_chars"], r["min_chars"], r["max_chars"])
+        for r in spark.table("t_rollup").collect()
+    }
+    want = {
+        r["lang"]: (r["n_docs"], r["total_chars"], r["min_chars"], r["max_chars"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS t_rollup")
+
+
+def test_rollup_maintenance_rejects_non_decomposable(spark, sf_dir):
+    import pytest as _pytest
+
+    from guagua_spark.functions.scale import save_rollup
+    from guagua_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        save_rollup(
+            spark, "t_bad", docs, ["lang"], {"m": ("n_chars", "median")}
+        )
