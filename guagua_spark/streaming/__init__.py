@@ -5,6 +5,7 @@ from guagua_spark.streaming.stream_ops import (  # noqa: F401
     streaming_dedup_docs,
     streaming_dedup_incremental,
     streaming_doc_chunks,
+    streaming_rollup_maintenance,
     streaming_score,
     streaming_sessionize,
     streaming_stratified_sample,

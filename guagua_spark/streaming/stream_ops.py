@@ -258,6 +258,59 @@ def streaming_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_rollup_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "stream_rollup",
+):
+    """Streaming twin of functions/scale.merge_rollup: each micro-batch
+    folds into the stored bucketed rollup via foreachBatch — the
+    idiomatic Structured Streaming shape for maintaining a materialized
+    aggregate that OTHER jobs read as a plain table (a memory/complete
+    sink would trap the rollup inside this query; foreachBatch gives
+    the batch-side merge_rollup exactly one delta DataFrame per batch,
+    so the maintenance algebra is shared code, not a twin that can
+    drift). State lives in the stored table, not the state store:
+    restarts resume from the checkpoint offset and re-fold only unseen
+    files. Returns the StreamingQuery; callers drain it and read
+    ``table``. O(batch + groups) per micro-batch like the batch form.
+
+    NOTE on replays: foreachBatch is at-least-once — a batch replayed
+    after a crash BETWEEN the merge and the offset commit would fold
+    twice. Production pairs this with an idempotent version swap
+    (write rollup_vN keyed by batchId); the algebra is unchanged."""
+    from guagua_spark.functions.scale import merge_rollup, save_rollup
+
+    aggs = {
+        "n_docs": ("doc_id", "count"),
+        "total_chars": ("n_chars", "sum"),
+    }
+    # seed the stored rollup with an empty slice so merges have a table
+    empty = (
+        spark.read.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.lit(False))
+        .select("lang", "doc_id", "n_chars")
+    )
+    save_rollup(spark, table, empty, ["lang"], aggs)
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        merge_rollup(spark, table, batch, ["lang"], aggs)
+
+    return docs.writeStream.foreachBatch(fold).trigger(
+        availableNow=True
+    ).start()
+
+
 def streaming_dedup_incremental(
     spark: SparkSession,
     sf_dir: str,

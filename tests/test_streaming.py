@@ -206,3 +206,29 @@ def test_streaming_score_matches_batch(spark, sf_dir):
     )
     cols = ("l_orderkey", "l_linenumber", "label", "score")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_rollup_maintenance_matches_batch(spark, sf_dir):
+    """Draining the foreachBatch maintenance query must leave the
+    stored rollup equal to the one-shot batch aggregate."""
+    from guagua_spark.streaming import streaming_rollup_maintenance
+
+    spark.sql("DROP TABLE IF EXISTS stream_rollup")
+    q = streaming_rollup_maintenance(spark, sf_dir, "stream_rollup")
+    q.awaitTermination()
+    got = _rows(
+        spark.table("stream_rollup"), "lang", "n_docs", "total_chars"
+    )
+    want = _rows(
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ),
+        "lang",
+        "n_docs",
+        "total_chars",
+    )
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS stream_rollup")
