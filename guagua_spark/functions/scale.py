@@ -115,8 +115,21 @@ def salted_agg(
     )
 
 
+def _check_decomposable(aggs: dict[str, tuple[str, str]]) -> None:
+    for out, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
+
+
+def _rollup_of(
+    df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        *[_PARTIAL[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+
+
 def save_rollup(
-    spark: SparkSession,
     table: str,
     df: DataFrame,
     keys: list[str],
@@ -129,15 +142,10 @@ def save_rollup(
     fn) with fn decomposable ({sum, count, min, max}); store sum+count
     to maintain an average. Bucketed on the keys so later merges and
     reads of the rollup hash the same way."""
-    for out, (_, fn) in aggs.items():
-        if fn not in _PARTIAL:
-            raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
-    rollup = df.groupBy(*keys).agg(
-        *[_PARTIAL[fn](col).alias(out) for out, (col, fn) in aggs.items()]
-    )
-    rollup.write.mode("overwrite").bucketBy(n_buckets, *keys).saveAsTable(
-        table
-    )
+    _check_decomposable(aggs)
+    _rollup_of(df, keys, aggs).write.mode("overwrite").bucketBy(
+        n_buckets, *keys
+    ).saveAsTable(table)
 
 
 def merge_rollup(
@@ -161,12 +169,8 @@ def merge_rollup(
     replaced (a group-count-sized materialization, corpus-independent).
     A production deployment writes version N+1 beside N and swaps the
     catalog pointer instead; the algebra is identical."""
-    for out, (_, fn) in aggs.items():
-        if fn not in _PARTIAL:
-            raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
-    delta = batch.groupBy(*keys).agg(
-        *[_PARTIAL[fn](col).alias(out) for out, (col, fn) in aggs.items()]
-    )
+    _check_decomposable(aggs)
+    delta = _rollup_of(batch, keys, aggs)
     merged = (
         spark.table(table)
         .unionByName(delta)

@@ -344,6 +344,11 @@ def append_to_lsh_index(docs: DataFrame, name: str) -> None:
     tables; Spark keeps the bucket spec on insert, so the posting
     table's Exchange-free join property survives the merge. Caller
     owns dedup between batch and corpus ids (the probe step)."""
+    from guagua_spark.functions.scale import ensure_parallelism
+
+    # same guard as the save/probe paths: a one-split batch file must
+    # not run the NUM_HASHES-md5 signature pass in a single task
+    docs = ensure_parallelism(docs, docs.sparkSession)
     sig = (
         with_signature(docs)
         .select(

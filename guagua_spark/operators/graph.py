@@ -14,15 +14,19 @@ driver-sized; a rank vector is node-sized, so it must stay distributed,
 which is why this family is DataFrame-iterative like
 dedup.connected_components rather than engine-based.
 
-100 TB notes: per round exactly 2 exchanges — one equi-join of the rank
-relation with the edge list on src (both hash on the same key, AQE
-handles skew-split), one partial-aggregated groupBy on dst (a celebrity
-node's millions of in-contributions collapse map-side before the
-shuffle — contribution sums are decomposable, the same argument as
-salted_agg's). The weighted edge list is computed ONCE (out-degree
-join) and persisted; rank lineage is localCheckpoint-truncated every
+100 TB notes: per round, 3 exchanges over node-sized relations — the
+rank ⋈ weighted-edges equi-join on src (AQE skew-splits a hot source),
+the partial-aggregated groupBy on dst (a celebrity node's millions of
+in-contributions collapse map-side before the shuffle — contribution
+sums are decomposable, the same argument as salted_agg's), and the
+rank-update left join against the node list. The weighted edge list
+AND the node list are computed once, persisted, and force-materialized
+before the loop (an unforced persist would cache nothing until the
+caller's first action); rank lineage is localCheckpoint-truncated every
 ``checkpoint_every`` rounds exactly like connected_components, so long
-runs neither replan O(rounds)-deep trees nor re-execute from the scan.
+runs neither replan O(rounds)-deep trees nor re-execute from the scan,
+and the final vector is materialized so the caches can be released at
+return.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist()
     )
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     w = (
@@ -66,7 +71,16 @@ def pagerank(
         )
         .persist()
     )
-    n = nodes.count()  # O(1) driver scalar, also materializes nothing big
+    w.count()  # materialize NOW — every superstep reads the cache, not
+    # the edge scan + out-degree join (an unforced persist caches
+    # nothing until the first action, which here would be the CALLER's)
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        w.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
@@ -87,6 +101,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    # materialize the final vector (node-sized) so the caches can be
+    # dropped before returning — the returned frame carries no lineage
+    # into the unpersisted relations
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
     w.unpersist()
     return ranks
 

@@ -462,11 +462,17 @@ def deterministic_shuffle(
 
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
-    h = F.md5(
-        F.concat_ws(
-            ":", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
-        )
-    )
+    # NOT concat_ws: it silently SKIPS null columns, so ('x', NULL) and
+    # (NULL, 'x') would hash identically and their positions would then
+    # depend on shuffle arrival order — the exact nondeterminism this
+    # helper exists to rule out. Each key is null-coalesced to a \x00
+    # sentinel (outside any normal key alphabet) so null keys stay
+    # deterministic and distinct from empty strings.
+    parts = [F.lit(seed)]
+    for c in key_cols:
+        parts.append(F.lit(":"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+    h = F.md5(F.concat(*parts))
     ordered = (
         df.withColumn("__shuffle_h", h)
         .repartitionByRange(n, "__shuffle_h")

@@ -443,7 +443,8 @@ def weighted_sample(
     probability proportional to weight, reproducible on any engine and
     under any repartitioning (the 'importance-sample documents by
     quality weight' step of a data mixture, where Bernoulli sampling
-    can't hit an exact budget k).
+    can't hit an exact budget k). Rows with weight ≤ 0 get key 0 —
+    ineligible unless fewer than k positive-weight rows exist.
 
     100 TB plan: orderBy(limit k) compiles to TakeOrderedAndProject —
     each partition keeps its local top-k, the driver merges P·k rows —
@@ -455,7 +456,12 @@ def weighted_sample(
         u32_hash(tag, F.col(key_col).cast("string")).cast("double")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    skey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    # non-positive weights are INELIGIBLE, not super-eligible: without
+    # the guard, w < 0 gives u^(1/w) > 1, outranking every valid row
+    skey = F.when(
+        F.col(weight_col) > 0,
+        F.pow(u, F.lit(1.0) / F.col(weight_col)),
+    ).otherwise(F.lit(0.0))
     return (
         df.withColumn("__skey", skey)
         .orderBy(F.desc("__skey"))

@@ -262,6 +262,7 @@ def streaming_rollup_maintenance(
     spark: SparkSession,
     sf_dir: str,
     table: str = "stream_rollup",
+    checkpoint_dir: str | None = None,
 ):
     """Streaming twin of functions/scale.merge_rollup: each micro-batch
     folds into the stored bucketed rollup via foreachBatch — the
@@ -270,10 +271,18 @@ def streaming_rollup_maintenance(
     sink would trap the rollup inside this query; foreachBatch gives
     the batch-side merge_rollup exactly one delta DataFrame per batch,
     so the maintenance algebra is shared code, not a twin that can
-    drift). State lives in the stored table, not the state store:
-    restarts resume from the checkpoint offset and re-fold only unseen
-    files. Returns the StreamingQuery; callers drain it and read
+    drift). State lives in the stored table, not the state store. An
+    EXISTING rollup table is kept and folded into (so a batch-built
+    rollup can hand off to the stream); only a missing table is seeded
+    empty. Returns the StreamingQuery; callers drain it and read
     ``table``. O(batch + groups) per micro-batch like the batch form.
+
+    Restart semantics are a function of ``checkpoint_dir``: pass a
+    durable path and restarts resume from the committed offsets,
+    re-folding only unseen files; with the default None, Spark uses a
+    TEMP checkpoint — fine for availableNow drains and tests, but a
+    restart would re-read from scratch into the kept table, so
+    production maintenance MUST pass a real path.
 
     NOTE on replays: foreachBatch is at-least-once — a batch replayed
     after a crash BETWEEN the merge and the offset commit would fold
@@ -285,16 +294,17 @@ def streaming_rollup_maintenance(
         "n_docs": ("doc_id", "count"),
         "total_chars": ("n_chars", "sum"),
     }
-    # seed the stored rollup with an empty slice so merges have a table
-    empty = (
-        spark.read.schema(DOCS_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-        .filter(F.lit(False))
-        .select("lang", "doc_id", "n_chars")
-    )
-    save_rollup(spark, table, empty, ["lang"], aggs)
+    if not spark.catalog.tableExists(table):
+        # seed with an empty slice so the first merge has a table
+        empty = (
+            spark.read.schema(DOCS_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+            .filter(F.lit(False))
+            .select("lang", "doc_id", "n_chars")
+        )
+        save_rollup(table, empty, ["lang"], aggs)
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .format("parquet")
@@ -306,9 +316,10 @@ def streaming_rollup_maintenance(
     def fold(batch: DataFrame, batch_id: int) -> None:
         merge_rollup(spark, table, batch, ["lang"], aggs)
 
-    return docs.writeStream.foreachBatch(fold).trigger(
-        availableNow=True
-    ).start()
+    writer = docs.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def streaming_dedup_incremental(

@@ -306,7 +306,7 @@ def test_rollup_maintenance_equals_full_recompute(spark, sf_dir):
     old = docs.filter(F.col("doc_id") % 3 == 0)
     b1 = docs.filter(F.col("doc_id") % 3 == 1)
     b2 = docs.filter(F.col("doc_id") % 3 == 2)
-    save_rollup(spark, "t_rollup", old, ["lang"], aggs)
+    save_rollup("t_rollup", old, ["lang"], aggs)
     merge_rollup(spark, "t_rollup", b1, ["lang"], aggs)
     merge_rollup(spark, "t_rollup", b2, ["lang"], aggs)
     got = {
@@ -337,5 +337,37 @@ def test_rollup_maintenance_rejects_non_decomposable(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError):
         save_rollup(
-            spark, "t_bad", docs, ["lang"], {"m": ("n_chars", "median")}
+            "t_bad", docs, ["lang"], {"m": ("n_chars", "median")}
         )
+
+
+def test_weighted_sample_negative_weights_ineligible(spark):
+    """w < 0 must not outrank valid rows (u^(1/w) > 1 without the
+    guard); w ≤ 0 rows only appear when positives run out."""
+    from guagua_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, -1 if i < 50 else 10) for i in range(100)], "id long, w long"
+    )
+    got = {r["id"] for r in weighted_sample(df, "w", "id", 30).collect()}
+    assert all(i >= 50 for i in got), got
+
+
+def test_deterministic_shuffle_null_keys_stable(spark):
+    """NULL keys must hash deterministically and distinctly from empty
+    and from swapped columns (concat_ws would collapse these)."""
+    from guagua_spark.operators.packing import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("", "x"), ("x", "")],
+        "a string, b string",
+    )
+    runs = [
+        {
+            (r["a"], r["b"]): r["pos"]
+            for r in deterministic_shuffle(df, ["a", "b"], seed="s").collect()
+        }
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    assert sorted(runs[0].values()) == [0, 1, 2, 3]

@@ -232,3 +232,36 @@ def test_streaming_rollup_maintenance_matches_batch(spark, sf_dir):
     )
     assert got == want
     spark.sql("DROP TABLE IF EXISTS stream_rollup")
+
+
+def test_streaming_rollup_keeps_existing_table(spark, sf_dir):
+    """A rollup previously built by the BATCH path must be folded into,
+    not wiped — the batch→stream handoff."""
+    from guagua_spark.functions.scale import save_rollup
+    from guagua_spark.sources.tables import load_table
+    from guagua_spark.streaming import streaming_rollup_maintenance
+
+    spark.sql("DROP TABLE IF EXISTS stream_rollup2")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    aggs = {
+        "n_docs": ("doc_id", "count"),
+        "total_chars": ("n_chars", "sum"),
+    }
+    save_rollup("stream_rollup2", docs, ["lang"], aggs)
+    q = streaming_rollup_maintenance(spark, sf_dir, "stream_rollup2")
+    q.awaitTermination()
+    # stream re-folds the same files on top of the batch-built rollup →
+    # exactly double counts (proves kept + folded, not reseeded)
+    got = _rows(spark.table("stream_rollup2"), "lang", "n_docs")
+    want = [
+        (lang, 2 * n)
+        for lang, n in _rows(
+            docs.groupBy("lang").agg(F.count("doc_id").alias("n")),
+            "lang",
+            "n",
+        )
+    ]
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS stream_rollup2")
