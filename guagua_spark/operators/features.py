@@ -1,0 +1,206 @@
+"""Feature-engineering statistics: equal-frequency binning, weight of
+evidence (WOE), information value (IV), and Kolmogorov–Smirnov (KS).
+
+The reference engine exists to power exactly this workload in its
+parent project — "Guagua, a sub-project of Shifu"
+(/root/reference/README.md:20) — where per-feature binning/WOE/KS/IV
+statistics over the training table are the preprocessing step before
+the NN/LR training the engine runs. Spark-first, the whole family is
+two partial-aggregated passes, no iteration needed:
+
+1. boundaries: EXACT equal-frequency bin edges via `percentile` over
+   the (2-decimal) feature — the aggregation state is one count per
+   distinct value, bounded by the feature's precision, so the exact
+   form scales (same argument as inference.infer_deciles; swap in
+   approx_percentile for truly continuous unbounded features).
+2. per-bin (n, n_pos) partial-aggregated groupBy — bucket assignment
+   is a map-side `Σ (x > bᵢ)` against B−1 plan literals.
+3. WOE/IV/KS fold over the B-row bin table: window cumulative sums over
+   a BOUNDED relation (B rows by construction — this is the documented
+   exception to the no-global-window rule: the windowed relation is
+   model-sized, not data-sized).
+
+Laplace smoothing (+0.5 per bin cell, +0.5·B per class total) keeps
+WOE finite on empty-class bins; both sides of every oracle use the
+identical smoothed formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from guagua_spark.sources.tables import load_table
+
+N_BINS = 10
+_QS = [round(i / N_BINS, 2) for i in range(1, N_BINS)]
+
+
+def _binned(
+    spark: SparkSession, sf_dir: str, feature: str
+) -> DataFrame:
+    """(bin, n, n_pos) for the feature over lineitem with label
+    l_returnflag == 'R' — boundaries from exact percentiles, bucket
+    assignment map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col(feature).alias("x"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    qs = ", ".join(str(q) for q in _QS)
+    bounds = li.select(
+        F.expr(f"percentile(x, array({qs}))").alias("b")
+    ).first()["b"]
+    b = F.lit(0)
+    for v in bounds:
+        b = b + (F.col("x") > F.lit(float(v))).cast("int")
+    return li.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+
+
+def _woe_cols():
+    """Smoothed WOE/IV-term expressions over a bin row carrying
+    (n, n_pos) plus window totals (pos_tot, neg_tot, n_bins)."""
+    pos_i = F.col("n_pos") + F.lit(0.5)
+    neg_i = (F.col("n") - F.col("n_pos")) + F.lit(0.5)
+    pos_t = F.col("pos_tot") + F.lit(0.5) * F.col("n_bins")
+    neg_t = F.col("neg_tot") + F.lit(0.5) * F.col("n_bins")
+    pr, nr = pos_i / pos_t, neg_i / neg_t
+    woe = F.log(pr / nr)
+    return woe, (pr - nr) * woe
+
+
+def feature_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin WOE table for l_extendedprice (B equal-frequency bins):
+    bin, n, n_pos, pos_rate, woe. The bin relation is B rows, so the
+    totals window is bounded-by-construction."""
+    bins = _binned(spark, sf_dir, "l_extendedprice")
+    w = Window.partitionBy()  # B rows total — bounded, see module doc
+    withtot = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("pos_tot"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).alias("neg_tot"),
+        F.count(F.lit(1)).over(w).alias("n_bins"),
+    )
+    woe, _ = _woe_cols()
+    return withtot.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos") / F.col("n")).alias("pos_rate"),
+        woe.alias("woe"),
+    ).orderBy("bin")
+
+
+def feature_iv_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per feature: information value (Σ smoothed IV terms)
+    and KS (max |cum pos share − cum neg share| over the ordered
+    bins) for l_extendedprice and l_quantity."""
+    outs = []
+    for feature in ("l_extendedprice", "l_quantity"):
+        bins = _binned(spark, sf_dir, feature)
+        w = Window.partitionBy()  # B rows — bounded
+        wo = Window.partitionBy().orderBy("bin")  # same B rows
+        withtot = bins.select(
+            "bin",
+            "n",
+            "n_pos",
+            F.sum("n_pos").over(w).alias("pos_tot"),
+            F.sum(F.col("n") - F.col("n_pos")).over(w).alias("neg_tot"),
+            F.count(F.lit(1)).over(w).alias("n_bins"),
+            F.sum("n_pos").over(wo).alias("cum_pos"),
+            F.sum(F.col("n") - F.col("n_pos")).over(wo).alias("cum_neg"),
+        )
+        _, iv_term = _woe_cols()
+        ks_term = F.abs(
+            F.col("cum_pos") / F.col("pos_tot")
+            - F.col("cum_neg") / F.col("neg_tot")
+        )
+        outs.append(
+            withtot.agg(
+                F.sum(iv_term).alias("iv"), F.max(ks_term).alias("ks")
+            ).select(F.lit(feature).alias("feature"), "iv", "ks")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("feature")
+
+
+def _bin_ctes(feature: str) -> str:
+    qs = ", ".join(str(q) for q in _QS)
+    bucket = " + ".join(
+        f"(CASE WHEN x > q[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(N_BINS - 1)
+    )
+    return f"""li AS (
+  SELECT {feature} AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+qb AS (SELECT quantile_cont(x, [{qs}]) AS q FROM li),
+bins AS (
+  SELECT {bucket} AS bin, COUNT(*) AS n, SUM(y) AS n_pos
+  FROM li, qb GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_pos) AS pos_tot, SUM(n - n_pos) AS neg_tot,
+         COUNT(*) AS n_bins
+  FROM bins
+)"""
+
+
+_WOE_SQL = (
+    "LN(((n_pos + 0.5)/(pos_tot + 0.5*n_bins)) /"
+    " (((n - n_pos) + 0.5)/(neg_tot + 0.5*n_bins)))"
+)
+_IV_TERM_SQL = (
+    "(((n_pos + 0.5)/(pos_tot + 0.5*n_bins)) -"
+    " (((n - n_pos) + 0.5)/(neg_tot + 0.5*n_bins))) * " + _WOE_SQL
+)
+
+
+def _woe_bins_oracle() -> str:
+    return f"""
+WITH {_bin_ctes('l_extendedprice')}
+SELECT bin, n, n_pos,
+       CAST(n_pos AS DOUBLE) / n AS pos_rate,
+       {_WOE_SQL} AS woe
+FROM bins, tot ORDER BY bin
+""".strip()
+
+
+def _iv_ks_oracle() -> str:
+    parts = []
+    for feature in ("l_extendedprice", "l_quantity"):
+        parts.append(
+            f"""(
+WITH {_bin_ctes(feature)},
+c AS (
+  SELECT bin, n, n_pos, pos_tot, neg_tot, n_bins,
+         SUM(n_pos) OVER (ORDER BY bin) AS cum_pos,
+         SUM(n - n_pos) OVER (ORDER BY bin) AS cum_neg
+  FROM bins, tot
+)
+SELECT '{feature}' AS feature,
+       SUM({_IV_TERM_SQL}) AS iv,
+       MAX(ABS(CAST(cum_pos AS DOUBLE)/pos_tot
+               - CAST(cum_neg AS DOUBLE)/neg_tot)) AS ks
+FROM c
+)"""
+        )
+    return (" UNION ALL ".join(parts) + " ORDER BY feature").strip()
+
+
+#: oracle-tested locally (tests/test_features.py); 50-slot contract full
+LOCAL_QUERIES = {
+    "feature_woe_bins": feature_woe_bins,
+    "feature_iv_ks": feature_iv_ks,
+}
+LOCAL_ORACLE_SQL = {
+    "feature_woe_bins": _woe_bins_oracle(),
+    "feature_iv_ks": _iv_ks_oracle(),
+}

@@ -45,6 +45,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     iterations: int = PR_ITERATIONS,
     checkpoint_every: int = 5,
+    _return_lazy: bool = False,
 ) -> DataFrame:
     """Synchronous PageRank over a directed edge list (src, dst).
 
@@ -101,6 +102,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    if _return_lazy:
+        # plan-inspection hook (tests/test_plans.py): return the raw
+        # superstep plan; the edge/node caches stay pinned — callers of
+        # this mode own their release
+        return ranks
     # materialize the final vector (node-sized) so the caches can be
     # dropped before returning — the returned frame carries no lineage
     # into the unpersisted relations

@@ -1,0 +1,54 @@
+"""Feature binning / WOE / IV / KS vs the DuckDB oracle plus
+statistical sanity (bins partition the table, KS in [0,1], IV ≥ 0 is
+NOT required — smoothing can nudge a useless feature slightly)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from guagua_spark.operators.features import (
+    LOCAL_ORACLE_SQL,
+    LOCAL_QUERIES,
+    N_BINS,
+)
+
+from oracle import assert_matches_oracle, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(LOCAL_ORACLE_SQL))
+def test_matches_oracle(spark, oracle_sf_dir, duck, name):
+    df = LOCAL_QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL[name])
+
+
+def test_bins_partition_the_table(spark, oracle_sf_dir):
+    from guagua_spark.sources.tables import load_table
+
+    rows = LOCAL_QUERIES["feature_woe_bins"](spark, oracle_sf_dir).collect()
+    total = load_table(spark, oracle_sf_dir, "lineitem").count()
+    assert sum(r["n"] for r in rows) == total
+    assert 2 <= len(rows) <= N_BINS
+    # equal-frequency: no bin should dwarf the others (ties can skew)
+    assert max(r["n"] for r in rows) < total
+    for r in rows:
+        assert math.isfinite(r["woe"])  # smoothing keeps WOE finite
+
+
+def test_iv_ks_shapes(spark, oracle_sf_dir):
+    rows = {
+        r["feature"]: r
+        for r in LOCAL_QUERIES["feature_iv_ks"](spark, oracle_sf_dir).collect()
+    }
+    assert set(rows) == {"l_extendedprice", "l_quantity"}
+    for r in rows.values():
+        assert 0.0 <= r["ks"] <= 1.0
+        assert math.isfinite(r["iv"])

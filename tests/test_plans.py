@@ -283,10 +283,13 @@ def test_auc_has_no_window_no_single_partition_sort(spark, oracle_sf_dir):
 def test_pagerank_rounds_are_join_plus_partial_agg(spark, oracle_sf_dir):
     """Each superstep is a src join + dst hash aggregate with a partial
     phase (map-side combine absorbs celebrity in-degree); no cartesian
-    product anywhere."""
-    from guagua_spark.operators.graph import LOCAL_QUERIES
+    product anywhere. Inspect the LAZY superstep plan — the public path
+    returns a materialized checkpoint whose plan is just the cache
+    scan."""
+    from guagua_spark.operators.graph import _trade_edges, pagerank
 
-    p = _plan(LOCAL_QUERIES["graph_pagerank"](spark, oracle_sf_dir))
+    df = pagerank(_trade_edges(spark, oracle_sf_dir), _return_lazy=True)
+    p = _plan(df)
     assert "CartesianProduct" not in p, p
     assert "partial_sum" in p or "partial" in p.lower(), p
 
