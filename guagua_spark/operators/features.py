@@ -195,12 +195,96 @@ FROM c
     return (" UNION ALL ".join(parts) + " ORDER BY feature").strip()
 
 
+#: PSI split: "expected" = first half of the order stream, "actual" =
+#: second half — the train-vs-out-of-time shape, deterministic from
+#: the key so both engines cut identically
+PSI_SPLIT_SQL = "l_orderkey % 2 = 0"
+
+
+def feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index: how far the feature's distribution
+    drifted between an expected (reference/train) slice and an actual
+    (monitoring/out-of-time) slice — the model-monitoring companion of
+    WOE/IV (drift > 0.25 conventionally means re-train).
+
+    PSI = Σ_bins (a_i − e_i)·ln(a_i/e_i) over the SHARED bin edges
+    computed from the expected slice only (monitoring never re-bins),
+    with the same +0.5 Laplace smoothing as WOE so empty bins stay
+    finite. Both population passes are map-side bucket assignment +
+    one partial-agg exchange; the expected-slice percentile scan is
+    the same bounded-state aggregate as _binned's."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_exp"),
+    )
+    qs = ", ".join(str(q) for q in _QS)
+    bounds = li.filter("is_exp").select(
+        F.expr(f"percentile(x, array({qs}))").alias("b")
+    ).first()["b"]
+    b = F.lit(0)
+    for v in bounds:
+        b = b + (F.col("x") > F.lit(float(v))).cast("int")
+    bins = li.groupBy(b.alias("bin")).agg(
+        F.sum(F.col("is_exp").cast("bigint")).alias("n_exp"),
+        F.sum((~F.col("is_exp")).cast("bigint")).alias("n_act"),
+    )
+    w = Window.partitionBy()  # ≤ N_BINS rows — bounded
+    rates = bins.select(
+        "bin",
+        (
+            (F.col("n_exp") + F.lit(0.5))
+            / (F.sum("n_exp").over(w) + F.lit(0.5) * F.count(F.lit(1)).over(w))
+        ).alias("e"),
+        (
+            (F.col("n_act") + F.lit(0.5))
+            / (F.sum("n_act").over(w) + F.lit(0.5) * F.count(F.lit(1)).over(w))
+        ).alias("a"),
+    )
+    return rates.agg(
+        F.sum((F.col("a") - F.col("e")) * F.log(F.col("a") / F.col("e"))).alias(
+            "psi"
+        ),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+def _psi_oracle() -> str:
+    qs = ", ".join(str(q) for q in _QS)
+    bucket = " + ".join(
+        f"(CASE WHEN x > q[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(N_BINS - 1)
+    )
+    return f"""
+WITH li AS (
+  SELECT l_extendedprice AS x, ({PSI_SPLIT_SQL}) AS is_exp FROM lineitem
+),
+qb AS (SELECT quantile_cont(x, [{qs}]) AS q FROM li WHERE is_exp),
+bins AS (
+  SELECT {bucket} AS bin,
+         SUM(CASE WHEN is_exp THEN 1 ELSE 0 END) AS n_exp,
+         SUM(CASE WHEN is_exp THEN 0 ELSE 1 END) AS n_act
+  FROM li, qb GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_exp) AS te, SUM(n_act) AS ta, COUNT(*) AS nb FROM bins
+),
+rates AS (
+  SELECT (n_exp + 0.5)/(te + 0.5*nb) AS e,
+         (n_act + 0.5)/(ta + 0.5*nb) AS a
+  FROM bins, tot
+)
+SELECT SUM((a - e) * LN(a / e)) AS psi, COUNT(*) AS n_bins FROM rates
+""".strip()
+
+
 #: oracle-tested locally (tests/test_features.py); 50-slot contract full
 LOCAL_QUERIES = {
     "feature_woe_bins": feature_woe_bins,
     "feature_iv_ks": feature_iv_ks,
+    "feature_psi": feature_psi,
 }
 LOCAL_ORACLE_SQL = {
     "feature_woe_bins": _woe_bins_oracle(),
     "feature_iv_ks": _iv_ks_oracle(),
+    "feature_psi": _psi_oracle(),
 }

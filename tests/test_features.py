@@ -52,3 +52,13 @@ def test_iv_ks_shapes(spark, oracle_sf_dir):
     for r in rows.values():
         assert 0.0 <= r["ks"] <= 1.0
         assert math.isfinite(r["iv"])
+
+
+def test_psi_near_zero_on_random_split(spark, oracle_sf_dir):
+    """An even/odd orderkey split draws both slices from the same
+    distribution, so PSI must be tiny (well under the 0.1 'no drift'
+    convention) but still finite and non-negative-ish."""
+    row = LOCAL_QUERIES["feature_psi"](spark, oracle_sf_dir).first()
+    assert row["n_bins"] >= 2
+    assert math.isfinite(row["psi"])
+    assert abs(row["psi"]) < 0.1
