@@ -371,3 +371,57 @@ def test_deterministic_shuffle_null_keys_stable(spark):
     ]
     assert runs[0] == runs[1]
     assert sorted(runs[0].values()) == [0, 1, 2, 3]
+
+
+def test_rollup_maintenance_property_random_splits(spark):
+    """Any partition of any small frame into merge batches must equal
+    the one-shot rollup — hypothesis over batch boundaries and data."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from guagua_spark.functions.scale import merge_rollup, save_rollup
+
+    @given(
+        vals=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+            min_size=1,
+            max_size=30,
+        ),
+        cut=st.integers(0, 29),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(vals, cut):
+        cut = min(cut, len(vals) - 1)
+        df = spark.createDataFrame(vals, "k int, v long")
+        aggs = {
+            "n": ("v", "count"),
+            "s": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        }
+        spark.sql("DROP TABLE IF EXISTS t_prop_rollup")
+        head = spark.createDataFrame(vals[: cut + 1], "k int, v long")
+        save_rollup("t_prop_rollup", head, ["k"], aggs)
+        if vals[cut + 1 :]:
+            tail = spark.createDataFrame(vals[cut + 1 :], "k int, v long")
+            merge_rollup(spark, "t_prop_rollup", tail, ["k"], aggs)
+        got = sorted(tuple(r) for r in spark.table("t_prop_rollup").collect())
+        want = sorted(
+            tuple(r)
+            for r in df.groupBy("k")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("s"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        )
+        assert got == want
+        spark.sql("DROP TABLE IF EXISTS t_prop_rollup")
+
+    check()
