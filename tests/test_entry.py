@@ -58,6 +58,10 @@ def test_every_oracle_sql_parses_in_duckdb(entry_mod, oracle_sf_dir):
         "text",
         "pipeline",
         "packing",
+        "iterative",
+        "inference",
+        "graph",
+        "features",
     ):
         mod = importlib.import_module(f"guagua_spark.operators.{mod_name}")
         for key, sql in getattr(mod, "LOCAL_ORACLE_SQL", {}).items():
