@@ -277,14 +277,62 @@ SELECT SUM((a - e) * LN(a / e)) AS psi, COUNT(*) AS n_bins FROM rates
 """.strip()
 
 
+#: the numeric feature set for the correlation matrix
+CORR_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the numeric feature set —
+    collinearity screening before model training (Shifu drops one of
+    each highly-correlated pair). ONE scan: every pair's corr is a
+    decomposable central-moment aggregate, so all C(k,2) cells compute
+    in a single partial-aggregated pass; the 1×C(k,2) result row is
+    unpivoted to (feat_a, feat_b, corr) rows with a stack expression.
+    k is model-sized (a feature list), so the single combined row is
+    bounded however large the table."""
+    li = load_table(spark, sf_dir, "lineitem").select(*CORR_FEATURES)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_FEATURES)
+        for b in CORR_FEATURES[i + 1 :]
+    ]
+    wide = li.agg(
+        *[F.corr(a, b).alias(f"c_{a}_{b}") for a, b in pairs]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (feat_a, feat_b, corr)"
+        )
+    ).orderBy("feat_a", "feat_b")
+
+
+def _correlation_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_FEATURES)
+        for b in CORR_FEATURES[i + 1 :]
+    ]
+    selects = " UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, corr({a}, {b}) AS corr"
+        " FROM lineitem"
+        for a, b in pairs
+    )
+    return f"{selects} ORDER BY feat_a, feat_b"
+
+
 #: oracle-tested locally (tests/test_features.py); 50-slot contract full
 LOCAL_QUERIES = {
     "feature_woe_bins": feature_woe_bins,
     "feature_iv_ks": feature_iv_ks,
     "feature_psi": feature_psi,
+    "feature_correlation": feature_correlation,
 }
 LOCAL_ORACLE_SQL = {
     "feature_woe_bins": _woe_bins_oracle(),
     "feature_iv_ks": _iv_ks_oracle(),
     "feature_psi": _psi_oracle(),
+    "feature_correlation": _correlation_oracle(),
 }

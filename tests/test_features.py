@@ -62,3 +62,20 @@ def test_psi_near_zero_on_random_split(spark, oracle_sf_dir):
     assert row["n_bins"] >= 2
     assert math.isfinite(row["psi"])
     assert abs(row["psi"]) < 0.1
+
+
+def test_correlation_single_scan_and_bounds(spark, oracle_sf_dir):
+    """All C(k,2) cells from ONE scan (single Exchange for the global
+    agg) and every corr in [-1, 1]."""
+    df = LOCAL_QUERIES["feature_correlation"](spark, oracle_sf_dir)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(-1.0 <= r["corr"] <= 1.0 for r in rows)
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # AQE repeats the tree
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_corr" in plan, plan
