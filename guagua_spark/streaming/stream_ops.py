@@ -322,6 +322,43 @@ def streaming_rollup_maintenance(
     return writer.start()
 
 
+def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature-drift monitor: PSI of each micro-batch's
+    l_extendedprice distribution against bin edges FROZEN from the
+    standing corpus (operators/features semantics — monitoring never
+    re-bins). The frozen boundaries become plan literals, so per-batch
+    work is a map-side bucket assignment + one windowed aggregate over
+    the B bucket counts; emitted per watermark-less complete-mode
+    aggregation keyed by a batch-time bucket is overkill here — the
+    stateless per-row (bin) tagging plus the drain-side rollup keeps
+    ONE tiny aggregation. Output: (bin, n_act) counts for the stream;
+    the PSI fold against the frozen expected shares happens in the
+    same expression shape the batch op certifies."""
+    from guagua_spark.operators.features import _QS
+    from guagua_spark.sources.tables import load_table
+
+    li_static = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    qs = ", ".join(str(q) for q in _QS)
+    bounds = li_static.select(
+        F.expr(f"percentile(x, array({qs}))").alias("b")
+    ).first()["b"]
+    stream = (
+        spark.readStream.schema("l_extendedprice double")
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+        .select(F.col("l_extendedprice").alias("x"))
+    )
+    b = F.lit(0)
+    for v in bounds:
+        b = b + (F.col("x") > F.lit(float(v))).cast("int")
+    return stream.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_act")
+    )
+
+
 def streaming_dedup_incremental(
     spark: SparkSession,
     sf_dir: str,

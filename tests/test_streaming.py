@@ -265,3 +265,26 @@ def test_streaming_rollup_keeps_existing_table(spark, sf_dir):
     ]
     assert got == want
     spark.sql("DROP TABLE IF EXISTS stream_rollup2")
+
+
+def test_streaming_psi_monitor_bins_match_batch(spark, sf_dir):
+    """The drained per-bin stream counts must equal bucketing the whole
+    table in batch against the same frozen boundaries."""
+    from guagua_spark.operators.features import _QS
+    from guagua_spark.streaming import streaming_psi_monitor
+
+    got = run_available_now(
+        streaming_psi_monitor(spark, sf_dir), "s_psi", "complete"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    qs = ", ".join(str(q) for q in _QS)
+    bounds = li.select(
+        F.expr(f"percentile(x, array({qs}))").alias("b")
+    ).first()["b"]
+    b = F.lit(0)
+    for v in bounds:
+        b = b + (F.col("x") > F.lit(float(v))).cast("int")
+    want = li.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n_act"))
+    assert _rows(got, "bin", "n_act") == _rows(want, "bin", "n_act")
