@@ -282,7 +282,43 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator per the brief ("document fingerprinting (rolling hash)"),
     one contract row certifying both columns. Repartitioned to all
     cores first: the rolling window does ~|text| md5 calls per doc,
-    far more than the small scan's native partition count can feed."""
+    far more than the small scan's native partition count can feed.
+
+    ``shf_``/``ws_`` certificate columns (round 6): 1-row integer
+    rollups of the ACTUAL corpus_shuffle and weighted_sample outputs —
+    the position-weighted doc_id sum binds WHICH doc landed at WHICH
+    permutation slot, and the sample's (count, Σdoc_id, Σn_chars)
+    binds exactly which k docs the A-ES keys selected. Memoized per
+    documents fingerprint (certmemo, miss reports as
+    _index:cert:shuffle_wsample) and cross-joined as a 1-row literal;
+    certifies both LOCAL operators inside the 50-slot cap."""
+    from guagua_spark.operators.certmemo import cached_cert_row
+
+    def _build():
+        from guagua_spark.operators.packing import corpus_shuffle
+        from guagua_spark.operators.pipeline import (
+            pipeline_weighted_sample,
+        )
+
+        shf = corpus_shuffle(spark, sf_dir).agg(
+            F.sum(F.col("pos") * F.col("doc_id")).alias("shf_id_wsum")
+        )
+        ws = pipeline_weighted_sample(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("ws_n"),
+            F.sum("doc_id").alias("ws_id_sum"),
+            F.sum("n_chars").alias("ws_chars_sum"),
+        )
+        return shf.crossJoin(ws)
+
+    cert = cached_cert_row(
+        spark,
+        sf_dir,
+        "shuffle_wsample",
+        ("documents",),
+        "shf_id_wsum bigint, ws_n bigint, ws_id_sum bigint,"
+        " ws_chars_sum bigint",
+        _build,
+    )
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -293,11 +329,15 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(
         idx, lambda i: F.md5(F.col("text").substr(i, F.lit(ROLLING_WIDTH)))
     )
-    return docs.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("fingerprint"),
-        F.array_min(grams).alias("rolling_fp"),
-    ).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("fingerprint"),
+            F.array_min(grams).alias("rolling_fp"),
+        )
+        .crossJoin(F.broadcast(cert))
+        .orderBy("doc_id")
+    )
 
 
 #: GPT-2-style pretokenizer classes (letters / digits / punctuation runs
@@ -632,11 +672,11 @@ ORACLE_SQL = {
     # the unigram-LM CTE block, defined down there
     "text_quality_scores": None,
     "text_language_id": _lang_oracle(),
-    "text_fingerprints": (
-        "SELECT doc_id, md5(text) AS fingerprint, "
-        f"{_ROLLING_FP_SQL} AS rolling_fp "
-        "FROM documents ORDER BY doc_id"
-    ),
+    # shf/ws certificate CTEs wrap the standalone LOCAL oracles of
+    # corpus_shuffle and pipeline_weighted_sample verbatim (assigned
+    # right after this dict literal — the strings live in their home
+    # modules)
+    "text_fingerprints": None,
     "text_tfidf_top_terms": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
@@ -737,6 +777,33 @@ FROM base CROSS JOIN cd_cert ORDER BY doc_id
 
 
 ORACLE_SQL["text_token_counts"] = _token_counts_oracle()
+
+
+def _fingerprints_oracle() -> str:
+    """Wraps the standalone corpus_shuffle / weighted_sample LOCAL
+    oracles verbatim as certificate CTEs — the host row's hash then
+    certifies exactly the math those oracles define."""
+    from guagua_spark.operators.packing import _corpus_shuffle_oracle
+    from guagua_spark.operators.pipeline import _weighted_sample_oracle
+
+    return f"""
+WITH shf AS (
+  SELECT CAST(SUM(pos * doc_id) AS BIGINT) AS shf_id_wsum
+  FROM ({_corpus_shuffle_oracle()})
+),
+ws AS (
+  SELECT COUNT(*) AS ws_n, CAST(SUM(doc_id) AS BIGINT) AS ws_id_sum,
+         CAST(SUM(n_chars) AS BIGINT) AS ws_chars_sum
+  FROM ({_weighted_sample_oracle()})
+)
+SELECT doc_id, md5(text) AS fingerprint,
+       {_ROLLING_FP_SQL} AS rolling_fp,
+       shf_id_wsum, ws_n, ws_id_sum, ws_chars_sum
+FROM documents CROSS JOIN shf CROSS JOIN ws ORDER BY doc_id
+""".strip()
+
+
+ORACLE_SQL["text_fingerprints"] = _fingerprints_oracle()
 
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document n-gram repetition ratio (1 − distinct/total) —
