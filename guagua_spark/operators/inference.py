@@ -165,11 +165,12 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scored_cte() -> str:
-    """Oracle twin of trained_lr_weights + _scored: replay training
-    (shared CTE), round the final weights to 6dp, score every row."""
-    return f"""
-WITH RECURSIVE {lr_train_it_cte()},
+def scored_ctes() -> str:
+    """CTE body (``it`` → ``w`` → ``sc``, no WITH prefix) replaying
+    training + 6dp rounding + scoring — spliceable into any oracle
+    that needs the scored relation (the standalone inference oracles
+    below, and lr_train's certificate splice in iterative.py)."""
+    return f"""{lr_train_it_cte()},
 w AS (
   SELECT ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
   FROM it WHERE i = 5
@@ -180,6 +181,10 @@ sc AS (
            AS score
   FROM lineitem, w
 )""".strip()
+
+
+def _scored_cte() -> str:
+    return f"WITH RECURSIVE {scored_ctes()}"
 
 
 def infer_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +506,59 @@ SELECT label, COUNT(*) AS n, AVG(score) AS avg_score,
        SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_flagged
 FROM sc GROUP BY label ORDER BY label
 """.strip()
+
+
+def sql_inference_cert_ctes() -> str:
+    """CTE block (expects ``sc`` in scope, i.e. spliced after
+    scored_ctes) ending in ``inf_cert`` — the 1-row certificate of the
+    whole inference family: tie-aware AUC (round 6), the 0.5-threshold
+    decision count, and the Σ(per-row decile) rollup that binds the
+    decile assignment. Spliced into lr_train's contract oracle."""
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    bucket = " + ".join(
+        f"(CASE WHEN score > icq.q[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(9)
+    )
+    return f"""icg AS (
+  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
+  FROM sc GROUP BY score
+),
+ico AS (
+  SELECT np, n, SUM(n) OVER (ORDER BY score) AS cum FROM icg
+),
+ict AS (
+  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
+         SUM(np) AS p, SUM(n) AS tot
+  FROM ico
+),
+icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),
+inf_cert AS (
+  SELECT (SELECT ROUND((spr - p*(p+1)/2.0) / (p * (tot - p)), 6)
+          FROM ict) AS inf_auc,
+         (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM sc) AS inf_flagged,
+         (SELECT CAST(SUM({bucket}) AS BIGINT) FROM sc, icq)
+           AS inf_dec_nwsum
+)"""
+
+
+def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of sql_inference_cert_ctes: 1 row built from the
+    ACTUAL inference operators' outputs."""
+    auc = infer_auc(spark, sf_dir).select(
+        F.round("auc", 6).alias("inf_auc")
+    )
+    flag = _scored(spark, sf_dir).agg(
+        F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
+            "inf_flagged"
+        )
+    )
+    dec = infer_deciles(spark, sf_dir).agg(
+        F.sum(F.col("decile").cast("bigint") * F.col("n")).alias(
+            "inf_dec_nwsum"
+        )
+    )
+    return auc.crossJoin(flag).crossJoin(dec)
 
 
 #: oracle-tested locally (tests/test_inference.py); the 50-slot driver

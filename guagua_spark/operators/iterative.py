@@ -162,11 +162,22 @@ def lr_train_it_cte() -> str:
 
 
 def _lr_train_oracle() -> str:
+    # spliced via inference.scored_ctes (which embeds lr_train_it_cte):
+    # the host row's hash certifies the inference family's math —
+    # scoring, tie-aware AUC, threshold decisions, decile assignment —
+    # on top of the training replay (inf_* certificate columns)
+    from guagua_spark.operators.inference import (
+        scored_ctes,
+        sql_inference_cert_ctes,
+    )
+
     return f"""
-WITH RECURSIVE {lr_train_it_cte()}
+WITH RECURSIVE {scored_ctes()},
+{sql_inference_cert_ctes()}
 SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_qty, ROUND(w2, 6) AS w_disc,
-       ROUND(loss, 6) AS loss, CAST(i AS INT) AS iterations
-FROM it WHERE i = 5
+       ROUND(loss, 6) AS loss, CAST(i AS INT) AS iterations,
+       inf_auc, inf_flagged, inf_dec_nwsum
+FROM it CROSS JOIN inf_cert WHERE i = 5
 """.strip()
 
 
@@ -205,10 +216,29 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gradients via treeReduce (partition order), DuckDB sequentially —
     # bit-exact equality is not guaranteed, 1e-6 agreement is
     w = [round(float(x), 6) for x in model.weights]
-    return spark.createDataFrame(
+    base = spark.createDataFrame(
         [(w[0], w[1], w[2], round(float(model.loss), 6), int(model.iteration))],
         "w_bias double, w_qty double, w_disc double, loss double, iterations int",
     )
+    # inf_* certificate: the batch-inference family's 1-row rollup
+    # (memoized per lineitem fingerprint — certmemo), cross-joined so
+    # this green row also hash-certifies scoring/AUC/deciles
+    from guagua_spark.operators.certmemo import cached_cert_row
+
+    def _build():
+        from guagua_spark.operators.inference import inference_cert_df
+
+        return inference_cert_df(spark, sf_dir)
+
+    cert = cached_cert_row(
+        spark,
+        sf_dir,
+        "inference",
+        ("lineitem",),
+        "inf_auc double, inf_flagged bigint, inf_dec_nwsum bigint",
+        _build,
+    )
+    return base.crossJoin(F.broadcast(cert))
 
 
 KMEANS_K = 4
