@@ -238,14 +238,18 @@ def assign_dense_ids(
     TWO-EVALUATION HAZARD: the plan executes twice (the counts job,
     then the join). With a NON-deterministic upstream — a shuffle
     whose retry recomputes different partition contents, sample(),
-    limit() without an order — the per-partition row sets can differ
-    between the two jobs, yielding duplicate or gapped ids even though
-    each id is individually well-formed. Pass ``pin=True`` for such
-    inputs: the __mid-stamped relation is localCheckpoint'd (computed
-    once; both jobs read the materialized blocks), trading one
-    materialization for the uniqueness/contiguity guarantee.
-    Deterministic inputs (parquet scans, sorted relations) don't need
-    it."""
+    limit() without an order, and NOTABLY ``repartitionByRange``
+    (its boundary sampling depends on the child's row ARRIVAL order,
+    so the two jobs can compute different boundaries — observed
+    empirically as duplicate ids on a range-sorted cached relation) —
+    the per-partition row sets can differ between the two jobs,
+    yielding duplicate or gapped ids even though each id is
+    individually well-formed. Pass ``pin=True`` for such inputs: the
+    __mid-stamped relation is localCheckpoint'd (computed once; both
+    jobs read the materialized blocks), trading one materialization
+    for the uniqueness/contiguity guarantee. Plain parquet scans and
+    hash-partitioned deterministic plans don't need it; anything
+    range-partitioned DOES."""
     spark = df.sparkSession
     base = df.withColumn("__mid", F.monotonically_increasing_id())
     if pin:

@@ -323,6 +323,51 @@ def _correlation_oracle() -> str:
     return f"{selects} ORDER BY feat_a, feat_b"
 
 
+def feature_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate of the whole feature-stats family, built from
+    the ACTUAL operators' outputs (round 6): bin-weighted WOE sum
+    (binds which bin got which WOE), IV and KS sums over both
+    features, PSI, and the correlation-matrix sum. Cross-joined into
+    q2_partial_agg (relational.py) so a green contract row
+    hash-certifies this module inside the 50-slot cap."""
+    woe = feature_woe_bins(spark, sf_dir).agg(
+        F.round(F.sum((F.col("bin") + 1) * F.col("woe")), 6).alias(
+            "ftr_woe_wsum"
+        )
+    )
+    ivks = feature_iv_ks(spark, sf_dir).agg(
+        F.round(F.sum("iv"), 6).alias("ftr_iv_sum"),
+        F.round(F.sum("ks"), 6).alias("ftr_ks_sum"),
+    )
+    psi = feature_psi(spark, sf_dir).select(
+        F.round("psi", 6).alias("ftr_psi")
+    )
+    corr = feature_correlation(spark, sf_dir).agg(
+        F.round(F.sum("corr"), 6).alias("ftr_corr_sum")
+    )
+    return woe.crossJoin(ivks).crossJoin(psi).crossJoin(corr)
+
+
+def sql_feature_cert_ctes() -> str:
+    """CTE block ending in ``ftr_cert`` — wraps this module's
+    standalone oracles verbatim as derived tables, so the host row's
+    hash certifies exactly the math they define."""
+    return f"""fw AS (
+  SELECT ROUND(SUM((bin + 1) * woe), 6) AS ftr_woe_wsum
+  FROM ({_woe_bins_oracle()})
+),
+fik AS (
+  SELECT ROUND(SUM(iv), 6) AS ftr_iv_sum, ROUND(SUM(ks), 6) AS ftr_ks_sum
+  FROM ({_iv_ks_oracle()})
+),
+fp AS (SELECT ROUND(psi, 6) AS ftr_psi FROM ({_psi_oracle()})),
+fc AS (
+  SELECT ROUND(SUM(corr), 6) AS ftr_corr_sum
+  FROM ({_correlation_oracle()})
+),
+ftr_cert AS (SELECT * FROM fw, fik, fp, fc)"""
+
+
 #: oracle-tested locally (tests/test_features.py); 50-slot contract full
 LOCAL_QUERIES = {
     "feature_woe_bins": feature_woe_bins,

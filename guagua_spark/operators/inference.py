@@ -53,9 +53,13 @@ from pyspark.sql import functions as F
 
 from guagua_spark.functions.scale import assign_dense_ids
 from guagua_spark.metrics import record_index_build
-from guagua_spark.operators.iterative import (
-    _cached_persisted,
-    lr_train_it_cte,
+from guagua_spark.operators.iterative import _cached_persisted
+from guagua_spark.operators.lr_sql import (
+    DECILE_QS as _DECILE_QS,
+)
+from guagua_spark.operators.lr_sql import (
+    scored_ctes,
+    sql_inference_cert_ctes,  # noqa: F401  (re-export for splicers)
 )
 from guagua_spark.sources.tables import load_table, table_fingerprint
 
@@ -165,25 +169,10 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scored_ctes() -> str:
-    """CTE body (``it`` → ``w`` → ``sc``, no WITH prefix) replaying
-    training + 6dp rounding + scoring — spliceable into any oracle
-    that needs the scored relation (the standalone inference oracles
-    below, and lr_train's certificate splice in iterative.py)."""
-    return f"""{lr_train_it_cte()},
-w AS (
-  SELECT ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
-  FROM it WHERE i = 5
-),
-sc AS (
-  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
-         ROUND(1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount))), 6)
-           AS score
-  FROM lineitem, w
-)""".strip()
-
-
 def _scored_cte() -> str:
+    """Oracle twin of trained_lr_weights + _scored: replay training
+    (the shared lr_sql CTEs), round the final weights to 6dp, score
+    every row."""
     return f"WITH RECURSIVE {scored_ctes()}"
 
 
@@ -230,13 +219,17 @@ def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous and their mean is exactly the tie-averaged rank."""
     sc = _scored(spark, sf_dir)
     n_part = spark.sparkContext.defaultParallelism
-    # pin=False: the upstream is a persisted projection + deterministic
-    # range sort, so both dense-id jobs see identical partitions
+    # pin=True is REQUIRED here: repartitionByRange's boundary sampling
+    # depends on the child's row arrival order, which varies between
+    # the two dense-id jobs (observed empirically: duplicate ids ~1 in
+    # 4 runs at sf0.01) — the localCheckpoint makes both jobs read one
+    # materialized layout. Node-sized cost, same as the final vector.
     ranked = assign_dense_ids(
         sc.repartitionByRange(n_part, "score").sortWithinPartitions(
             "score"
         ),
         "rid",
+        pin=True,
     )
     g = ranked.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"),
@@ -284,10 +277,6 @@ SELECT (spr - p*(p+1)/2.0) / (p * (tot - p)) AS auc,
        p AS n_pos, (tot - p) AS n_neg
 FROM t
 """.strip()
-
-
-#: decile boundaries: exact interior percentiles 0.1 .. 0.9
-_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
 def infer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,40 +495,6 @@ SELECT label, COUNT(*) AS n, AVG(score) AS avg_score,
        SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_flagged
 FROM sc GROUP BY label ORDER BY label
 """.strip()
-
-
-def sql_inference_cert_ctes() -> str:
-    """CTE block (expects ``sc`` in scope, i.e. spliced after
-    scored_ctes) ending in ``inf_cert`` — the 1-row certificate of the
-    whole inference family: tie-aware AUC (round 6), the 0.5-threshold
-    decision count, and the Σ(per-row decile) rollup that binds the
-    decile assignment. Spliced into lr_train's contract oracle."""
-    qs = ", ".join(str(q) for q in _DECILE_QS)
-    bucket = " + ".join(
-        f"(CASE WHEN score > icq.q[{i + 1}] THEN 1 ELSE 0 END)"
-        for i in range(9)
-    )
-    return f"""icg AS (
-  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
-  FROM sc GROUP BY score
-),
-ico AS (
-  SELECT np, n, SUM(n) OVER (ORDER BY score) AS cum FROM icg
-),
-ict AS (
-  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
-         SUM(np) AS p, SUM(n) AS tot
-  FROM ico
-),
-icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),
-inf_cert AS (
-  SELECT (SELECT ROUND((spr - p*(p+1)/2.0) / (p * (tot - p)), 6)
-          FROM ict) AS inf_auc,
-         (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
-                      AS BIGINT) FROM sc) AS inf_flagged,
-         (SELECT CAST(SUM({bucket}) AS BIGINT) FROM sc, icq)
-           AS inf_dec_nwsum
-)"""
 
 
 def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:

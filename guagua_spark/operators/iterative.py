@@ -127,46 +127,20 @@ def _kmeans_oracle() -> str:
     )
 
 
-def lr_train_it_cte() -> str:
-    """The 5-step LR training loop as the body of a recursive CTE named
-    ``it`` — shared verbatim between ``_lr_train_oracle`` and the
-    inference oracles (operators/inference.py), so the weights the
-    scoring oracles replay are bit-identical to the ones lr_train is
-    hash-certified against.
-
-    Mirrors the engine exactly (gradient.py GradientDescentMaster):
-    err = sigmoid(w·x) − y per row, then w ← w − lr·Σ(err·x)/n and
-    loss = Σerr²/n, iterated 5 times from w = 0⃗.  The anchor must be
-    CAST AS DOUBLE or DuckDB types the whole CTE DECIMAL(2,1).
-    """
-    lr = 0.5
-    return f"""it AS (
-  SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
-         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS loss
-  UNION ALL
-  SELECT i + 1,
-         w0 - {lr} * SUM(err) / COUNT(*),
-         w1 - {lr} * SUM(err * l_quantity) / COUNT(*),
-         w2 - {lr} * SUM(err * l_discount) / COUNT(*),
-         SUM(err * err) / COUNT(*)
-  FROM (
-    SELECT i, w0, w1, w2,
-           1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount)))
-             - (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS err,
-           l_quantity, l_discount
-    FROM it, lineitem
-    WHERE i < 5
-  ) s
-  GROUP BY i, w0, w1, w2
-)""".strip()
+# the recursive training CTE lives in the LEAF module lr_sql.py so the
+# inference oracles can splice it without a circular import; re-export
+# for backward compatibility
+from guagua_spark.operators.lr_sql import (  # noqa: E402
+    lr_train_it_cte,  # noqa: F401
+)
 
 
 def _lr_train_oracle() -> str:
-    # spliced via inference.scored_ctes (which embeds lr_train_it_cte):
+    # spliced via lr_sql.scored_ctes (which embeds lr_train_it_cte):
     # the host row's hash certifies the inference family's math —
     # scoring, tie-aware AUC, threshold decisions, decile assignment —
     # on top of the training replay (inf_* certificate columns)
-    from guagua_spark.operators.inference import (
+    from guagua_spark.operators.lr_sql import (
         scored_ctes,
         sql_inference_cert_ctes,
     )

