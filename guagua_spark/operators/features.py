@@ -34,7 +34,10 @@ from pyspark.sql.window import Window
 from guagua_spark.sources.tables import load_table
 
 N_BINS = 10
-_QS = [round(i / N_BINS, 2) for i in range(1, N_BINS)]
+# no rounding: round(1/16, 2) = 0.06 would silently break the
+# equal-frequency guarantee for bin counts whose reciprocal needs more
+# precision; both engines accept full-precision fractions
+_QS = [i / N_BINS for i in range(1, N_BINS)]
 
 
 def _binned(
@@ -47,16 +50,32 @@ def _binned(
         F.col(feature).alias("x"),
         (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
     )
-    qs = ", ".join(str(q) for q in _QS)
-    bounds = li.select(
-        F.expr(f"percentile(x, array({qs}))").alias("b")
-    ).first()["b"]
-    b = F.lit(0)
-    for v in bounds:
-        b = b + (F.col("x") > F.lit(float(v))).cast("int")
-    return li.groupBy(b.alias("bin")).agg(
+    bounds = frozen_bounds(li, "x")
+    return li.groupBy(bucket_col(bounds, "x").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
     )
+
+
+def frozen_bounds(df: DataFrame, col: str) -> list[float]:
+    """The B−1 exact interior-percentile boundaries of ``col`` — the
+    SINGLE definition of the binning rule, shared by _binned,
+    feature_psi, the streaming PSI monitor, and their tests (a drift
+    between any two of those would silently change what 'bin' means).
+    One O(1)-result driver job."""
+    qs = ", ".join(str(q) for q in _QS)
+    row = df.select(
+        F.expr(f"percentile({col}, array({qs}))").alias("b")
+    ).first()
+    return [float(v) for v in row["b"]]
+
+
+def bucket_col(bounds: list[float], col: str):
+    """Map-side bin assignment `Σ (col > bᵢ)` against the frozen
+    boundary literals — the shared other half of the binning rule."""
+    b = F.lit(0)
+    for v in bounds:
+        b = b + (F.col(col) > F.lit(float(v))).cast("int")
+    return b
 
 
 def _woe_cols():
@@ -71,11 +90,8 @@ def _woe_cols():
     return woe, (pr - nr) * woe
 
 
-def feature_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-bin WOE table for l_extendedprice (B equal-frequency bins):
-    bin, n, n_pos, pos_rate, woe. The bin relation is B rows, so the
-    totals window is bounded-by-construction."""
-    bins = _binned(spark, sf_dir, "l_extendedprice")
+def _woe_from_bins(bins: DataFrame) -> DataFrame:
+    """Per-bin WOE table from a (bin, n, n_pos) relation."""
     w = Window.partitionBy()  # B rows total — bounded, see module doc
     withtot = bins.select(
         "bin",
@@ -95,38 +111,45 @@ def feature_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def _iv_ks_from_bins(bins: DataFrame, feature: str) -> DataFrame:
+    """1-row (feature, iv, ks) from a (bin, n, n_pos) relation."""
+    w = Window.partitionBy()  # B rows — bounded
+    wo = Window.partitionBy().orderBy("bin")  # same B rows
+    withtot = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("pos_tot"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).alias("neg_tot"),
+        F.count(F.lit(1)).over(w).alias("n_bins"),
+        F.sum("n_pos").over(wo).alias("cum_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).over(wo).alias("cum_neg"),
+    )
+    _, iv_term = _woe_cols()
+    ks_term = F.abs(
+        F.col("cum_pos") / F.col("pos_tot")
+        - F.col("cum_neg") / F.col("neg_tot")
+    )
+    return withtot.agg(
+        F.sum(iv_term).alias("iv"), F.max(ks_term).alias("ks")
+    ).select(F.lit(feature).alias("feature"), "iv", "ks")
+
+
+def feature_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin WOE table for l_extendedprice (B equal-frequency bins):
+    bin, n, n_pos, pos_rate, woe. The bin relation is B rows, so the
+    totals window is bounded-by-construction."""
+    return _woe_from_bins(_binned(spark, sf_dir, "l_extendedprice"))
+
+
 def feature_iv_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per feature: information value (Σ smoothed IV terms)
     and KS (max |cum pos share − cum neg share| over the ordered
     bins) for l_extendedprice and l_quantity."""
-    outs = []
+    out = None
     for feature in ("l_extendedprice", "l_quantity"):
-        bins = _binned(spark, sf_dir, feature)
-        w = Window.partitionBy()  # B rows — bounded
-        wo = Window.partitionBy().orderBy("bin")  # same B rows
-        withtot = bins.select(
-            "bin",
-            "n",
-            "n_pos",
-            F.sum("n_pos").over(w).alias("pos_tot"),
-            F.sum(F.col("n") - F.col("n_pos")).over(w).alias("neg_tot"),
-            F.count(F.lit(1)).over(w).alias("n_bins"),
-            F.sum("n_pos").over(wo).alias("cum_pos"),
-            F.sum(F.col("n") - F.col("n_pos")).over(wo).alias("cum_neg"),
-        )
-        _, iv_term = _woe_cols()
-        ks_term = F.abs(
-            F.col("cum_pos") / F.col("pos_tot")
-            - F.col("cum_neg") / F.col("neg_tot")
-        )
-        outs.append(
-            withtot.agg(
-                F.sum(iv_term).alias("iv"), F.max(ks_term).alias("ks")
-            ).select(F.lit(feature).alias("feature"), "iv", "ks")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+        row = _iv_ks_from_bins(_binned(spark, sf_dir, feature), feature)
+        out = row if out is None else out.unionByName(row)
     return out.orderBy("feature")
 
 
@@ -217,14 +240,8 @@ def feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x"),
         (F.col("l_orderkey") % 2 == 0).alias("is_exp"),
     )
-    qs = ", ".join(str(q) for q in _QS)
-    bounds = li.filter("is_exp").select(
-        F.expr(f"percentile(x, array({qs}))").alias("b")
-    ).first()["b"]
-    b = F.lit(0)
-    for v in bounds:
-        b = b + (F.col("x") > F.lit(float(v))).cast("int")
-    bins = li.groupBy(b.alias("bin")).agg(
+    bounds = frozen_bounds(li.filter("is_exp"), "x")
+    bins = li.groupBy(bucket_col(bounds, "x").alias("bin")).agg(
         F.sum(F.col("is_exp").cast("bigint")).alias("n_exp"),
         F.sum((~F.col("is_exp")).cast("bigint")).alias("n_act"),
     )
@@ -330,14 +347,25 @@ def feature_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, PSI, and the correlation-matrix sum. Cross-joined into
     q2_partial_agg (relational.py) so a green contract row
     hash-certifies this module inside the 50-slot cap."""
-    woe = feature_woe_bins(spark, sf_dir).agg(
+    # ONE bin pass for l_extendedprice feeds both WOE and IV/KS (the
+    # boundaries job and the bin groupBy would otherwise run twice)
+    bins_ep = _binned(spark, sf_dir, "l_extendedprice")
+    woe = _woe_from_bins(bins_ep).agg(
         F.round(F.sum((F.col("bin") + 1) * F.col("woe")), 6).alias(
             "ftr_woe_wsum"
         )
     )
-    ivks = feature_iv_ks(spark, sf_dir).agg(
-        F.round(F.sum("iv"), 6).alias("ftr_iv_sum"),
-        F.round(F.sum("ks"), 6).alias("ftr_ks_sum"),
+    ivks = (
+        _iv_ks_from_bins(bins_ep, "l_extendedprice")
+        .unionByName(
+            _iv_ks_from_bins(
+                _binned(spark, sf_dir, "l_quantity"), "l_quantity"
+            )
+        )
+        .agg(
+            F.round(F.sum("iv"), 6).alias("ftr_iv_sum"),
+            F.round(F.sum("ks"), 6).alias("ftr_ks_sum"),
+        )
     )
     psi = feature_psi(spark, sf_dir).select(
         F.round("psi", 6).alias("ftr_psi")

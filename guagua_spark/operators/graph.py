@@ -105,7 +105,8 @@ def pagerank(
     if _return_lazy:
         # plan-inspection hook (tests/test_plans.py): return the raw
         # superstep plan; the edge/node caches stay pinned — callers of
-        # this mode own their release
+        # this mode own their release via the attached handles
+        ranks._pinned_relations = (nodes, w)
         return ranks
     # materialize the final vector (node-sized) so the caches can be
     # dropped before returning — the returned frame carries no lineage

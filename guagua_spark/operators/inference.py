@@ -223,7 +223,10 @@ def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depends on the child's row arrival order, which varies between
     # the two dense-id jobs (observed empirically: duplicate ids ~1 in
     # 4 runs at sf0.01) — the localCheckpoint makes both jobs read one
-    # materialized layout. Node-sized cost, same as the final vector.
+    # materialized layout. Honest cost note: the pinned relation is
+    # CORPUS-sized ((label, score, __mid) per row, ~24 B/row), held
+    # until Spark's ContextCleaner GCs the checkpointed RDD — at real
+    # scale prefer computing AUC once per model version, not per lap.
     ranked = assign_dense_ids(
         sc.repartitionByRange(n_part, "score").sortWithinPartitions(
             "score"
@@ -256,24 +259,14 @@ def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _auc_oracle() -> str:
     # avg rank of a tie group ending at cumulative count `cum` with `n`
     # members = cum − n + (n+1)/2 — same value the Spark side derives
-    # from (min_id + max_id)/2 + 1
+    # from (min_id + max_id)/2 + 1; the rank CTEs and AUC expression
+    # are lr_sql's, shared verbatim with the lr_train certificate
+    from guagua_spark.operators.lr_sql import AUC_EXPR, auc_rank_ctes
+
     return f"""
 {_scored_cte()},
-g AS (
-  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
-  FROM sc GROUP BY score
-),
-o AS (
-  SELECT np, n,
-         SUM(n) OVER (ORDER BY score) AS cum
-  FROM g
-),
-t AS (
-  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
-         SUM(np) AS p, SUM(n) AS tot
-  FROM o
-)
-SELECT (spr - p*(p+1)/2.0) / (p * (tot - p)) AS auc,
+{auc_rank_ctes("")}
+SELECT {AUC_EXPR} AS auc,
        p AS n_pos, (tot - p) AS n_neg
 FROM t
 """.strip()
@@ -312,15 +305,14 @@ def infer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _deciles_oracle() -> str:
+    # the bucket fold is lr_sql's, shared with the certificate splice
+    from guagua_spark.operators.lr_sql import decile_bucket_sql
+
     qs = ", ".join(str(q) for q in _DECILE_QS)
-    bucket = " + ".join(
-        f"(CASE WHEN score > q[{i + 1}] THEN 1 ELSE 0 END)"
-        for i in range(9)
-    )
     return f"""
 {_scored_cte()},
 b AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc)
-SELECT {bucket} AS decile, COUNT(*) AS n,
+SELECT {decile_bucket_sql("q")} AS decile, COUNT(*) AS n,
        AVG(score) AS avg_score, AVG(label) AS pos_rate
 FROM sc, b GROUP BY 1 ORDER BY 1
 """.strip()

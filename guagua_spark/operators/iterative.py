@@ -200,9 +200,17 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guagua_spark.operators.certmemo import cached_cert_row
 
     def _build():
-        from guagua_spark.operators.inference import inference_cert_df
+        from guagua_spark.operators import inference as inf
+        from guagua_spark.sources.tables import table_fingerprint
 
-        return inference_cert_df(spark, sf_dir)
+        # seed the inference model memo with the weights THIS run just
+        # trained — otherwise trained_lr_weights re-runs the identical
+        # 5-iteration engine job on every certificate-cache miss
+        inf._MODEL_CACHE[sf_dir] = (
+            table_fingerprint(sf_dir, "lineitem"),
+            (w[0], w[1], w[2]),
+        )
+        return inf.inference_cert_df(spark, sf_dir)
 
     cert = cached_cert_row(
         spark,

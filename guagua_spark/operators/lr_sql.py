@@ -60,6 +60,41 @@ sc AS (
 )""".strip()
 
 
+def auc_rank_ctes(prefix: str = "") -> str:
+    """The tie-averaged rank CTEs over ``sc`` — {p}g (per-score
+    groups) → {p}o (running counts) → {p}t (rank-sum totals). ONE
+    definition shared by inference's standalone AUC oracle (prefix "")
+    and the lr_train certificate splice (prefix "ic"), so the two can
+    never certify different math."""
+    g, o, t = f"{prefix}g", f"{prefix}o", f"{prefix}t"
+    return f"""{g} AS (
+  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
+  FROM sc GROUP BY score
+),
+{o} AS (
+  SELECT np, n, SUM(n) OVER (ORDER BY score) AS cum FROM {g}
+),
+{t} AS (
+  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
+         SUM(np) AS p, SUM(n) AS tot
+  FROM {o}
+)"""
+
+
+#: the final AUC expression over the rank-sum totals CTE
+AUC_EXPR = "(spr - p*(p+1)/2.0) / (p * (tot - p))"
+
+
+def decile_bucket_sql(qref: str) -> str:
+    """The decile bucket fold `Σ (score > q[i])` given a quantile-array
+    reference — shared by inference's decile oracle (``q``) and the
+    certificate splice (``icq.q``)."""
+    return " + ".join(
+        f"(CASE WHEN score > {qref}[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(len(DECILE_QS))
+    )
+
+
 def sql_inference_cert_ctes() -> str:
     """CTE block (expects ``sc`` in scope, i.e. spliced after
     scored_ctes) ending in ``inf_cert`` — the 1-row certificate of the
@@ -67,28 +102,13 @@ def sql_inference_cert_ctes() -> str:
     decision count, and the Σ(per-row decile) rollup that binds the
     decile assignment. Spliced into lr_train's contract oracle."""
     qs = ", ".join(str(q) for q in DECILE_QS)
-    bucket = " + ".join(
-        f"(CASE WHEN score > icq.q[{i + 1}] THEN 1 ELSE 0 END)"
-        for i in range(9)
-    )
-    return f"""icg AS (
-  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
-  FROM sc GROUP BY score
-),
-ico AS (
-  SELECT np, n, SUM(n) OVER (ORDER BY score) AS cum FROM icg
-),
-ict AS (
-  SELECT SUM(np * (cum - n + (n + 1)/2.0)) AS spr,
-         SUM(np) AS p, SUM(n) AS tot
-  FROM ico
-),
+    return f"""{auc_rank_ctes("ic")},
 icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),
 inf_cert AS (
-  SELECT (SELECT ROUND((spr - p*(p+1)/2.0) / (p * (tot - p)), 6)
+  SELECT (SELECT ROUND({AUC_EXPR}, 6)
           FROM ict) AS inf_auc,
          (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
                       AS BIGINT) FROM sc) AS inf_flagged,
-         (SELECT CAST(SUM({bucket}) AS BIGINT) FROM sc, icq)
-           AS inf_dec_nwsum
+         (SELECT CAST(SUM({decile_bucket_sql("icq.q")}) AS BIGINT)
+          FROM sc, icq) AS inf_dec_nwsum
 )"""

@@ -323,27 +323,42 @@ def streaming_rollup_maintenance(
 
 
 def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming feature-drift monitor: PSI of each micro-batch's
-    l_extendedprice distribution against bin edges FROZEN from the
-    standing corpus (operators/features semantics — monitoring never
-    re-bins). The frozen boundaries become plan literals, so per-batch
-    work is a map-side bucket assignment + one windowed aggregate over
-    the B bucket counts; emitted per watermark-less complete-mode
-    aggregation keyed by a batch-time bucket is overkill here — the
-    stateless per-row (bin) tagging plus the drain-side rollup keeps
-    ONE tiny aggregation. Output: (bin, n_act) counts for the stream;
-    the PSI fold against the frozen expected shares happens in the
-    same expression shape the batch op certifies."""
-    from guagua_spark.operators.features import _QS
+    """Streaming feature-drift monitor: per-bin counts of the
+    MONITORED TRAFFIC SO FAR for l_extendedprice, against bin edges
+    AND expected shares both frozen from the standing corpus
+    (operators/features.frozen_bounds/bucket_col — the SAME binning
+    rule as the batch ops, shared code so the twins cannot drift;
+    monitoring never re-bins). Boundaries and the reference
+    distribution ride into every micro-batch plan as literals:
+    per-batch work is a map-side bucket tag + one B-row aggregate.
+
+    Output per bin: (bin, n_act, exp_share). Streaming forbids the
+    second (cross-bin) aggregation the final PSI scalar needs, so the
+    fold over the drained B rows happens batch-side at read time — a
+    trivial query over B rows with the same smoothing as feature_psi
+    (equality with the batch PSI asserted in tests/test_streaming.py).
+    Complete-mode counts are CUMULATIVE (drift of the whole monitored
+    stream vs the reference); per-window drift is the same plan with
+    groupBy(window(ts), bin)."""
+    from guagua_spark.operators.features import bucket_col, frozen_bounds
     from guagua_spark.sources.tables import load_table
 
     li_static = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
-    qs = ", ".join(str(q) for q in _QS)
-    bounds = li_static.select(
-        F.expr(f"percentile(x, array({qs}))").alias("b")
-    ).first()["b"]
+    bounds = frozen_bounds(li_static, "x")
+    # frozen EXPECTED per-bin shares, rendered as a bin->share literal
+    exp_rows = (
+        li_static.groupBy(bucket_col(bounds, "x").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in exp_rows)
+    exp_share = F.lit(0.0)
+    for r in exp_rows:
+        exp_share = F.when(
+            F.col("bin") == r["bin"], F.lit(r["n"] / total)
+        ).otherwise(exp_share)
     stream = (
         spark.readStream.schema("l_extendedprice double")
         .format("parquet")
@@ -351,11 +366,10 @@ def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
         .select(F.col("l_extendedprice").alias("x"))
     )
-    b = F.lit(0)
-    for v in bounds:
-        b = b + (F.col("x") > F.lit(float(v))).cast("int")
-    return stream.groupBy(b.alias("bin")).agg(
-        F.count(F.lit(1)).alias("n_act")
+    return (
+        stream.groupBy(bucket_col(bounds, "x").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_act"))
+        .withColumn("exp_share", exp_share)
     )
 
 

@@ -290,6 +290,8 @@ def test_pagerank_rounds_are_join_plus_partial_agg(spark, oracle_sf_dir):
 
     df = pagerank(_trade_edges(spark, oracle_sf_dir), _return_lazy=True)
     p = _plan(df)
+    for rel in df._pinned_relations:  # lazy mode: caller releases
+        rel.unpersist()
     assert "CartesianProduct" not in p, p
     assert "partial_sum" in p or "partial" in p.lower(), p
 

@@ -269,8 +269,14 @@ def test_streaming_rollup_keeps_existing_table(spark, sf_dir):
 
 def test_streaming_psi_monitor_bins_match_batch(spark, sf_dir):
     """The drained per-bin stream counts must equal bucketing the whole
-    table in batch against the same frozen boundaries."""
-    from guagua_spark.operators.features import _QS
+    table in batch against the same frozen boundaries (shared
+    frozen_bounds/bucket_col helpers), the emitted exp_share must be
+    the frozen reference distribution, and the PSI fold over the
+    drained rows must be exactly 0 here — the monitored stream IS the
+    reference corpus."""
+    import math
+
+    from guagua_spark.operators.features import bucket_col, frozen_bounds
     from guagua_spark.streaming import streaming_psi_monitor
 
     got = run_available_now(
@@ -279,12 +285,18 @@ def test_streaming_psi_monitor_bins_match_batch(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
-    qs = ", ".join(str(q) for q in _QS)
-    bounds = li.select(
-        F.expr(f"percentile(x, array({qs}))").alias("b")
-    ).first()["b"]
-    b = F.lit(0)
-    for v in bounds:
-        b = b + (F.col("x") > F.lit(float(v))).cast("int")
-    want = li.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n_act"))
+    bounds = frozen_bounds(li, "x")
+    want = li.groupBy(bucket_col(bounds, "x").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_act")
+    )
     assert _rows(got, "bin", "n_act") == _rows(want, "bin", "n_act")
+    rows = got.collect()
+    total = sum(r["n_act"] for r in rows)
+    for r in rows:  # the frozen reference distribution rides along
+        assert abs(r["exp_share"] - r["n_act"] / total) < 1e-12
+    psi = sum(
+        (r["n_act"] / total - r["exp_share"])
+        * math.log((r["n_act"] / total) / r["exp_share"])
+        for r in rows
+    )
+    assert abs(psi) < 1e-12  # monitored == reference -> zero drift
