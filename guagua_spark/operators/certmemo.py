@@ -87,3 +87,26 @@ def cached_cert_row(
     return cached_cert_df(
         spark, sf_dir, name, tables, schema, build, max_rows=1
     )
+
+
+def cached_cert_cols(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: tuple[str, ...],
+    schema: str,
+    build,
+) -> list:
+    """cached_cert_row's scalars as typed literal COLUMNS — attach with
+    ``df.select("*", *cols)`` instead of a crossJoin(broadcast(...)).
+    Identical values and column names, leaner plan: no BroadcastExchange
+    / BroadcastNestedLoopJoin node per host query, the certificate
+    constant-folds into whatever stage produces the host row."""
+    from pyspark.sql import functions as F
+
+    df = cached_cert_row(spark, sf_dir, name, tables, schema, build)
+    row = df.first()
+    return [
+        F.lit(row[f.name]).cast(f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ]

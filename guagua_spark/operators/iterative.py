@@ -195,9 +195,10 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_bias double, w_qty double, w_disc double, loss double, iterations int",
     )
     # inf_* certificate: the batch-inference family's 1-row rollup
-    # (memoized per lineitem fingerprint — certmemo), cross-joined so
-    # this green row also hash-certifies scoring/AUC/deciles
-    from guagua_spark.operators.certmemo import cached_cert_row
+    # (memoized per lineitem fingerprint — certmemo), attached as
+    # typed literal columns so this green row also hash-certifies
+    # scoring/AUC/deciles with no extra join node
+    from guagua_spark.operators.certmemo import cached_cert_cols
 
     def _build():
         from guagua_spark.operators import inference as inf
@@ -212,7 +213,7 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return inf.inference_cert_df(spark, sf_dir)
 
-    cert = cached_cert_row(
+    cert_cols = cached_cert_cols(
         spark,
         sf_dir,
         "inference",
@@ -220,7 +221,7 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inf_auc double, inf_flagged bigint, inf_dec_nwsum bigint",
         _build,
     )
-    return base.crossJoin(F.broadcast(cert))
+    return base.select("*", *cert_cols)
 
 
 KMEANS_K = 4

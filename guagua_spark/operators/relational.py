@@ -46,17 +46,17 @@ def q2_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``ftr_*`` certificate columns: the feature-stats family's 1-row
     rollup (binning/WOE/IV/KS/PSI/correlation — operators/features.py)
-    memoized per lineitem fingerprint and cross-joined as literals, so
-    this green row hash-certifies that module inside the 50-slot cap
-    (miss cost reports as _index:cert:features)."""
-    from guagua_spark.operators.certmemo import cached_cert_row
+    memoized per lineitem fingerprint and attached as typed literal
+    columns, so this green row hash-certifies that module inside the
+    50-slot cap (miss cost reports as _index:cert:features)."""
+    from guagua_spark.operators.certmemo import cached_cert_cols
 
     def _build():
         from guagua_spark.operators.features import feature_cert_df
 
         return feature_cert_df(spark, sf_dir)
 
-    cert = cached_cert_row(
+    cert_cols = cached_cert_cols(
         spark,
         sf_dir,
         "features",
@@ -70,7 +70,7 @@ def q2_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("cnt"),
         F.avg("l_discount").alias("avg_disc"),
-    ).crossJoin(F.broadcast(cert))
+    ).select("*", *cert_cols)
 
 
 def q3_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,9 +290,10 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation slot, and the sample's (count, Σdoc_id, Σn_chars)
     binds exactly which k docs the A-ES keys selected. Memoized per
     documents fingerprint (certmemo, miss reports as
-    _index:cert:shuffle_wsample) and cross-joined as a 1-row literal;
-    certifies both LOCAL operators inside the 50-slot cap."""
-    from guagua_spark.operators.certmemo import cached_cert_row
+    _index:cert:shuffle_wsample) and attached as typed literal columns
+    (no join node); certifies both LOCAL operators inside the 50-slot
+    cap."""
+    from guagua_spark.operators.certmemo import cached_cert_cols
 
     def _build():
         from guagua_spark.operators.packing import corpus_shuffle
@@ -310,7 +311,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return shf.crossJoin(ws)
 
-    cert = cached_cert_row(
+    cert_cols = cached_cert_cols(
         spark,
         sf_dir,
         "shuffle_wsample",
@@ -329,15 +330,12 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(
         idx, lambda i: F.md5(F.col("text").substr(i, F.lit(ROLLING_WIDTH)))
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.md5(F.col("text")).alias("fingerprint"),
-            F.array_min(grams).alias("rolling_fp"),
-        )
-        .crossJoin(F.broadcast(cert))
-        .orderBy("doc_id")
-    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.array_min(grams).alias("rolling_fp"),
+        *cert_cols,
+    ).orderBy("doc_id")
 
 
 #: GPT-2-style pretokenizer classes (letters / digits / punctuation runs
