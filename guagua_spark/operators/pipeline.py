@@ -154,8 +154,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``ts_n_seqs``/``ts_tokens``/``ts_checksum``: the end-to-end
     training-set-build certificate (pipeline_build_training_set =
-    quality filter → LSH dedup → sequence packing) as a 1-row broadcast
-    cross join — sequence count, packed-token total, and a
+    quality filter → LSH dedup → sequence packing) as typed literal
+    columns — sequence count, packed-token total, and a
     (bucket·10⁶ + seq + 1)-weighted id_sum checksum binding WHICH docs
     land in WHICH sequence of the CLEANED corpus. Computed from the
     same checkpointed slim relation (pack_assignment needs only doc_id
@@ -190,13 +190,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
     )
-    from guagua_spark.operators.certmemo import cached_cert_row
+    from guagua_spark.operators.certmemo import cached_cert_cols
 
     # memoized per documents fingerprint (certmemo): the packing
     # rollup over the cleaned corpus is a pure function of the static
     # table — computed once, replayed as literals; miss cost reports
     # as _index:cert:training_set in the bench cold lane
-    tcert = cached_cert_row(
+    tcert_cols = cached_cert_cols(
         spark,
         sf_dir,
         "training_set",
@@ -247,7 +247,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_chars"
             ),
         )
-        .crossJoin(F.broadcast(tcert))
+        .select("*", *tcert_cols)
         .orderBy("lang", "source")
     )
 

@@ -34,7 +34,7 @@ def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers is not). This certifies the standalone LOCAL operator
     inside the 50-slot driver cap. Memoized per orders fingerprint
     (certmemo); cost on miss reports as _index:cert:grouping_sets."""
-    from guagua_spark.operators.certmemo import cached_cert_row
+    from guagua_spark.operators.certmemo import cached_cert_cols
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.rollup("l_returnflag", "l_linestatus").agg(
@@ -60,7 +60,7 @@ def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(w * rev_i).alias("gs_rev_wsum"),
         )
 
-    cert = cached_cert_row(
+    cert_cols = cached_cert_cols(
         spark,
         sf_dir,
         "grouping_sets",
@@ -68,7 +68,7 @@ def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gs_rows bigint, gs_n_wsum bigint, gs_rev_wsum bigint",
         build,
     )
-    return base.crossJoin(F.broadcast(cert)).orderBy(
+    return base.select("*", *cert_cols).orderBy(
         F.col("l_returnflag").asc_nulls_first(),
         F.col("l_linestatus").asc_nulls_first(),
     )

@@ -103,10 +103,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, and the doc_id-weighted shared-occurrence sum (binds WHICH
     doc got WHICH shared count). All integer sums — exact cross-engine.
     Memoized per documents fingerprint (certmemo, miss cost reports as
-    _index:cert:chunk_dedup) and cross-joined as a 1-row literal, so
+    _index:cert:chunk_dedup) and attached as typed literal columns, so
     the host row stays a single map-side scan on warm calls. Certifies
     the standalone LOCAL operator inside the 50-slot cap."""
-    from guagua_spark.operators.certmemo import cached_cert_row
+    from guagua_spark.operators.certmemo import cached_cert_cols
     from guagua_spark.operators.packing import (
         PACK_BUCKETS,
         chunk_certificate_cols,
@@ -119,7 +119,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.size(_tokens()), PACK_BUCKETS
     )
     n_chunks, chunk_hash_sum = chunk_certificate_cols()
-    cds = cached_cert_row(
+    cds_cols = cached_cert_cols(
         spark,
         sf_dir,
         "chunk_dedup",
@@ -147,8 +147,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq.alias("pack_seq"),
             n_chunks.alias("n_chunks"),
             chunk_hash_sum.alias("chunk_hash_sum"),
+            *cds_cols,
         )
-        .crossJoin(F.broadcast(cds))
         .orderBy("doc_id")
     )
 
@@ -163,8 +163,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     these columns (contract is capped at 50 rows).
 
     ``ulm_oov_total``/``ulm_mu_sum``/``ulm_id_wsum``: the unigram-LM
-    quality-scoring certificate (unigram_logprob_df) as a 1-row
-    broadcast cross join — total OOV tokens, the sum of every per-doc
+    quality-scoring certificate (unigram_logprob_df) as typed
+    literal columns — total OOV tokens, the sum of every per-doc
     ROUND(avg_logprob·10⁶) as an exact integer, and the doc_id-weighted
     version of that sum (binds WHICH doc carries WHICH score, not just
     the corpus total). Integer certificates, not float sums: summing
@@ -205,13 +205,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_grams > 0,
         F.round(F.lit(1.0) - n_distinct_g.cast("double") / n_grams, 6),
     ).otherwise(F.lit(0.0))
-    from guagua_spark.operators.certmemo import cached_cert_row
+    from guagua_spark.operators.certmemo import cached_cert_cols
 
     mu = F.round(F.col("avg_logprob") * 1e6)
     # memoized per documents fingerprint (certmemo): corpus-level
     # statistics are computed once per corpus version, not per query;
     # miss cost reports as _index:cert:unigram_lm in the bench cold lane
-    ucert = cached_cert_row(
+    ucert_cols = cached_cert_cols(
         spark,
         sf_dir,
         "unigram_lm",
@@ -237,8 +237,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(n_alpha.cast("double"), n_chars).alias("alpha_ratio"),
             n_grams.alias("n_grams"),
             rep.alias("rep_ratio"),
+            *ucert_cols,
         )
-        .crossJoin(F.broadcast(ucert))
         .orderBy("doc_id")
     )
 
