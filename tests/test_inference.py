@@ -115,3 +115,16 @@ def test_nn_scores_match_serial_numpy_replay(spark, oracle_sf_dir):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_auc_stable_across_repeated_runs(spark, oracle_sf_dir):
+    """Regression guard for the range-sampling nondeterminism fixed in
+    round 6 (unpinned dense ids produced duplicate ranks ~1 in 4
+    runs): four consecutive evaluations must return the identical
+    bit-exact AUC."""
+    from guagua_spark.operators.inference import infer_auc
+
+    vals = {
+        infer_auc(spark, oracle_sf_dir).first()["auc"] for _ in range(4)
+    }
+    assert len(vals) == 1, vals

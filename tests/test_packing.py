@@ -179,3 +179,22 @@ def test_deterministic_shuffle_is_seeded_permutation(spark, oracle_sf_dir):
     assert sorted(other.values()) == list(range(n))
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_corpus_shuffle_stable_across_repeated_runs(spark, oracle_sf_dir):
+    """Same regression guard as the AUC one: four drains of the
+    epoch-0 permutation must be identical (pinned dense ids)."""
+    from guagua_spark.operators.packing import LOCAL_QUERIES
+
+    runs = [
+        tuple(
+            sorted(
+                (r["pos"], r["doc_id"])
+                for r in LOCAL_QUERIES["corpus_shuffle"](
+                    spark, oracle_sf_dir
+                ).collect()
+            )
+        )
+        for _ in range(4)
+    ]
+    assert len(set(runs)) == 1
