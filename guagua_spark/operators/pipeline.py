@@ -492,16 +492,95 @@ LIMIT {WSAMPLE_K}
 """.strip()
 
 
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key: str = "doc_id",
+    payload: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: (key, status) for
+    every ADDED / REMOVED / CHANGED row — the dataset-version
+    comparison that drives incremental processing (re-embed only
+    changed docs, re-dedup only added ones, audit a crawl refresh).
+
+    100 TB plan: both sides project to (key, md5(payload)) BEFORE the
+    full outer join, so payloads never shuffle — 24 bytes per row move
+    however wide the documents are; unchanged rows (the overwhelming
+    majority between adjacent versions) are filtered immediately after
+    the join, map-side of anything downstream."""
+    oh = old_df.select(
+        F.col(key), F.md5(F.col(payload)).alias("__oh")
+    )
+    nh = new_df.select(
+        F.col(key), F.md5(F.col(payload)).alias("__nh")
+    )
+    j = oh.join(nh, key, "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.col(key), status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+#: deterministic synthetic version split for the query entry: "old" is
+#: doc_id % 3 != 0, "new" is doc_id % 3 != 1 with every %7==0 doc's
+#: text edited — yields all three statuses from the static fixture
+_DIFF_EDIT = "doc_id % 7 = 0"
+
+
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 1).withColumn(
+        "text",
+        F.when(
+            F.expr(_DIFF_EDIT), F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new).orderBy("doc_id")
+
+
+def _corpus_diff_oracle() -> str:
+    return f"""
+WITH o AS (
+  SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(CASE WHEN {_DIFF_EDIT} THEN text || ' v2' ELSE text END) AS nh
+  FROM documents WHERE doc_id % 3 <> 1
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.oh IS NULL THEN 'added'
+              WHEN n.nh IS NULL THEN 'removed'
+              WHEN o.oh <> n.nh THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
+""".strip()
+
+
 #: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
 #: driver contract
 LOCAL_QUERIES = {
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_weighted_sample": pipeline_weighted_sample,
+    "pipeline_corpus_diff": pipeline_corpus_diff,
 }
 
 LOCAL_ORACLE_SQL = {
     "pipeline_stratified_sample": _stratified_oracle(),
     "pipeline_source_mix": _source_mix_oracle(),
     "pipeline_weighted_sample": _weighted_sample_oracle(),
+    "pipeline_corpus_diff": _corpus_diff_oracle(),
 }

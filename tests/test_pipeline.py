@@ -51,6 +51,7 @@ def test_pipeline_actually_filters_and_dedups(spark, oracle_sf_dir, duck):
         "pipeline_stratified_sample",
         "pipeline_source_mix",
         "pipeline_weighted_sample",
+        "pipeline_corpus_diff",
     ],
 )
 def test_sampling_operators_match_oracle(spark, oracle_sf_dir, duck, name):
@@ -189,3 +190,28 @@ def test_weighted_sample_favors_heavy_rows_and_avoids_global_sort(
     assert sample_avg > corpus_avg
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corpus_diff_statuses_are_complete(spark, oracle_sf_dir):
+    """Every status appears on the synthetic split, counts reconcile
+    with the set algebra of the two versions, and unchanged rows never
+    surface."""
+    from guagua_spark.operators.pipeline import pipeline_corpus_diff
+    from guagua_spark.sources.tables import load_table
+
+    rows = pipeline_corpus_diff(spark, oracle_sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["status"], set()).add(r["doc_id"])
+    assert set(by) == {"added", "removed", "changed"}
+    ids = {
+        r["doc_id"]
+        for r in load_table(spark, oracle_sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    assert by["added"] == {i for i in ids if i % 3 == 0 and i % 3 != 1}
+    assert by["removed"] == {i for i in ids if i % 3 == 1}
+    assert by["changed"] == {
+        i for i in ids if i % 3 == 2 and i % 7 == 0
+    }
