@@ -139,18 +139,23 @@ def sql_chunk_certificate(text_col: str = "text") -> tuple[str, str]:
     return n, hash_sum
 
 
-def _chunks_oracle() -> str:
-    return f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+def _chunks_ctes(source: str = "documents") -> str:
+    """``t`` → ``c`` CTE block + shared final SELECT (below) replaying
+    chunk_docs over any (doc_id, text) source — the standalone oracle
+    uses ``documents``, the incremental-chunks oracle (pipeline.py)
+    splices a diff-derived ``todo`` relation."""
+    return f"""t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
 ),
 c AS (
   SELECT doc_id, toks,
          unnest(range(CAST(ceil(len(toks) / {float(CHUNK_TOKENS)!r})
                            AS BIGINT))) AS chunk_id
   FROM t
-)
-SELECT doc_id, chunk_id,
+)"""
+
+
+_CHUNKS_SELECT = f"""SELECT doc_id, chunk_id,
        CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 :
                 LEAST((chunk_id + 1) * {CHUNK_TOKENS}, len(toks))])
             AS INT) AS chunk_toks,
@@ -158,8 +163,11 @@ SELECT doc_id, chunk_id,
              toks[chunk_id * {CHUNK_TOKENS} + 1 :
                   LEAST((chunk_id + 1) * {CHUNK_TOKENS}, len(toks))],
              ' ')) AS chunk_md5
-FROM c ORDER BY doc_id, chunk_id
-""".strip()
+FROM c ORDER BY doc_id, chunk_id"""
+
+
+def _chunks_oracle(source: str = "documents") -> str:
+    return f"WITH {_chunks_ctes(source)}\n{_CHUNKS_SELECT}".strip()
 
 
 def pack_assignment(doc_id_col, raw_toks_col, n_buckets: int = PACK_BUCKETS):

@@ -569,6 +569,57 @@ SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
 """.strip()
 
 
+def pipeline_incremental_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-processing composition corpus_diff exists for:
+    re-chunk ONLY the added/changed documents of the new corpus
+    version — O(delta) work per refresh instead of re-chunking the
+    corpus (at 100 TB an adjacent-crawl delta is a small fraction; the
+    diff's 24 B/row join finds it without shuffling payloads, then the
+    chunker's map-side explode touches only the delta's text)."""
+    from guagua_spark.operators.packing import chunk_docs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 1).withColumn(
+        "text",
+        F.when(
+            F.expr(_DIFF_EDIT), F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    todo_keys = (
+        corpus_diff(old, new)
+        .filter(F.col("status") != "removed")
+        .select("doc_id")
+    )
+    todo = new.join(todo_keys, "doc_id", "left_semi")
+    return chunk_docs(todo, ordered=False).orderBy("doc_id", "chunk_id")
+
+
+def _incremental_chunks_oracle() -> str:
+    from guagua_spark.operators.packing import _CHUNKS_SELECT, _chunks_ctes
+
+    return f"""
+WITH nv AS (
+  SELECT doc_id,
+         CASE WHEN {_DIFF_EDIT} THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 3 <> 1
+),
+ov AS (
+  SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0
+),
+todo AS (
+  SELECT nv.doc_id, nv.text FROM nv LEFT JOIN ov USING (doc_id)
+  WHERE ov.oh IS NULL OR ov.oh <> md5(nv.text)
+),
+{_chunks_ctes("todo")}
+{_CHUNKS_SELECT}
+""".strip()
+
+
 #: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
 #: driver contract
 LOCAL_QUERIES = {
@@ -576,6 +627,7 @@ LOCAL_QUERIES = {
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_weighted_sample": pipeline_weighted_sample,
     "pipeline_corpus_diff": pipeline_corpus_diff,
+    "pipeline_incremental_chunks": pipeline_incremental_chunks,
 }
 
 LOCAL_ORACLE_SQL = {
@@ -583,4 +635,5 @@ LOCAL_ORACLE_SQL = {
     "pipeline_source_mix": _source_mix_oracle(),
     "pipeline_weighted_sample": _weighted_sample_oracle(),
     "pipeline_corpus_diff": _corpus_diff_oracle(),
+    "pipeline_incremental_chunks": _incremental_chunks_oracle(),
 }

@@ -52,6 +52,7 @@ def test_pipeline_actually_filters_and_dedups(spark, oracle_sf_dir, duck):
         "pipeline_source_mix",
         "pipeline_weighted_sample",
         "pipeline_corpus_diff",
+        "pipeline_incremental_chunks",
     ],
 )
 def test_sampling_operators_match_oracle(spark, oracle_sf_dir, duck, name):
@@ -215,3 +216,23 @@ def test_corpus_diff_statuses_are_complete(spark, oracle_sf_dir):
     assert by["changed"] == {
         i for i in ids if i % 3 == 2 and i % 7 == 0
     }
+
+
+def test_incremental_chunks_touch_only_the_delta(spark, oracle_sf_dir):
+    """Re-chunked doc set == added ∪ changed from the diff, nothing
+    else — the O(delta) claim as an exact set equation."""
+    from guagua_spark.operators.pipeline import (
+        pipeline_corpus_diff,
+        pipeline_incremental_chunks,
+    )
+
+    chunked = {
+        r["doc_id"]
+        for r in pipeline_incremental_chunks(spark, oracle_sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in pipeline_corpus_diff(spark, oracle_sf_dir).collect()
+        if r["status"] != "removed"
+    }
+    assert chunked == want
