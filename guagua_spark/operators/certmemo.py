@@ -101,12 +101,22 @@ def cached_cert_cols(
     ``df.select("*", *cols)`` instead of a crossJoin(broadcast(...)).
     Identical values and column names, leaner plan: no BroadcastExchange
     / BroadcastNestedLoopJoin node per host query, the certificate
-    constant-folds into whatever stage produces the host row."""
+    constant-folds into whatever stage produces the host row. Warm
+    calls submit NO Spark job: the literals come straight from the
+    memoized tuple and the parsed schema (the 1-row DataFrame detour
+    would run a collect per host-query construction)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
 
-    df = cached_cert_row(spark, sf_dir, name, tables, schema, build)
-    row = df.first()
+    # populate/refresh the memo (runs build() only on a miss), then
+    # read the scalars back out of the cache — no DataFrame action
+    cached_cert_df(spark, sf_dir, name, tables, schema, build, max_rows=1)
+    (vals,) = next(
+        v for k, v in _CERT_CACHE.items() if k[0] == name
+    )
+    parsed = _parse_datatype_string(schema)
+    assert isinstance(parsed, StructType)
     return [
-        F.lit(row[f.name]).cast(f.dataType).alias(f.name)
-        for f in df.schema.fields
+        F.lit(v).cast(f.dataType).alias(f.name)
+        for f, v in zip(parsed.fields, vals)
     ]

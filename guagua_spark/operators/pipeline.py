@@ -507,18 +507,30 @@ def corpus_diff(
     full outer join, so payloads never shuffle — 24 bytes per row move
     however wide the documents are; unchanged rows (the overwhelming
     majority between adjacent versions) are filtered immediately after
-    the join, map-side of anything downstream."""
+    the join, map-side of anything downstream.
+
+    NULL payloads are legal: presence is carried by explicit marker
+    columns and the hash comparison is null-safe, so a row whose
+    payload is NULL in both versions is unchanged, NULL→value and
+    value→NULL are changed — md5(NULL)=NULL must never masquerade as
+    row absence."""
     oh = old_df.select(
-        F.col(key), F.md5(F.col(payload)).alias("__oh")
+        F.col(key),
+        F.md5(F.col(payload)).alias("__oh"),
+        F.lit(True).alias("__in_old"),
     )
     nh = new_df.select(
-        F.col(key), F.md5(F.col(payload)).alias("__nh")
+        F.col(key),
+        F.md5(F.col(payload)).alias("__nh"),
+        F.lit(True).alias("__in_new"),
     )
     j = oh.join(nh, key, "full_outer")
     status = (
-        F.when(F.col("__oh").isNull(), F.lit("added"))
-        .when(F.col("__nh").isNull(), F.lit("removed"))
-        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__oh").eqNullSafe(F.col("__nh")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -533,10 +545,10 @@ def corpus_diff(
 _DIFF_EDIT = "doc_id % 7 = 0"
 
 
-def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
+def _synthetic_versions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ONE definition of the fixture's (old, new) version split —
+    shared by pipeline_corpus_diff and pipeline_incremental_chunks so
+    their cross-query delta invariant can't silently drift."""
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 != 1).withColumn(
         "text",
@@ -544,6 +556,14 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DIFF_EDIT), F.concat(F.col("text"), F.lit(" v2"))
         ).otherwise(F.col("text")),
     )
+    return old, new
+
+
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    old, new = _synthetic_versions(docs)
     return corpus_diff(old, new).orderBy("doc_id")
 
 
@@ -558,10 +578,12 @@ n AS (
   FROM documents WHERE doc_id % 3 <> 1
 ),
 j AS (
+  -- presence from KEY nullness (keys are non-null in the corpus) and
+  -- a null-safe hash compare, matching corpus_diff's marker semantics
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-         CASE WHEN o.oh IS NULL THEN 'added'
-              WHEN n.nh IS NULL THEN 'removed'
-              WHEN o.oh <> n.nh THEN 'changed'
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.oh IS DISTINCT FROM n.nh THEN 'changed'
               ELSE 'unchanged' END AS status
   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 )
@@ -583,13 +605,7 @@ def pipeline_incremental_chunks(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    old = docs.filter(F.col("doc_id") % 3 != 0)
-    new = docs.filter(F.col("doc_id") % 3 != 1).withColumn(
-        "text",
-        F.when(
-            F.expr(_DIFF_EDIT), F.concat(F.col("text"), F.lit(" v2"))
-        ).otherwise(F.col("text")),
-    )
+    old, new = _synthetic_versions(docs)
     todo_keys = (
         corpus_diff(old, new)
         .filter(F.col("status") != "removed")
@@ -612,8 +628,9 @@ ov AS (
   SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0
 ),
 todo AS (
+  -- added (no old row) or changed (null-safe hash mismatch)
   SELECT nv.doc_id, nv.text FROM nv LEFT JOIN ov USING (doc_id)
-  WHERE ov.oh IS NULL OR ov.oh <> md5(nv.text)
+  WHERE ov.doc_id IS NULL OR ov.oh IS DISTINCT FROM md5(nv.text)
 ),
 {_chunks_ctes("todo")}
 {_CHUNKS_SELECT}

@@ -211,7 +211,7 @@ def test_corpus_diff_statuses_are_complete(spark, oracle_sf_dir):
         .select("doc_id")
         .collect()
     }
-    assert by["added"] == {i for i in ids if i % 3 == 0 and i % 3 != 1}
+    assert by["added"] == {i for i in ids if i % 3 == 0}
     assert by["removed"] == {i for i in ids if i % 3 == 1}
     assert by["changed"] == {
         i for i in ids if i % 3 == 2 and i % 7 == 0
@@ -236,3 +236,23 @@ def test_incremental_chunks_touch_only_the_delta(spark, oracle_sf_dir):
         if r["status"] != "removed"
     }
     assert chunked == want
+
+
+def test_corpus_diff_null_payloads(spark):
+    """NULL payloads are values, not absences: NULL→NULL is unchanged,
+    NULL→'x' and 'x'→NULL are changed, true adds/removes still work."""
+    from guagua_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "keep")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (5, "new")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
