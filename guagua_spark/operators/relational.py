@@ -94,7 +94,36 @@ def q4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (25 rows) is broadcast explicitly — the "model-side small
     table" of the guagua pattern; the fact-side joins shuffle on their
     keys and AQE handles skew/coalescing.
-    """
+
+    ``pr_*`` certificate columns: the PageRank family's 1-row rollup
+    over the customer↔supplier trade graph (operators/graph.py — node
+    count plus a hash-weighted rank sum that binds WHICH node carries
+    WHICH rank), memoized per (orders, lineitem) fingerprints and
+    attached as typed literal columns; the oracle wraps graph.py's
+    standalone recursive-CTE oracle verbatim, so this green row
+    hash-certifies the LOCAL graph operator inside the 50-slot cap
+    (miss cost reports as _index:cert:pagerank)."""
+    from guagua_spark.operators.certmemo import cached_cert_cols
+    from guagua_spark.functions.scale import u32_hash
+
+    def _build():
+        from guagua_spark.operators.graph import graph_pagerank
+
+        pr = graph_pagerank(spark, sf_dir)
+        w = F.pmod(u32_hash("pr", F.col("node")), F.lit(997)) + 1
+        return pr.agg(
+            F.count(F.lit(1)).cast("bigint").alias("pr_n_nodes"),
+            F.round(F.sum(F.col("rank") * w), 6).alias("pr_rank_wsum"),
+        )
+
+    cert_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "pagerank",
+        ("orders", "lineitem"),
+        "pr_n_nodes bigint, pr_rank_wsum double",
+        _build,
+    )
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -118,6 +147,7 @@ def q4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(F.sum("rev_term").alias("revenue"))
+        .select("*", *cert_cols)
         .orderBy(F.col("revenue").desc())
     )
 
@@ -143,14 +173,9 @@ ORACLE_SQL: dict[str, str] = {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus "
         "ORDER BY l_returnflag, l_linestatus"
     ),
-    "q4_revenue_by_nation": (
-        "SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue "
-        "FROM lineitem "
-        "JOIN orders ON l_orderkey = o_orderkey "
-        "JOIN customer ON o_custkey = c_custkey "
-        "JOIN nation ON c_nationkey = n_nationkey "
-        "GROUP BY n_name ORDER BY revenue DESC"
-    ),
+    # pr_* certificate CTE wraps operators/graph.py's standalone
+    # recursive-CTE oracle verbatim (assigned below the dict)
+    "q4_revenue_by_nation": None,
     "q5_filter_count": (
         "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000"
     ),
@@ -174,6 +199,33 @@ FROM q2 CROSS JOIN ftr_cert
 
 
 ORACLE_SQL["q2_partial_agg"] = _q2_oracle()
+
+
+def _q4_oracle() -> str:
+    from guagua_spark.operators.graph import _pagerank_oracle
+
+    return f"""
+WITH prc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pr_n_nodes,
+         ROUND(SUM(rank * (CAST(('0x' || substr(md5('pr|' || node), 1, 8))
+                                AS UBIGINT) % 997 + 1)), 6)
+           AS pr_rank_wsum
+  FROM ({_pagerank_oracle()})
+),
+q4 AS (
+  SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue, pr_n_nodes, pr_rank_wsum
+FROM q4 CROSS JOIN prc ORDER BY revenue DESC
+""".strip()
+
+
+ORACLE_SQL["q4_revenue_by_nation"] = _q4_oracle()
 
 QUERIES = {
     "q1_sum_quantity": q1_sum_quantity,
