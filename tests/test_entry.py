@@ -22,7 +22,12 @@ def test_entry_runs(spark, entry_mod):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.schema.fieldNames() == ["n_name", "revenue"]
+    assert df.schema.fieldNames() == [
+        "n_name",
+        "revenue",
+        "pr_n_nodes",  # PageRank certificate rides the flagship row
+        "pr_rank_wsum",
+    ]
 
 
 def test_oracle_keys_subset_of_queries(entry_mod):
