@@ -855,5 +855,67 @@ SELECT * FROM balcells ORDER BY cell
 ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
 
 #: oracle-tested locally, not in the 50-slot driver contract
-LOCAL_QUERIES = {"embedding_balanced_sample": embedding_balanced_sample}
-LOCAL_ORACLE_SQL = {"embedding_balanced_sample": _balanced_sample_oracle()}
+def embedding_quantize_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector int8 quantization audit: min/max (the per-vector
+    affine code book), the quantized-code checksum, and the worst
+    reconstruction error — the storage-compression move a 100 TB
+    embedding corpus needs (float32→uint8 is 4x smaller; IVF/LSH
+    recall is tolerant of the ≤scale/2 rounding this certifies).
+    Entirely JVM-side: array_min/max + a transform/aggregate fold per
+    row, no shuffle beyond the presentation sort. Constant vectors
+    (mx = mn) take scale 1 so every code is 0 and reconstruction is
+    exact."""
+    e = F.col("embedding").cast("array<double>")
+    mn, mx = F.array_min(e), F.array_max(e)
+    sc = F.when(mx != mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    q = F.transform(e, lambda x: F.round((x - mn) / sc))
+    recon_err = F.transform(
+        e, lambda x: F.abs(x - (mn + F.round((x - mn) / sc) * sc))
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            mn.alias("mn"),
+            mx.alias("mx"),
+            F.aggregate(
+                q, F.lit(0.0), lambda acc, v: acc + v
+            )
+            .cast("bigint")
+            .alias("qsum"),
+            F.array_max(recon_err).alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _quantize_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         CASE WHEN list_max(v) <> list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS sc
+  FROM e
+)
+SELECT vec_id, mn, mx,
+       CAST(list_sum(list_transform(v, x -> round((x - mn)/sc)))
+            AS BIGINT) AS qsum,
+       list_max(list_transform(
+         v, x -> abs(x - (mn + round((x - mn)/sc) * sc)))) AS max_err
+FROM p ORDER BY vec_id
+""".strip()
+
+
+LOCAL_QUERIES = {
+    "embedding_balanced_sample": embedding_balanced_sample,
+    "embedding_quantize_stats": embedding_quantize_stats,
+}
+LOCAL_ORACLE_SQL = {
+    "embedding_balanced_sample": _balanced_sample_oracle(),
+    "embedding_quantize_stats": _quantize_oracle(),
+}

@@ -112,3 +112,24 @@ def test_balanced_sample_caps_cells(spark, oracle_sf_dir):
         else:
             sigma = math.sqrt(BALANCE_BUDGET)
             assert r.n_kept <= BALANCE_BUDGET + 4 * sigma + 1
+
+
+def test_quantize_stats_match_oracle_and_error_bound(
+    spark, oracle_sf_dir, duck
+):
+    """int8 quantization audit vs DuckDB, plus the theoretical
+    guarantee: worst reconstruction error ≤ scale/2 (+ float noise)."""
+    from guagua_spark.operators.similarity import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    df = LOCAL_QUERIES["embedding_quantize_stats"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["embedding_quantize_stats"]
+    )
+    for r in df.collect():
+        scale = (r["mx"] - r["mn"]) / 255.0 if r["mx"] != r["mn"] else 1.0
+        assert r["max_err"] <= scale / 2 * (1 + 1e-9) + 1e-15, r
