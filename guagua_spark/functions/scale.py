@@ -70,6 +70,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    pin: bool = False,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -77,10 +78,24 @@ def salted_agg(
     {sum, count, min, max}. Equivalent to
     ``df.groupBy(keys).agg(...)`` for any data, but a key holding 50%
     of all rows is processed by ``n_salts`` tasks instead of one.
+
+    ORDER-STABILITY CONTRACT: the salt is derived from the
+    per-partition record index (see below), which is only stable under
+    task retry when the input plan recomputes each partition with the
+    same row ORDER — true for scan-rooted deterministic plans (parquet
+    scans, map-side chains), NOT guaranteed for a post-SHUFFLE input,
+    where a fetch-failure recompute can reassemble a partition in a
+    different arrival order (the same hazard class as rand(), just a
+    narrower window). For shuffle-rooted inputs pass ``pin=True``: the
+    input is localCheckpoint'd first, so the partial and any replayed
+    aggregation read one materialized layout — the assign_dense_ids
+    escape hatch applied here.
     """
     for out, (_, fn) in aggs.items():
         if fn not in _PARTIAL:
             raise ValueError(f"{out}: non-decomposable aggregate {fn!r}")
+    if pin:
+        df = df.localCheckpoint(eager=True)
     # monotonically_increasing_id salt (not rand(): SPARK-23207-class
     # task retries replay a different rand() stream and can lose or
     # duplicate rows through shuffle recovery; not a row-content hash:
@@ -91,9 +106,11 @@ def salted_agg(
     # sorted/bucketed-by-key input, or one big gzip scanning as a
     # single split — silently degrades to a plain groupBy).
     # mono-id = (partition_id << 33) + per-partition record index;
-    # both components are deterministic under task retry (the same
-    # partition recomputes the same record order — the invariant
-    # assign_dense_ids also relies on), and the record index varies
+    # both components are deterministic under task retry WHEN the
+    # input recomputes each partition in the same record order (the
+    # invariant assign_dense_ids also relies on; see the
+    # order-stability contract in the docstring — pin=True for
+    # shuffle-rooted inputs), and the record index varies
     # per ROW, so even a hot key confined to ONE partition of
     # identical rows fans out across all n_salts reducers. Correctness
     # is salt-independent for every decomposable aggregate offered

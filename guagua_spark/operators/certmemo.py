@@ -33,7 +33,7 @@ def clear_caches() -> None:
     _CERT_CACHE.clear()
 
 
-def cached_cert_df(
+def _cert_vals(
     spark: SparkSession,
     sf_dir: str,
     name: str,
@@ -41,13 +41,11 @@ def cached_cert_df(
     schema: str,
     build,
     max_rows: int = 1024,
-) -> DataFrame:
-    """Memoized BOUNDED-DOMAIN certificate: ``build()`` must return a
-    DataFrame matching ``schema`` whose cardinality is bounded by a
-    data-independent domain (an enum of statuses/priorities, never a
-    data-proportional key set — ``max_rows`` is the tripwire, not a
-    truncation). Collected rows are replayed as a literal relation
-    until any of ``tables``' fingerprints change."""
+) -> tuple:
+    """The memoized row tuples behind every cached_cert_* entry point —
+    single lookup by the FULL (name, sf_dir, fingerprints) key, so a
+    caller can never be handed another dataset's certificate (the
+    name-only rescan the round-6 advice flagged is gone)."""
     from guagua_spark.metrics import record_index_build
     from guagua_spark.sources.tables import table_fingerprint
 
@@ -70,6 +68,27 @@ def cached_cert_df(
         for k in [k for k in _CERT_CACHE if k[0] == name]:
             del _CERT_CACHE[k]  # one live entry per certificate
         _CERT_CACHE[key] = vals
+    return vals
+
+
+def cached_cert_df(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: tuple[str, ...],
+    schema: str,
+    build,
+    max_rows: int = 1024,
+) -> DataFrame:
+    """Memoized BOUNDED-DOMAIN certificate: ``build()`` must return a
+    DataFrame matching ``schema`` whose cardinality is bounded by a
+    data-independent domain (an enum of statuses/priorities, never a
+    data-proportional key set — ``max_rows`` is the tripwire, not a
+    truncation). Collected rows are replayed as a literal relation
+    until any of ``tables``' fingerprints change."""
+    vals = _cert_vals(
+        spark, sf_dir, name, tables, schema, build, max_rows
+    )
     return spark.createDataFrame(list(vals), schema)
 
 
@@ -108,11 +127,10 @@ def cached_cert_cols(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType, _parse_datatype_string
 
-    # populate/refresh the memo (runs build() only on a miss), then
-    # read the scalars back out of the cache — no DataFrame action
-    cached_cert_df(spark, sf_dir, name, tables, schema, build, max_rows=1)
-    (vals,) = next(
-        v for k, v in _CERT_CACHE.items() if k[0] == name
+    # full-key memo lookup (runs build() only on a miss) — no
+    # DataFrame action on warm calls, the literals come from the tuple
+    (vals,) = _cert_vals(
+        spark, sf_dir, name, tables, schema, build, max_rows=1
     )
     parsed = _parse_datatype_string(schema)
     assert isinstance(parsed, StructType)

@@ -126,11 +126,14 @@ def save_lr_model(spark: SparkSession, name: str, sf_dir: str) -> None:
     stored-MODEL analogue of save_lsh_index/save_ivf_index: a new
     session (or another team's scoring job) loads three rows instead of
     re-running 5 training iterations over the corpus. Schema (idx,
-    weight) with idx 0 = bias, matching model.weights order."""
+    weight) with idx 0 = bias, matching model.weights order.
+    Overwrites any previous model of the same name (retrain-and-replace
+    — the same overwrite-as-reindex semantics as save_lsh_index /
+    save_ivf_index)."""
     w = trained_lr_weights(spark, sf_dir)
     spark.createDataFrame(
         list(enumerate(w)), "idx int, weight double"
-    ).write.saveAsTable(name)
+    ).write.mode("overwrite").saveAsTable(name)
 
 
 def load_lr_model(
