@@ -44,7 +44,15 @@ def persisted_index(
     """Return the cached persisted DataFrame for ``sf_dir`` when its
     fingerprint matches; otherwise evict everything, build + persist +
     materialize, record the build under ``_index:<index_name>``, and
-    cache the result."""
+    cache the result.
+
+    Cross-session tier (round 7): a process-cache miss consults the
+    durable parquet store first — a fresh session on an unchanged
+    corpus pays one parquet scan (recorded ``_index:<name>:load``)
+    instead of the index build's full job graph; full builds
+    write through (recorded ``_index:<name>:save``) so the NEXT
+    session skips them. See guagua_spark.durable for the
+    fingerprint-keyed invalidation contract."""
     from pyspark.storagelevel import StorageLevel
 
     from guagua_spark.metrics import record_index_build
@@ -53,9 +61,30 @@ def persisted_index(
     if hit is not None and hit[0] == fingerprint:
         return hit[1]
     unpersist_all(cache)
+    from pyspark.sql import SparkSession
+
+    from guagua_spark import durable
+
+    spark = SparkSession.getActiveSession()
+    dkey = (index_name, sf_dir, fingerprint)
     t0 = time.monotonic()
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    record_index_build(index_name, time.monotonic() - t0)
+    stored = (
+        durable.load_frame(spark, index_name, dkey) if spark else None
+    )
+    if stored is not None:
+        df = stored.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        record_index_build(
+            f"{index_name}:load", time.monotonic() - t0
+        )
+    else:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        record_index_build(index_name, time.monotonic() - t0)
+        t1 = time.monotonic()
+        if spark and durable.store_frame(spark, index_name, dkey, df):
+            record_index_build(
+                f"{index_name}:save", time.monotonic() - t1
+            )
     cache[sf_dir] = (fingerprint, df)
     return df

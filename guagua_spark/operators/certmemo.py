@@ -45,7 +45,16 @@ def _cert_vals(
     """The memoized row tuples behind every cached_cert_* entry point —
     single lookup by the FULL (name, sf_dir, fingerprints) key, so a
     caller can never be handed another dataset's certificate (the
-    name-only rescan the round-6 advice flagged is gone)."""
+    name-only rescan the round-6 advice flagged is gone).
+
+    Cross-session tier: misses consult the durable store first (key
+    additionally embeds the SCHEMA, so a widened certificate misses
+    cleanly) — a fresh session on an unchanged corpus replays the
+    scalars with zero Spark jobs instead of re-running the build
+    (guagua_spark.durable; invalidation contract documented there).
+    Durable hits self-report as ``_index:certload:<name>`` so the
+    bench cold lane stays honestly attributed."""
+    from guagua_spark import durable
     from guagua_spark.metrics import record_index_build
     from guagua_spark.sources.tables import table_fingerprint
 
@@ -57,14 +66,24 @@ def _cert_vals(
     vals = _CERT_CACHE.get(key)
     if vals is None:
         t0 = time.monotonic()
-        rows = build().collect()
-        if not (1 <= len(rows) <= max_rows):
-            raise ValueError(
-                f"certificate {name!r} must yield 1..{max_rows} rows "
-                f"(bounded domain), got {len(rows)}"
+        stored = durable.load_json(spark, f"cert:{name}", key + (schema,))
+        if stored is not None:
+            vals = tuple(tuple(r) for r in stored)
+            record_index_build(
+                f"certload:{name}", time.monotonic() - t0
             )
-        vals = tuple(tuple(r) for r in rows)
-        record_index_build(f"cert:{name}", time.monotonic() - t0)
+        else:
+            rows = build().collect()
+            if not (1 <= len(rows) <= max_rows):
+                raise ValueError(
+                    f"certificate {name!r} must yield 1..{max_rows} rows "
+                    f"(bounded domain), got {len(rows)}"
+                )
+            vals = tuple(tuple(r) for r in rows)
+            record_index_build(f"cert:{name}", time.monotonic() - t0)
+            durable.store_json(
+                spark, f"cert:{name}", key + (schema,), [list(r) for r in vals]
+            )
         for k in [k for k in _CERT_CACHE if k[0] == name]:
             del _CERT_CACHE[k]  # one live entry per certificate
         _CERT_CACHE[key] = vals

@@ -101,13 +101,25 @@ def trained_lr_weights(
     hit = _MODEL_CACHE.get(sf_dir)
     if hit is not None and hit[0] == fp:
         return hit[1]
+    from guagua_spark import durable
+
+    t0 = time.monotonic()
+    stored = durable.load_json(
+        spark, "model:lr_weights", (sf_dir, fp)
+    )
+    if stored is not None:
+        weights = tuple(stored)
+        record_index_build(
+            "model:lr_weights:load", time.monotonic() - t0
+        )
+        _MODEL_CACHE[sf_dir] = (fp, weights)
+        return weights
     from guagua_spark.algorithms.gradient import (
         GradientDescentMaster,
         LogisticGradientWorker,
     )
     from guagua_spark.engine import IterativeEngine
 
-    t0 = time.monotonic()
     model = IterativeEngine(spark).run(
         GradientDescentMaster(dim=2, learning_rate=0.5),
         LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
@@ -117,6 +129,9 @@ def trained_lr_weights(
     )
     weights = tuple(round(float(x), 6) for x in model.weights)
     record_index_build("model:lr_weights", time.monotonic() - t0)
+    durable.store_json(
+        spark, "model:lr_weights", (sf_dir, fp), list(weights)
+    )
     _MODEL_CACHE[sf_dir] = (fp, weights)
     return weights
 
@@ -329,6 +344,20 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
     hit = _MODEL_CACHE.get(("nn", sf_dir))
     if hit is not None and hit[0] == fp:
         return hit[1]
+    from guagua_spark import durable
+
+    t0 = time.monotonic()
+    stored = durable.load_json(spark, "model:nn_weights", (sf_dir, fp))
+    if stored is not None:
+        weights = [
+            (durable.np_from_jsonable(w), durable.np_from_jsonable(b))
+            for w, b in stored
+        ]
+        record_index_build(
+            "model:nn_weights:load", time.monotonic() - t0
+        )
+        _MODEL_CACHE[("nn", sf_dir)] = (fp, weights)
+        return weights
     from guagua_spark.algorithms.nn import NNMaster, NNWorker
     from guagua_spark.engine import IterativeEngine
     from guagua_spark.operators.iterative import (
@@ -339,7 +368,6 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
         _nn_partitions,
     )
 
-    t0 = time.monotonic()
     li = _cached_persisted(
         "nn",
         sf_dir,
@@ -355,6 +383,15 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
         persist=False,
     )
     record_index_build("model:nn_weights", time.monotonic() - t0)
+    durable.store_json(
+        spark,
+        "model:nn_weights",
+        (sf_dir, fp),
+        [
+            [durable.np_to_jsonable(w), durable.np_to_jsonable(b)]
+            for w, b in model.weights
+        ],
+    )
     _MODEL_CACHE[("nn", sf_dir)] = (fp, model.weights)
     return model.weights
 

@@ -310,21 +310,32 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
         return cached
     import time
 
+    from guagua_spark import durable
     from guagua_spark.metrics import record_index_build
 
     t0 = time.monotonic()
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
-    m = max(1, n // KMEANS_K)
-    cands_rows = (
-        emb.filter(F.col("vec_id") % m == 0).orderBy("vec_id").collect()
-    )
-    cands = np.array(
-        [[float(v) for v in r["embedding"]] for r in cands_rows],
-        dtype=np.float64,
-    )
-    init = select_centroids_by_norm(cands, KMEANS_K)
-    record_index_build("kmeans_init", time.monotonic() - t0)
+    stored = durable.load_json(spark, "model:kmeans_init", memo_key)
+    if stored is not None:
+        init = durable.np_from_jsonable(stored)
+        record_index_build("kmeans_init:load", time.monotonic() - t0)
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        m = max(1, n // KMEANS_K)
+        cands_rows = (
+            emb.filter(F.col("vec_id") % m == 0).orderBy("vec_id").collect()
+        )
+        cands = np.array(
+            [[float(v) for v in r["embedding"]] for r in cands_rows],
+            dtype=np.float64,
+        )
+        init = select_centroids_by_norm(cands, KMEANS_K)
+        record_index_build("kmeans_init", time.monotonic() - t0)
+        durable.store_json(
+            spark, "model:kmeans_init", memo_key, durable.np_to_jsonable(init)
+        )
     _KMEANS_INIT_CACHE.clear()  # at most one live init per session
     _KMEANS_INIT_CACHE[memo_key] = init
     return init

@@ -457,23 +457,37 @@ def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     if centroids is None:
         import time
 
+        from guagua_spark import durable
         from guagua_spark.metrics import record_index_build
 
         t0 = time.monotonic()
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        sample = np.array(
-            [
-                r.embedding
-                for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
-                .orderBy("vec_id")
-                .collect()
-            ],
-            dtype=np.float64,
-        )
-        centroids = _sample_kmeans(sample, IVF_CELLS)
-        record_index_build("ivf_quantizer", time.monotonic() - t0)
+        stored = durable.load_json(spark, "model:ivf_quantizer", memo_key)
+        if stored is not None:
+            centroids = durable.np_from_jsonable(stored)
+            record_index_build(
+                "ivf_quantizer:load", time.monotonic() - t0
+            )
+        else:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            sample = np.array(
+                [
+                    r.embedding
+                    for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
+                    .orderBy("vec_id")
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            centroids = _sample_kmeans(sample, IVF_CELLS)
+            record_index_build("ivf_quantizer", time.monotonic() - t0)
+            durable.store_json(
+                spark,
+                "model:ivf_quantizer",
+                memo_key,
+                durable.np_to_jsonable(centroids),
+            )
         _IVF_CENTROID_CACHE.clear()  # at most one live quantizer
         _IVF_CENTROID_CACHE[memo_key] = centroids
     return centroids

@@ -44,11 +44,24 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    persistent_catalog: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     when no cluster master is configured — mirroring the driver harness.
+
+    ``persistent_catalog=True`` switches the catalog to Hive with a
+    Derby metastore stored UNDER the warehouse directory, so tables
+    written by ``saveAsTable`` (the stored LSH/IVF indexes, models,
+    rollups) survive session restarts — the local-mode stand-in for the
+    real metastore/Glue/Unity catalog a cluster deployment has anyway.
+    The default stays the in-memory catalog: Derby allows ONE process
+    at a time (a lock collision with a concurrently running test suite
+    or bench would be a confusing failure mode for the common path),
+    and the cross-session DERIVED-state tier (guagua_spark.durable)
+    needs no catalog at all. Round-trip across a real session boundary
+    is proven in tests/test_durable.py.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # Driver heap must be fixed BEFORE the gateway JVM forks —
@@ -81,6 +94,14 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    if persistent_catalog:
+        wh = (extra_conf or {}).get(
+            "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
+        )
+        conf["spark.sql.catalogImplementation"] = "hive"
+        conf["spark.hadoop.javax.jdo.option.ConnectionURL"] = (
+            f"jdbc:derby:;databaseName={wh}/_metastore_db;create=true"
+        )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:

@@ -13,7 +13,14 @@ SF_ORACLE = os.environ.get("GUAGUA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # Hermetic durable tier: a fresh per-run store so the oracle sweep
+    # always re-derives certificates/indexes from the raw tables — a
+    # stale entry in the shared repo store can never mask a test
+    # (guagua_spark.durable invalidation contract).
+    os.environ["GUAGUA_CACHE_DIR"] = str(
+        tmp_path_factory.mktemp("guagua_durable")
+    )
     # Make test modules importable inside forked Python workers (classes
     # defined in tests pickle by reference).
     tests_dir = os.path.dirname(os.path.abspath(__file__))
