@@ -155,14 +155,19 @@ c AS (
 )"""
 
 
-_CHUNKS_SELECT = f"""SELECT doc_id, chunk_id,
+#: per-chunk row expressions over the ``c`` relation — shared by the
+#: ordered standalone select and the rch_* certificate rollup
+#: (pipeline._diff_cert_ctes), so the two can't drift
+_CHUNKS_ROW_EXPRS = f"""doc_id, chunk_id,
        CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 :
                 LEAST((chunk_id + 1) * {CHUNK_TOKENS}, len(toks))])
             AS INT) AS chunk_toks,
        md5(array_to_string(
              toks[chunk_id * {CHUNK_TOKENS} + 1 :
                   LEAST((chunk_id + 1) * {CHUNK_TOKENS}, len(toks))],
-             ' ')) AS chunk_md5
+             ' ')) AS chunk_md5"""
+
+_CHUNKS_SELECT = f"""SELECT {_CHUNKS_ROW_EXPRS}
 FROM c ORDER BY doc_id, chunk_id"""
 
 

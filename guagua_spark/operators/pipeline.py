@@ -227,6 +227,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("rate")
     )
+    # dif_*/rch_* (round 7): snapshot-diff + incremental-re-chunk
+    # certificate (diff_rechunk_cert_df), memoized per documents
+    # fingerprint — driver-certifies pipeline_corpus_diff and
+    # pipeline_incremental_chunks inside this same green row
+    dif_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "corpus_diff",
+        ("documents",),
+        "dif_added bigint, dif_removed bigint, dif_changed bigint, "
+        "dif_id_wsum bigint, rch_chunks bigint, rch_tok_sum bigint, "
+        "rch_checksum bigint",
+        lambda: diff_rechunk_cert_df(spark, sf_dir),
+    )
     strat = stratified_keep()
     mix = _u32("mix", F.col("doc_id").cast("string")) < (
         F.col("rate") * float(2**32)
@@ -247,7 +261,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_chars"
             ),
         )
-        .select("*", *tcert_cols)
+        .select("*", *tcert_cols, *dif_cols)
         .orderBy("lang", "source")
     )
 
@@ -312,8 +326,9 @@ tcert AS (
          CAST(SUM((bucket * 1000000 + seq_id + 1) * id_sum) AS BIGINT)
            AS ts_checksum
   FROM seqs
-)
-SELECT lang, c.source, COUNT(*) AS n_docs,
+),
+{_diff_cert_ctes()}
+SELECT lang, cl.source, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(CASE WHEN {strat_keep} THEN 1 ELSE 0 END) AS BIGINT)
@@ -324,16 +339,22 @@ SELECT lang, c.source, COUNT(*) AS n_docs,
          AS mix_docs,
        CAST(SUM(CASE WHEN {mix_keep} THEN n_chars ELSE 0 END) AS BIGINT)
          AS mix_chars,
-       ts_n_seqs, ts_tokens, ts_checksum
-FROM clean c JOIN rates r ON c.source = r.source, tcert
-GROUP BY lang, c.source, ts_n_seqs, ts_tokens, ts_checksum
-ORDER BY lang, c.source
+       ts_n_seqs, ts_tokens, ts_checksum,
+       dif_added, dif_removed, dif_changed, dif_id_wsum,
+       rch_chunks, rch_tok_sum, rch_checksum
+FROM clean cl JOIN rates r ON cl.source = r.source, tcert, dcert, rcert
+GROUP BY lang, cl.source, ts_n_seqs, ts_tokens, ts_checksum,
+         dif_added, dif_removed, dif_changed, dif_id_wsum,
+         rch_chunks, rch_tok_sum, rch_checksum
+ORDER BY lang, cl.source
 """.strip()
 
 
 QUERIES = {"pipeline_clean_corpus": pipeline_clean_corpus}
 
-ORACLE_SQL = {"pipeline_clean_corpus": _pipeline_oracle()}
+# filled at the bottom of the module: the oracle splices the
+# dif_*/rch_* certificate CTEs, defined down there
+ORACLE_SQL: dict[str, str] = {}
 
 
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,39 +588,49 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new).orderBy("doc_id")
 
 
-def _corpus_diff_oracle() -> str:
-    return f"""
-WITH o AS (
+def _diff_ctes() -> str:
+    """``dv_o``/``dv_n``/``dstat``/``dtodo`` CTE block replaying
+    _synthetic_versions + corpus_diff (presence from KEY nullness —
+    keys are non-null in the corpus — and a null-safe hash compare,
+    matching corpus_diff's marker semantics) — shared by both
+    standalone oracles and the dif_*/rch_* certificate splice inside
+    pipeline_clean_corpus, so the three can't drift."""
+    return f"""dv_o AS (
   SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0
 ),
-n AS (
+dv_n AS (
   SELECT doc_id,
-         md5(CASE WHEN {_DIFF_EDIT} THEN text || ' v2' ELSE text END) AS nh
+         CASE WHEN {_DIFF_EDIT} THEN text || ' v2' ELSE text END AS text
   FROM documents WHERE doc_id % 3 <> 1
 ),
-j AS (
-  -- presence from KEY nullness (keys are non-null in the corpus) and
-  -- a null-safe hash compare, matching corpus_diff's marker semantics
+dstat AS (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN o.oh IS DISTINCT FROM n.nh THEN 'changed'
+              WHEN o.oh IS DISTINCT FROM md5(n.text) THEN 'changed'
               ELSE 'unchanged' END AS status
-  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-)
-SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
+  FROM dv_o o FULL OUTER JOIN dv_n n ON o.doc_id = n.doc_id
+),
+dtodo AS (
+  -- added (no old row) or changed (null-safe hash mismatch)
+  SELECT n.doc_id, n.text FROM dv_n n LEFT JOIN dv_o o USING (doc_id)
+  WHERE o.doc_id IS NULL OR o.oh IS DISTINCT FROM md5(n.text)
+)"""
+
+
+def _corpus_diff_oracle() -> str:
+    return f"""
+WITH {_diff_ctes()}
+SELECT doc_id, status FROM dstat WHERE status <> 'unchanged'
+ORDER BY doc_id
 """.strip()
 
 
-def pipeline_incremental_chunks(
+def _incremental_chunk_rows(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The incremental-processing composition corpus_diff exists for:
-    re-chunk ONLY the added/changed documents of the new corpus
-    version — O(delta) work per refresh instead of re-chunking the
-    corpus (at 100 TB an adjacent-crawl delta is a small fraction; the
-    diff's 24 B/row join finds it without shuffling payloads, then the
-    chunker's map-side explode touches only the delta's text)."""
+    """Unordered re-chunk of the added/changed delta — shared by the
+    standalone query and the rch_* certificate."""
     from guagua_spark.operators.packing import chunk_docs
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -612,29 +643,115 @@ def pipeline_incremental_chunks(
         .select("doc_id")
     )
     todo = new.join(todo_keys, "doc_id", "left_semi")
-    return chunk_docs(todo, ordered=False).orderBy("doc_id", "chunk_id")
+    return chunk_docs(todo, ordered=False)
+
+
+def pipeline_incremental_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-processing composition corpus_diff exists for:
+    re-chunk ONLY the added/changed documents of the new corpus
+    version — O(delta) work per refresh instead of re-chunking the
+    corpus (at 100 TB an adjacent-crawl delta is a small fraction; the
+    diff's 24 B/row join finds it without shuffling payloads, then the
+    chunker's map-side explode touches only the delta's text)."""
+    return _incremental_chunk_rows(spark, sf_dir).orderBy(
+        "doc_id", "chunk_id"
+    )
 
 
 def _incremental_chunks_oracle() -> str:
     from guagua_spark.operators.packing import _CHUNKS_SELECT, _chunks_ctes
 
     return f"""
-WITH nv AS (
-  SELECT doc_id,
-         CASE WHEN {_DIFF_EDIT} THEN text || ' v2' ELSE text END AS text
-  FROM documents WHERE doc_id % 3 <> 1
-),
-ov AS (
-  SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0
-),
-todo AS (
-  -- added (no old row) or changed (null-safe hash mismatch)
-  SELECT nv.doc_id, nv.text FROM nv LEFT JOIN ov USING (doc_id)
-  WHERE ov.doc_id IS NULL OR ov.oh IS DISTINCT FROM md5(nv.text)
-),
-{_chunks_ctes("todo")}
+WITH {_diff_ctes()},
+{_chunks_ctes("dtodo")}
 {_CHUNKS_SELECT}
 """.strip()
+
+
+def diff_rechunk_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding BOTH incremental-processing operators
+    into a hash-checked contract row (the column-merge pattern,
+    SURVEY.md §7): per-status diff counts + a status-weighted id sum
+    (binds WHICH docs carry WHICH status), and the delta re-chunk's
+    chunk count / token total / per-chunk u32(md5) checksum over the
+    full (doc, ordinal, content-hash) identity — so a wrong diff, a
+    missed delta doc, or a corrupted chunk all flip an integer."""
+    from guagua_spark.functions.scale import u32_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    old, new = _synthetic_versions(docs)
+    d = corpus_diff(old, new)
+    w = (
+        F.when(F.col("status") == "added", 1)
+        .when(F.col("status") == "removed", 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    dcert = d.agg(
+        F.sum((F.col("status") == "added").cast("bigint")).alias(
+            "dif_added"
+        ),
+        F.sum((F.col("status") == "removed").cast("bigint")).alias(
+            "dif_removed"
+        ),
+        F.sum((F.col("status") == "changed").cast("bigint")).alias(
+            "dif_changed"
+        ),
+        F.sum(F.col("doc_id") * w).cast("bigint").alias("dif_id_wsum"),
+    )
+    key = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("chunk_id").cast("string"),
+        F.col("chunk_md5"),
+    )
+    rcert = _incremental_chunk_rows(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rch_chunks"),
+        F.sum("chunk_toks").cast("bigint").alias("rch_tok_sum"),
+        F.sum(u32_hash("cdiff", key)).cast("bigint").alias(
+            "rch_checksum"
+        ),
+    )
+    return dcert.crossJoin(rcert)
+
+
+def _diff_cert_ctes() -> str:
+    """``dcert`` + ``rcert`` 1-row CTEs replaying diff_rechunk_cert_df
+    — spliced into the pipeline_clean_corpus oracle."""
+    from guagua_spark.operators.packing import (
+        _CHUNKS_ROW_EXPRS,
+        _chunks_ctes,
+    )
+
+    u32 = (
+        "CAST(('0x' || substr(md5('cdiff|' || CAST(doc_id AS VARCHAR)"
+        " || '|' || CAST(chunk_id AS VARCHAR) || '|' || chunk_md5),"
+        " 1, 8)) AS UBIGINT)"
+    )
+    return f"""{_diff_ctes()},
+dcert AS (
+  SELECT CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+              AS BIGINT) AS dif_added,
+         CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS dif_removed,
+         CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS dif_changed,
+         CAST(SUM(doc_id * CASE status WHEN 'added' THEN 1
+                           WHEN 'removed' THEN 2 ELSE 3 END)
+              AS BIGINT) AS dif_id_wsum
+  FROM dstat WHERE status <> 'unchanged'
+),
+{_chunks_ctes("dtodo")},
+rcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rch_chunks,
+         CAST(SUM(chunk_toks) AS BIGINT) AS rch_tok_sum,
+         CAST(SUM({u32}) AS BIGINT) AS rch_checksum
+  FROM (SELECT {_CHUNKS_ROW_EXPRS} FROM c)
+)"""
 
 
 #: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
@@ -654,3 +771,7 @@ LOCAL_ORACLE_SQL = {
     "pipeline_corpus_diff": _corpus_diff_oracle(),
     "pipeline_incremental_chunks": _incremental_chunks_oracle(),
 }
+
+# deferred: the contract oracle splices the dif_*/rch_* certificate
+# CTE block defined above
+ORACLE_SQL["pipeline_clean_corpus"] = _pipeline_oracle()

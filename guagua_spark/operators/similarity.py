@@ -423,7 +423,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized quantizer, so the extra cost is one more cell-UDF pass +
     a ≤k-row rollup; the oracle replays it off the same ``asg`` CTE.
     Certifies the standalone LOCAL operator inside the 50-slot cap.
+
+    ``qnt_*`` (round 7): the int8 quantization audit's certificate
+    (quantize_cert_df — coverage, corpus code checksum, summed 1e-6
+    reconstruction error), memoized per embeddings fingerprint and
+    attached as typed literal columns — driver-certifies
+    embedding_quantize_stats inside this same green row.
     """
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -436,9 +444,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bal_cell_wsum"),
     )
+    qnt_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "quantize",
+        ("embeddings",),
+        "qnt_rows bigint, qnt_code_sum bigint, qnt_err_e6 bigint",
+        lambda: quantize_cert_df(spark, sf_dir),
+    )
     return (
         exact_rescore_topk(ivf_candidates(spark, sf_dir), emb, q)
         .crossJoin(F.broadcast(bal))
+        .select("*", *qnt_cols)
         .orderBy("query_id", "rank")
     )
 
@@ -745,12 +762,14 @@ cand AS (
   FROM balcells
 )"""
     final = f"""SELECT r.query_id, r.neighbor_id, r.rank, r.cosine,
-       b.bal_cells, b.bal_kept, b.bal_id_sum, b.bal_cell_wsum
-FROM ranked r, bal b WHERE r.rank <= {TOP_K}
+       b.bal_cells, b.bal_kept, b.bal_id_sum, b.bal_cell_wsum,
+       n.qnt_rows, n.qnt_code_sum, n.qnt_err_e6
+FROM ranked r, bal b, qnt n WHERE r.rank <= {TOP_K}
 ORDER BY r.query_id, r.rank"""
     return (
         "WITH RECURSIVE " + _quantizer_asg_ctes() + ",\n" + probes + ",\n"
-        + RESCORE_CTES + ",\n" + _balance_ctes() + ",\n" + bal + "\n"
+        + RESCORE_CTES + ",\n" + _balance_ctes() + ",\n" + bal + ",\n"
+        + _QUANTIZE_ROW_CTES + ",\n" + _QUANTIZE_CERT_CTE + "\n"
         + final
     )
 
@@ -866,9 +885,35 @@ SELECT * FROM balcells ORDER BY cell
 """.strip()
 
 
-ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
+def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-vector quantization audit rows (vec_id, mn, mx,
+    qsum, max_err) — shared by the standalone LOCAL query and the
+    ``qnt_*`` certificate inside ann_ivf_topk. Every expression is a
+    composition of IEEE-exact double ops (+ − × ÷, round, abs,
+    min/max) — NO libm calls — so per-row values are bit-identical
+    between Spark and DuckDB and integer rollups over them are safe to
+    hash-compare (the same argument as the dedup md5 rules, weaker
+    than it looks only for exp/log-based scores)."""
+    e = F.col("embedding").cast("array<double>")
+    mn, mx = F.array_min(e), F.array_max(e)
+    sc = F.when(mx != mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    q = F.transform(e, lambda x: F.round((x - mn) / sc))
+    recon_err = F.transform(
+        e, lambda x: F.abs(x - (mn + F.round((x - mn) / sc) * sc))
+    )
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        mn.alias("mn"),
+        mx.alias("mx"),
+        F.aggregate(q, F.lit(0.0), lambda acc, v: acc + v)
+        .cast("bigint")
+        .alias("qsum"),
+        F.array_max(recon_err).alias("max_err"),
+    )
 
-#: oracle-tested locally, not in the 50-slot driver contract
+
+#: oracle-tested locally AND driver-certified via the qnt_* columns on
+#: ann_ivf_topk (column-merge pattern, SURVEY.md §7)
 def embedding_quantize_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -881,47 +926,55 @@ def embedding_quantize_stats(
     row, no shuffle beyond the presentation sort. Constant vectors
     (mx = mn) take scale 1 so every code is 0 and reconstruction is
     exact."""
-    e = F.col("embedding").cast("array<double>")
-    mn, mx = F.array_min(e), F.array_max(e)
-    sc = F.when(mx != mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
-    q = F.transform(e, lambda x: F.round((x - mn) / sc))
-    recon_err = F.transform(
-        e, lambda x: F.abs(x - (mn + F.round((x - mn) / sc) * sc))
-    )
-    return (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            mn.alias("mn"),
-            mx.alias("mx"),
-            F.aggregate(
-                q, F.lit(0.0), lambda acc, v: acc + v
-            )
-            .cast("bigint")
-            .alias("qsum"),
-            F.array_max(recon_err).alias("max_err"),
-        )
-        .orderBy("vec_id")
+    return _quantize_rows(spark, sf_dir).orderBy("vec_id")
+
+
+def quantize_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row integer rollup binding the quantization audit's math into
+    a hash-checked contract row: row coverage, the corpus-wide code
+    checksum, and the summed per-vector worst reconstruction error at
+    1e-6 resolution (rounded PER ROW — see _quantize_rows' exactness
+    note — so the bigint sum is order-independent and engine-exact)."""
+    return _quantize_rows(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("qnt_rows"),
+        F.sum("qsum").cast("bigint").alias("qnt_code_sum"),
+        F.sum(F.round(F.col("max_err") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("qnt_err_e6"),
     )
 
 
-def _quantize_oracle() -> str:
-    return """
-WITH e AS (
+_QUANTIZE_ROW_CTES = """qe AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-p AS (
+qp AS (
   SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
          CASE WHEN list_max(v) <> list_min(v)
               THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS sc
-  FROM e
-)
-SELECT vec_id, mn, mx,
-       CAST(list_sum(list_transform(v, x -> round((x - mn)/sc)))
-            AS BIGINT) AS qsum,
-       list_max(list_transform(
-         v, x -> abs(x - (mn + round((x - mn)/sc) * sc)))) AS max_err
-FROM p ORDER BY vec_id
+  FROM qe
+),
+qrows AS (
+  SELECT vec_id, mn, mx,
+         CAST(list_sum(list_transform(v, x -> round((x - mn)/sc)))
+              AS BIGINT) AS qsum,
+         list_max(list_transform(
+           v, x -> abs(x - (mn + round((x - mn)/sc) * sc)))) AS max_err
+  FROM qp
+)"""
+
+_QUANTIZE_CERT_CTE = """qnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS qnt_rows,
+         CAST(SUM(qsum) AS BIGINT) AS qnt_code_sum,
+         CAST(SUM(CAST(ROUND(max_err * 1e6) AS BIGINT)) AS BIGINT)
+           AS qnt_err_e6
+  FROM qrows
+)"""
+
+
+def _quantize_oracle() -> str:
+    return f"""
+WITH {_QUANTIZE_ROW_CTES}
+SELECT vec_id, mn, mx, qsum, max_err FROM qrows ORDER BY vec_id
 """.strip()
 
 
@@ -933,3 +986,7 @@ LOCAL_ORACLE_SQL = {
     "embedding_balanced_sample": _balanced_sample_oracle(),
     "embedding_quantize_stats": _quantize_oracle(),
 }
+
+# deferred: the IVF contract oracle splices the balance AND quantize
+# CTE blocks, both defined above
+ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
