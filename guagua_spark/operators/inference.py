@@ -460,12 +460,50 @@ def infer_nn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: fixed 64-dim weight vector for the array-scoring certification —
-#: small rationals so the dot product is exactly replayable in SQL
-#: (the literal list is generated ONCE and rendered into both sides)
-EMB_DIM = 64
-EMB_WEIGHTS = [((i * 37) % 101 - 50) / 100.0 for i in range(EMB_DIM)]
-EMB_BIAS = -0.05
+#: fixed literal models for the array / NN-forward certification —
+#: defined in lr_sql (the leaf module) and shared verbatim with the
+#: SQL renderers so both sides consume ONE set of literals
+from guagua_spark.operators.lr_sql import (  # noqa: E402
+    EMB_BIAS,
+    EMB_DIM,
+    EMB_WEIGHTS,
+    NNF_B1,
+    NNF_B2,
+    NNF_W1,
+    NNF_W2,
+)
+
+
+def nnf_fixed_weights():
+    """lr_sql's fixed [4,8,1] literals in the [(W1,b1),(W2,b2)] numpy
+    layout nn_score_col consumes — the certificate scores with the
+    PRODUCTION expression builder, only the weights are fixed."""
+    import numpy as np
+
+    w1 = np.array(NNF_W1, dtype=np.float64)
+    b1 = np.array(NNF_B1, dtype=np.float64)
+    w2 = np.array(NNF_W2, dtype=np.float64).reshape(8, 1)
+    b2 = np.array([NNF_B2], dtype=np.float64)
+    return [(w1, b1), (w2, b2)]
+
+
+def _emb_score_col():
+    """Per-row 6dp logistic score over the embedding column — shared
+    by the standalone query and the emb_* certificate (SQL twin:
+    lr_sql.emb_score_sql)."""
+    w = F.array(*[F.lit(x) for x in EMB_WEIGHTS])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            w,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(EMB_BIAS) + dot))), 6
+    )
 
 
 def infer_embedding_scores(
@@ -483,21 +521,8 @@ def infer_embedding_scores(
 
     Output: per-label rollup — n, mean score, decisions at 0.5 —
     bounded rows whatever the corpus size."""
-    w = F.array(*[F.lit(x) for x in EMB_WEIGHTS])
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            w,
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    score = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(EMB_BIAS) + dot))), 6
-    )
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", score.alias("score")
+        "label", _emb_score_col().alias("score")
     )
     return (
         emb.groupBy("label")
@@ -531,7 +556,13 @@ FROM sc GROUP BY label ORDER BY label
 
 def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of sql_inference_cert_ctes: 1 row built from the
-    ACTUAL inference operators' outputs."""
+    ACTUAL inference operators' outputs — the trained-LR evaluation
+    rollups plus (round 7) the fixed-literal array-scoring and
+    NN-forward certificates, each a per-row 6dp score summed at 1e-6
+    resolution + a 0.5-threshold decision count (binds both the
+    score VALUES and the decision boundary)."""
+    from guagua_spark.operators.iterative import _nn_features
+
     auc = infer_auc(spark, sf_dir).select(
         F.round("auc", 6).alias("inf_auc")
     )
@@ -545,7 +576,33 @@ def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inf_dec_nwsum"
         )
     )
-    return auc.crossJoin(flag).crossJoin(dec)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(_emb_score_col().alias("score"))
+        .agg(
+            F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
+                "emb_flagged"
+            ),
+            F.sum(F.round(F.col("score") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("emb_score_e6"),
+        )
+    )
+    nnf = (
+        _nn_features(spark, sf_dir)
+        .select(F.round(nn_score_col(nnf_fixed_weights()), 6).alias("score"))
+        .agg(
+            F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
+                "nnf_flagged"
+            ),
+            F.sum(F.round(F.col("score") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("nnf_score_e6"),
+        )
+    )
+    return (
+        auc.crossJoin(flag).crossJoin(dec).crossJoin(emb).crossJoin(nnf)
+    )
 
 
 #: oracle-tested locally (tests/test_inference.py); the 50-slot driver

@@ -150,7 +150,8 @@ WITH RECURSIVE {scored_ctes()},
 {sql_inference_cert_ctes()}
 SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_qty, ROUND(w2, 6) AS w_disc,
        ROUND(loss, 6) AS loss, CAST(i AS INT) AS iterations,
-       inf_auc, inf_flagged, inf_dec_nwsum
+       inf_auc, inf_flagged, inf_dec_nwsum,
+       emb_flagged, emb_score_e6, nnf_flagged, nnf_score_e6
 FROM it CROSS JOIN inf_cert WHERE i = 5
 """.strip()
 
@@ -217,8 +218,12 @@ def lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "inference",
-        ("lineitem",),
-        "inf_auc double, inf_flagged bigint, inf_dec_nwsum bigint",
+        # embeddings joined the key in round 7: the cert block now also
+        # hosts the array-scoring certificate over that table
+        ("lineitem", "embeddings"),
+        "inf_auc double, inf_flagged bigint, inf_dec_nwsum bigint, "
+        "emb_flagged bigint, emb_score_e6 bigint, "
+        "nnf_flagged bigint, nnf_score_e6 bigint",
         _build,
     )
     return base.select("*", *cert_cols)

@@ -95,20 +95,99 @@ def decile_bucket_sql(qref: str) -> str:
     )
 
 
+# -- fixed literal models for the ARRAY / NN-forward certificates ----------
+#
+# Deterministic small rationals generated ONCE here (the leaf module)
+# and rendered into BOTH the Catalyst expressions (inference.py) and
+# the SQL below — the same shared-literal discipline as LR_WEIGHTS in
+# the lr_gradient_step certification. Fixed weights are what make the
+# forward-pass PLUMBING SQL-replayable: the engine-trained weights
+# exist only after a run, so they stay numpy-replay-tested instead.
+
+#: 64-dim logistic model over the embedding column
+EMB_DIM = 64
+EMB_WEIGHTS = [((i * 37) % 101 - 50) / 100.0 for i in range(EMB_DIM)]
+EMB_BIAS = -0.05
+
+#: [4, 8, 1] net over the engineered lineitem features (same layout as
+#: iterative.NN_GD_LAYERS); magnitudes ≤ ~1 keep the sigmoids off
+#: their saturated tails so the certificate actually exercises the
+#: arithmetic
+NNF_LAYERS = (4, 8, 1)
+NNF_W1 = [
+    [(((i * 8 + j) * 7) % 23 - 11) / 20.0 for j in range(8)]
+    for i in range(4)
+]
+NNF_B1 = [((j * 5) % 13 - 6) / 10.0 for j in range(8)]
+NNF_W2 = [((j * 11) % 17 - 8) / 12.0 for j in range(8)]
+NNF_B2 = 0.05
+
+#: the engineered-feature expressions (iterative._nn_features' SQL
+#: twin, identical to the nn_train_gd oracle's feats CTE)
+NN_FEATURE_SQL = (
+    "l_quantity/50.0",
+    "l_discount*10.0",
+    "l_extendedprice/100000.0",
+    "l_tax*10.0",
+)
+
+
+def emb_score_sql() -> str:
+    """Per-row 6dp logistic score over the embeddings table — the SQL
+    twin of inference._emb_score_col (list_dot_product folds
+    left-to-right like F.aggregate)."""
+    lits = ", ".join(repr(x) for x in EMB_WEIGHTS)
+    return (
+        f"ROUND(1.0/(1.0 + EXP(-({EMB_BIAS!r} + list_dot_product("
+        f"CAST(embedding AS DOUBLE[]), [{lits}])))), 6)"
+    )
+
+
+def nnf_score_sql() -> str:
+    """Per-row 6dp forward-pass score of the fixed [4,8,1] net over
+    lineitem — the SQL twin of nn_score_col(nnf_fixed_weights()):
+    every weight a literal, each hidden unit one sigmoid-of-affine,
+    rendered from the SAME Python lists the Catalyst side uses."""
+    hs = []
+    for j in range(8):
+        z = f"{NNF_B1[j]!r}" + "".join(
+            f" + {NNF_W1[i][j]!r}*({NN_FEATURE_SQL[i]})" for i in range(4)
+        )
+        hs.append(f"(1.0/(1.0 + EXP(-({z}))))")
+    out = f"{NNF_B2!r}" + "".join(
+        f" + {NNF_W2[j]!r}*{hs[j]}" for j in range(8)
+    )
+    return f"ROUND(1.0/(1.0 + EXP(-({out}))), 6)"
+
+
 def sql_inference_cert_ctes() -> str:
     """CTE block (expects ``sc`` in scope, i.e. spliced after
     scored_ctes) ending in ``inf_cert`` — the 1-row certificate of the
     whole inference family: tie-aware AUC (round 6), the 0.5-threshold
-    decision count, and the Σ(per-row decile) rollup that binds the
-    decile assignment. Spliced into lr_train's contract oracle."""
+    decision count, the Σ(per-row decile) rollup that binds the decile
+    assignment, and (round 7) the array-scoring and NN-forward
+    certificates — per-row 6dp scores summed at 1e-6 resolution
+    (exact: a 6dp-rounded double times 1e6 re-rounds to the same
+    integer on both engines) plus their 0.5-threshold counts. Spliced
+    into lr_train's contract oracle."""
     qs = ", ".join(str(q) for q in DECILE_QS)
     return f"""{auc_rank_ctes("ic")},
 icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),
+emb_sc AS (SELECT {emb_score_sql()} AS score FROM embeddings),
+nnf_sc AS (SELECT {nnf_score_sql()} AS score FROM lineitem),
 inf_cert AS (
   SELECT (SELECT ROUND({AUC_EXPR}, 6)
           FROM ict) AS inf_auc,
          (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
                       AS BIGINT) FROM sc) AS inf_flagged,
          (SELECT CAST(SUM({decile_bucket_sql("icq.q")}) AS BIGINT)
-          FROM sc, icq) AS inf_dec_nwsum
+          FROM sc, icq) AS inf_dec_nwsum,
+         (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM emb_sc) AS emb_flagged,
+         (SELECT CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS BIGINT)
+          FROM emb_sc) AS emb_score_e6,
+         (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM nnf_sc) AS nnf_flagged,
+         (SELECT CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS BIGINT)
+          FROM nnf_sc) AS nnf_score_e6
 )"""
