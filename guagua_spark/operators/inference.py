@@ -69,9 +69,18 @@ from guagua_spark.sources.tables import load_table, table_fingerprint
 #: attributed via record_index_build like every other index memo.
 _MODEL_CACHE: dict = {}
 
+#: the pinned, dense-id-ranked scored relation behind infer_auc —
+#: memoized per (model weights, corpus fingerprint) so repeated AUC
+#: evaluation of one model version reuses ONE localCheckpoint instead
+#: of accumulating corpus-sized checkpoints per call (round-6 advice).
+#: One live entry: dropping the reference lets ContextCleaner GC the
+#: superseded checkpoint blocks.
+_RANKED_CACHE: dict = {}
+
 
 def clear_caches() -> None:
     _MODEL_CACHE.clear()
+    _RANKED_CACHE.clear()
 
 
 def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +235,41 @@ FROM sc GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def _ranked_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned, globally-ranked (label, score, rid) relation behind
+    infer_auc, memoized per (model weights, corpus fingerprint).
+
+    pin=True is REQUIRED: repartitionByRange's boundary sampling
+    depends on the child's row arrival order, which varies between the
+    two dense-id jobs (observed empirically: duplicate ids ~1 in 4
+    runs at sf0.01) — the localCheckpoint makes both jobs read one
+    materialized layout. The pin is CORPUS-sized ((label, score, __mid)
+    per row, ~24 B/row), which is exactly why it's memoized here:
+    evaluate-once-per-model-version is the code path now, not a
+    docstring exhortation — repeated AUC/decile laps over one model
+    reuse one checkpoint, and retraining (new weights or new corpus
+    fingerprint) evicts the old entry so ContextCleaner can GC its
+    blocks. Build cost self-reports as _index:inference_ranked."""
+    w = trained_lr_weights(spark, sf_dir)
+    key = (table_fingerprint(sf_dir, "lineitem"), w)
+    hit = _RANKED_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    t0 = time.monotonic()
+    n_part = spark.sparkContext.defaultParallelism
+    ranked = assign_dense_ids(
+        _scored(spark, sf_dir)
+        .repartitionByRange(n_part, "score")
+        .sortWithinPartitions("score"),
+        "rid",
+        pin=True,
+    )
+    record_index_build("inference_ranked", time.monotonic() - t0)
+    _RANKED_CACHE.clear()  # one live checkpoint per session
+    _RANKED_CACHE[sf_dir] = (key, ranked)
+    return ranked
+
+
 def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-averaged AUC (Mann-Whitney U) at scale.
 
@@ -235,23 +279,7 @@ def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the per-score group's (min_id + max_id)/2 — range partitioning
     keeps equal scores in one partition, so a tie group's dense ids are
     contiguous and their mean is exactly the tie-averaged rank."""
-    sc = _scored(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
-    # pin=True is REQUIRED here: repartitionByRange's boundary sampling
-    # depends on the child's row arrival order, which varies between
-    # the two dense-id jobs (observed empirically: duplicate ids ~1 in
-    # 4 runs at sf0.01) — the localCheckpoint makes both jobs read one
-    # materialized layout. Honest cost note: the pinned relation is
-    # CORPUS-sized ((label, score, __mid) per row, ~24 B/row), held
-    # until Spark's ContextCleaner GCs the checkpointed RDD — at real
-    # scale prefer computing AUC once per model version, not per lap.
-    ranked = assign_dense_ids(
-        sc.repartitionByRange(n_part, "score").sortWithinPartitions(
-            "score"
-        ),
-        "rid",
-        pin=True,
-    )
+    ranked = _ranked_scored(spark, sf_dir)
     g = ranked.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("label").cast("bigint")).alias("np"),

@@ -128,3 +128,21 @@ def test_auc_stable_across_repeated_runs(spark, oracle_sf_dir):
         infer_auc(spark, oracle_sf_dir).first()["auc"] for _ in range(4)
     }
     assert len(vals) == 1, vals
+
+
+def test_ranked_relation_memoized_per_model_version(spark, oracle_sf_dir):
+    """Round-7 amortization (round-6 advice): repeated AUC evaluation
+    of one model version must reuse ONE pinned ranked relation — the
+    second call returns the identical DataFrame object, so no new
+    repartitionByRange/localCheckpoint job can run."""
+    from guagua_spark.operators import inference as inf
+
+    r1 = inf._ranked_scored(spark, oracle_sf_dir)
+    r2 = inf._ranked_scored(spark, oracle_sf_dir)
+    assert r1 is r2
+    # a new model version (different weights in the key) must rebuild
+    fp, w = inf._RANKED_CACHE[oracle_sf_dir][0]
+    inf._RANKED_CACHE[oracle_sf_dir] = ((fp, (0.0, 0.0, 0.0)), r1)
+    r3 = inf._ranked_scored(spark, oracle_sf_dir)
+    assert r3 is not r1
+    assert inf._RANKED_CACHE[oracle_sf_dir][0] == (fp, w)
