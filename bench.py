@@ -82,16 +82,38 @@ def main() -> None:
     # making regression analysis unattributable; the median of 3 is
     # noise-robust in both directions (min would hide genuine
     # slowdowns behind one lucky run)
+    import re
     import statistics
 
     times: dict[str, float] = {}
+    plans: dict[str, dict[str, int]] = {}
     for name, fn in queries.items():
         samples: list[float] = []
+        df = None
         for _ in range(args.repeat):
             t0 = time.monotonic()
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            df.collect()
             samples.append(time.monotonic() - t0)
         times[name] = round(statistics.median(samples), 4)
+        # DRIFT-IMMUNE lane: structural metrics of the EXECUTED
+        # (post-AQE) plan. Wall-clock on this box drifts up to ~1.9x
+        # same-day on identical code (BENCH_NOTES round 6), so
+        # round-over-round regression analysis keys on these counts —
+        # "no query gained a shuffle/sort/scan" is checkable
+        # mechanically regardless of neighbor-tenant noise. \bExchange\b
+        # excludes BroadcastExchange; \bSort\b excludes SortMergeJoin /
+        # SortAggregate (no word boundary inside either).
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # AQE prints BOTH the final and the initial plan; keep the
+        # final (what actually ran) so counts aren't doubled
+        p = p.split("== Initial Plan ==")[0]
+        plans[name] = {
+            "shuffles": len(re.findall(r"\bExchange\b", p)),
+            "broadcasts": p.count("BroadcastExchange"),
+            "sorts": len(re.findall(r"\bSort\b", p)),
+            "scans": p.count("Scan parquet"),
+        }
 
     total = round(sum(times.values()), 4)
     result = {
@@ -103,12 +125,32 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 4),
         "sf": sf,
     }
+    # stdout stays the compact one-line contract (the driver's
+    # artifact keeps only a tail of stdout and has truncated the warm
+    # lane mid-dict before); plan metrics + a regression diff go to
+    # the file copy only
     print(json.dumps(result))
-    # also persist the full dict: the driver's artifact keeps only a
-    # tail of stdout, which has truncated the warm lane mid-dict
-    # before (round-5 BENCH artifact had parsed=null) — the file copy
-    # survives regardless of stdout capture limits
     out_path = os.path.join(_REPO, "BENCH_LOCAL.json")
+    prev_plans = {}
+    try:
+        with open(out_path) as f:
+            prev_plans = json.load(f).get("plans", {})
+    except (OSError, ValueError):
+        pass
+    regressions = {
+        name: {"prev": prev_plans[name], "now": m}
+        for name, m in plans.items()
+        if name in prev_plans
+        and any(m[k] > prev_plans[name].get(k, 0) for k in m)
+    }
+    result["plans"] = plans
+    result["plan_regressions"] = regressions
+    if regressions:
+        print(
+            f"PLAN REGRESSIONS ({len(regressions)}): "
+            + json.dumps(regressions),
+            file=sys.stderr,
+        )
     try:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
