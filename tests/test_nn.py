@@ -330,3 +330,99 @@ def test_backprop_numeric_gradient():
                 gw_num[i, j] = (loss(wp) - loss(wm)) / (2 * eps)
         # backprop returns the gradient of ½·SSE (delta = err·σ′)
         np.testing.assert_allclose(grads[li][0], gw_num, atol=1e-5)
+
+
+def test_scg_matches_serial_replay(spark, xor_df):
+    """VALUE oracle for the fifth Weight.java strategy (SCG): the
+    distributed engine run must equal an independent single-process
+    transcription of Møller's scaled-conjugate-gradient state machine
+    (probe/candidate phases, PD-forcing lambda, restart every N steps)
+    driven by the same serially-replayed gradient evaluations — to
+    1e-9, for the reported errors, the accepted point, AND the next
+    evaluation point. Completes optimizer-family replay parity
+    (backprop/manhattan/RPROP/quickprop above)."""
+    from guagua_spark.algorithms.nn import scg_best_weights
+
+    rounds, sigma0 = 9, 1e-4
+    parts = _partition_rows(xor_df)
+
+    init = init_weights([4, 8, 1], 42)
+    shapes = [(w.shape, b.shape) for w, b in init]
+
+    def unflat(v):
+        out, i = [], 0
+        for ws, bs in shapes:
+            nw, nb = int(np.prod(ws)), int(np.prod(bs))
+            out.append(
+                (
+                    v[i : i + nw].reshape(ws),
+                    v[i + nw : i + nw + nb].reshape(bs),
+                )
+            )
+            i += nw + nb
+        return out
+
+    eval_w = [(w.copy(), b.copy()) for w, b in init]
+    st = None
+    reported = []
+    for _ in range(rounds):
+        mean_g, E, _te = _serial_round(parts, eval_w)
+        gv = np.concatenate([g.ravel() for g in mean_g])
+        if st is None:
+            w0 = np.concatenate(
+                [np.concatenate([w.ravel(), b.ravel()]) for w, b in eval_w]
+            )
+            p = -gv
+            sigma = sigma0 / max(float(np.linalg.norm(p)), 1e-12)
+            st = dict(
+                w=w0, E=E, g=gv, p=p, lam=1e-6, lam_bar=0.0, k=1,
+                sigma=sigma, phase="probe",
+            )
+            nxt = w0 + sigma * p
+        elif st["phase"] == "probe":
+            pn2 = float(st["p"] @ st["p"])
+            s = (gv - st["g"]) / st["sigma"]
+            delta = float(st["p"] @ s) + (st["lam"] - st["lam_bar"]) * pn2
+            if delta <= 0:
+                st["lam_bar"] = 2.0 * (st["lam"] - delta / pn2)
+                delta = -delta + st["lam"] * pn2
+                st["lam"] = st["lam_bar"]
+            mu = float(st["p"] @ (-st["g"]))
+            st.update(delta=delta, mu=mu, alpha=mu / delta, phase="candidate")
+            nxt = st["w"] + st["alpha"] * st["p"]
+        else:
+            pn2 = float(st["p"] @ st["p"])
+            delta, mu, alpha = st["delta"], st["mu"], st["alpha"]
+            comp = 2.0 * delta * (st["E"] - E) / (mu * mu)
+            if comp >= 0:
+                r_new, r_old = -gv, -st["g"]
+                beta = float(r_new @ r_new - r_new @ r_old) / mu
+                st["w"] = st["w"] + alpha * st["p"]
+                st["E"], st["g"] = E, gv
+                st["k"] += 1
+                st["p"] = (
+                    r_new
+                    if st["k"] % st["w"].size == 0
+                    else r_new + beta * st["p"]
+                )
+                st["lam_bar"] = 0.0
+                if comp >= 0.75:
+                    st["lam"] *= 0.25
+            else:
+                st["lam_bar"] = st["lam"]
+            if comp < 0.25:
+                st["lam"] = min(st["lam"] + delta * (1.0 - comp) / pn2, 1e10)
+            st["sigma"] = sigma0 / max(float(np.linalg.norm(st["p"])), 1e-12)
+            st["phase"] = "probe"
+            nxt = st["w"] + st["sigma"] * st["p"]
+        reported.append(st["E"])
+        eval_w = unflat(nxt)
+
+    model, errors = _train(spark, xor_df, "scg", iters=rounds)
+    np.testing.assert_allclose(errors, reported, rtol=1e-9)
+    for (gw, gb), (rw, rb) in zip(model.weights, eval_w):
+        np.testing.assert_allclose(gw, rw, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(gb, rb, rtol=1e-9, atol=1e-12)
+    for (gw, gb), (rw, rb) in zip(scg_best_weights(model), unflat(st["w"])):
+        np.testing.assert_allclose(gw, rw, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(gb, rb, rtol=1e-9, atol=1e-12)
