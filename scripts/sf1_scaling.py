@@ -1,0 +1,133 @@
+"""One-shot sf0.1 → sf1 scaling measurement for the heaviest queries.
+
+The driver provides sf{0.001,0.01,0.1} only, so sf1 is synthesized
+here (under the repo, gitignored) by 10x replication of sf0.1 with
+shifted keys — and, for documents, a per-replica deterministic word
+mutation (every third word position gets a replica suffix) so replicas
+share almost no shingles: without it every replica pair would be a
+near-duplicate and the dedup family would measure a fabricated 100x
+pair explosion instead of 10x more data. Distributions (lengths,
+vocabulary shape, dup structure WITHIN a replica) carry over from the
+driver's generator.
+
+Usage: python scripts/sf1_scaling.py   (writes BENCH_SF1.json; run
+findings are summarized in BENCH_NOTES.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(_REPO, "testdata_sf1")
+REPLICAS = 10
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "lr_train",
+    "pipeline_clean_corpus",
+    "dedup_clusters",
+    "rx_percentiles",
+]
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS k")
+
+    def write(name: str, sql: str) -> None:
+        path = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(path):
+            return
+        con.execute(
+            f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)"
+        )
+        print("wrote", path)
+
+    write(
+        "lineitem",
+        f"""SELECT l_orderkey + k * 200000 AS l_orderkey, l_partkey,
+               l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{SRC}/lineitem.parquet'), r""",
+    )
+    write(
+        "documents",
+        f"""SELECT doc_id + k * 5000 AS doc_id,
+               array_to_string(list_transform(string_split(text, ' '),
+                 (w, i) -> CASE WHEN (i * 2654435761 + k) % 3 = 0
+                           THEN w || '~' || k ELSE w END), ' ') AS text,
+               lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet'), r""",
+    )
+    write(
+        "embeddings",
+        f"""SELECT vec_id + k * 2000 AS vec_id, embedding, label
+        FROM read_parquet('{SRC}/embeddings.parquet'), r""",
+    )
+
+
+def run() -> None:
+    os.environ["GUAGUA_DURABLE_CACHE"] = "0"  # measure real builds
+    from guagua_spark.metrics import drain_index_builds
+    from guagua_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="sf1_scaling", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    out: dict = {"replicas": REPLICAS, "runs": {}}
+    for sf_dir, tag in ((SRC, "sf0.1"), (DST, "sf1")):
+        drain_index_builds()
+        rec: dict = {}
+        for name in QUERIES:
+            t0 = time.monotonic()
+            n = len(qs[name](spark, sf_dir).collect())
+            secs = time.monotonic() - t0
+            idx = drain_index_builds()
+            rec[name] = {
+                "secs": round(secs - sum(idx.values()), 3),
+                "rows": n,
+                "index": {k: round(v, 3) for k, v in idx.items()},
+            }
+            print(tag, name, rec[name])
+        out["runs"][tag] = rec
+    import math
+
+    out["exponents"] = {
+        q: round(
+            math.log10(
+                (
+                    out["runs"]["sf1"][q]["secs"]
+                    + sum(out["runs"]["sf1"][q]["index"].values())
+                )
+                / (
+                    out["runs"]["sf0.1"][q]["secs"]
+                    + sum(out["runs"]["sf0.1"][q]["index"].values())
+                )
+            ),
+            3,
+        )
+        for q in QUERIES
+    }
+    with open(os.path.join(_REPO, "BENCH_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["exponents"]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    generate()
+    run()
