@@ -55,7 +55,7 @@ def persisted_index(
     fingerprint-keyed invalidation contract."""
     from pyspark.storagelevel import StorageLevel
 
-    from guagua_spark.metrics import record_index_build
+    from guagua_spark.metrics import record_index_build, timed_index_build
 
     hit = cache.get(sf_dir)
     if hit is not None and hit[0] == fingerprint:
@@ -78,9 +78,11 @@ def persisted_index(
             f"{index_name}:load", time.monotonic() - t0
         )
     else:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        record_index_build(index_name, time.monotonic() - t0)
+        # timed: build() may trigger nested memo builds (the IVF cell
+        # table builds the quantizer), which must record self-time only
+        with timed_index_build(index_name):
+            df = build().persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
         t1 = time.monotonic()
         if spark and durable.store_frame(spark, index_name, dkey, df):
             record_index_build(

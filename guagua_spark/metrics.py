@@ -17,13 +17,51 @@ still adds up to real wall time.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 INDEX_BUILD_TIMES: dict[str, float] = {}
+
+#: per-open-build accumulator of nested build time — builds can nest
+#: (the inference certificate build runs infer_auc, which builds the
+#: ranked-relation memo; a cert build can populate the feature memo),
+#: and each build must record only its SELF time or the bench cold
+#: lane double-subtracts the nested seconds from the triggering query
+#: (observed as a clamped-to-zero lr_train cold entry in round 7).
+_CHILD_STACK: list[float] = []
 
 
 def record_index_build(name: str, seconds: float) -> None:
-    """Attribute ``seconds`` of memo-build work to ``_index:<name>``."""
+    """Attribute ``seconds`` of LEAF memo work (no nested builds —
+    durable-store loads, straight collects) to ``_index:<name>``; the
+    time is also charged to the enclosing open build, if any, so that
+    build records only its self time."""
     key = f"_index:{name}"
     INDEX_BUILD_TIMES[key] = INDEX_BUILD_TIMES.get(key, 0.0) + seconds
+    if _CHILD_STACK:
+        _CHILD_STACK[-1] += seconds
+
+
+@contextmanager
+def timed_index_build(name: str):
+    """Time a build that MAY trigger nested builds: records wall time
+    minus the nested builds' wall time (self time) under
+    ``_index:<name>``, and charges its full wall time to the parent
+    build, if any. Total across all entries always sums to real
+    wall-clock once."""
+    _CHILD_STACK.append(0.0)
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        dt = time.monotonic() - t0
+        child = _CHILD_STACK.pop()
+        key = f"_index:{name}"
+        INDEX_BUILD_TIMES[key] = INDEX_BUILD_TIMES.get(key, 0.0) + max(
+            dt - child, 0.0
+        )
+        if _CHILD_STACK:
+            _CHILD_STACK[-1] += dt
 
 
 def drain_index_builds() -> dict[str, float]:

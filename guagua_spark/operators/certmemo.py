@@ -55,7 +55,7 @@ def _cert_vals(
     Durable hits self-report as ``_index:certload:<name>`` so the
     bench cold lane stays honestly attributed."""
     from guagua_spark import durable
-    from guagua_spark.metrics import record_index_build
+    from guagua_spark.metrics import record_index_build, timed_index_build
     from guagua_spark.sources.tables import table_fingerprint
 
     key = (
@@ -73,17 +73,23 @@ def _cert_vals(
                 f"certload:{name}", time.monotonic() - t0
             )
         else:
-            rows = build().collect()
-            if not (1 <= len(rows) <= max_rows):
-                raise ValueError(
-                    f"certificate {name!r} must yield 1..{max_rows} rows "
-                    f"(bounded domain), got {len(rows)}"
+            # timed (not leaf-recorded): cert builds trigger nested
+            # memo builds (ranked relation, feature inputs) that must
+            # not be double-counted
+            with timed_index_build(f"cert:{name}"):
+                rows = build().collect()
+                if not (1 <= len(rows) <= max_rows):
+                    raise ValueError(
+                        f"certificate {name!r} must yield 1..{max_rows} "
+                        f"rows (bounded domain), got {len(rows)}"
+                    )
+                vals = tuple(tuple(r) for r in rows)
+                durable.store_json(
+                    spark,
+                    f"cert:{name}",
+                    key + (schema,),
+                    [list(r) for r in vals],
                 )
-            vals = tuple(tuple(r) for r in rows)
-            record_index_build(f"cert:{name}", time.monotonic() - t0)
-            durable.store_json(
-                spark, f"cert:{name}", key + (schema,), [list(r) for r in vals]
-            )
         for k in [k for k in _CERT_CACHE if k[0] == name]:
             del _CERT_CACHE[k]  # one live entry per certificate
         _CERT_CACHE[key] = vals

@@ -128,19 +128,20 @@ def trained_lr_weights(
         LogisticGradientWorker,
     )
     from guagua_spark.engine import IterativeEngine
+    from guagua_spark.metrics import timed_index_build
 
-    model = IterativeEngine(spark).run(
-        GradientDescentMaster(dim=2, learning_rate=0.5),
-        LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
-        _lr_features(spark, sf_dir),
-        total_iteration=5,
-        persist=False,
-    )
-    weights = tuple(round(float(x), 6) for x in model.weights)
-    record_index_build("model:lr_weights", time.monotonic() - t0)
-    durable.store_json(
-        spark, "model:lr_weights", (sf_dir, fp), list(weights)
-    )
+    with timed_index_build("model:lr_weights"):  # nests features:lr
+        model = IterativeEngine(spark).run(
+            GradientDescentMaster(dim=2, learning_rate=0.5),
+            LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
+            _lr_features(spark, sf_dir),
+            total_iteration=5,
+            persist=False,
+        )
+        weights = tuple(round(float(x), 6) for x in model.weights)
+        durable.store_json(
+            spark, "model:lr_weights", (sf_dir, fp), list(weights)
+        )
     _MODEL_CACHE[sf_dir] = (fp, weights)
     return weights
 
@@ -250,21 +251,24 @@ def _ranked_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse one checkpoint, and retraining (new weights or new corpus
     fingerprint) evicts the old entry so ContextCleaner can GC its
     blocks. Build cost self-reports as _index:inference_ranked."""
+    from guagua_spark.metrics import timed_index_build
+
     w = trained_lr_weights(spark, sf_dir)
     key = (table_fingerprint(sf_dir, "lineitem"), w)
     hit = _RANKED_CACHE.get(sf_dir)
     if hit is not None and hit[0] == key:
         return hit[1]
-    t0 = time.monotonic()
-    n_part = spark.sparkContext.defaultParallelism
-    ranked = assign_dense_ids(
-        _scored(spark, sf_dir)
-        .repartitionByRange(n_part, "score")
-        .sortWithinPartitions("score"),
-        "rid",
-        pin=True,
-    )
-    record_index_build("inference_ranked", time.monotonic() - t0)
+    # timed: may nest the features:lr build, and is itself nested
+    # inside the cert:inference build when lr_train hosts it
+    with timed_index_build("inference_ranked"):
+        n_part = spark.sparkContext.defaultParallelism
+        ranked = assign_dense_ids(
+            _scored(spark, sf_dir)
+            .repartitionByRange(n_part, "score")
+            .sortWithinPartitions("score"),
+            "rid",
+            pin=True,
+        )
     _RANKED_CACHE.clear()  # one live checkpoint per session
     _RANKED_CACHE[sf_dir] = (key, ranked)
     return ranked
@@ -388,6 +392,7 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
         return weights
     from guagua_spark.algorithms.nn import NNMaster, NNWorker
     from guagua_spark.engine import IterativeEngine
+    from guagua_spark.metrics import timed_index_build
     from guagua_spark.operators.iterative import (
         NN_GD_LAYERS,
         NN_GD_LR,
@@ -396,30 +401,34 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
         _nn_partitions,
     )
 
-    li = _cached_persisted(
-        "nn",
-        sf_dir,
-        lambda: _nn_features(spark, sf_dir).repartition(
-            _nn_partitions(spark)
-        ),
-    )
-    model = IterativeEngine(spark).run(
-        NNMaster(NN_GD_LAYERS, learning_rate=NN_GD_LR, algorithm="backprop"),
-        NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.0),
-        li,
-        total_iteration=NN_GD_ROUNDS,
-        persist=False,
-    )
-    record_index_build("model:nn_weights", time.monotonic() - t0)
-    durable.store_json(
-        spark,
-        "model:nn_weights",
-        (sf_dir, fp),
-        [
-            [durable.np_to_jsonable(w), durable.np_to_jsonable(b)]
-            for w, b in model.weights
-        ],
-    )
+    with timed_index_build("model:nn_weights"):  # nests features:nn
+        li = _cached_persisted(
+            "nn",
+            sf_dir,
+            lambda: _nn_features(spark, sf_dir).repartition(
+                _nn_partitions(spark)
+            ),
+        )
+        model = IterativeEngine(spark).run(
+            NNMaster(
+                NN_GD_LAYERS, learning_rate=NN_GD_LR, algorithm="backprop"
+            ),
+            NNWorker(
+                ("f1", "f2", "f3", "f4"), "target", validation_rate=0.0
+            ),
+            li,
+            total_iteration=NN_GD_ROUNDS,
+            persist=False,
+        )
+        durable.store_json(
+            spark,
+            "model:nn_weights",
+            (sf_dir, fp),
+            [
+                [durable.np_to_jsonable(w), durable.np_to_jsonable(b)]
+                for w, b in model.weights
+            ],
+        )
     _MODEL_CACHE[("nn", sf_dir)] = (fp, model.weights)
     return model.weights
 

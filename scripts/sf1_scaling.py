@@ -60,14 +60,23 @@ def generate() -> None:
                l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM read_parquet('{SRC}/lineitem.parquet'), r""",
     )
+    # replica suffix is ALPHABETIC ('q' + letter): a '~<digit>' suffix
+    # would sink every mutated doc below the clean-corpus alpha-ratio
+    # filter (observed: empty clean corpus at sf1); n_chars is
+    # recomputed so the metadata matches the mutated payload
     write(
         "documents",
-        f"""SELECT doc_id + k * 5000 AS doc_id,
-               array_to_string(list_transform(string_split(text, ' '),
-                 (w, i) -> CASE WHEN (i * 2654435761 + k) % 3 = 0
-                           THEN w || '~' || k ELSE w END), ' ') AS text,
-               lang, source, n_chars
-        FROM read_parquet('{SRC}/documents.parquet'), r""",
+        f"""SELECT doc_id + k * 5000 AS doc_id, text,
+               lang, source, LENGTH(text) AS n_chars
+        FROM (
+          SELECT doc_id, k,
+                 array_to_string(list_transform(string_split(text, ' '),
+                   (w, i) -> CASE WHEN (i * 2654435761 + k) % 3 = 0
+                             THEN w || 'q' || chr(97 + CAST(k AS INT))
+                             ELSE w END), ' ') AS text,
+                 lang, source
+          FROM read_parquet('{SRC}/documents.parquet'), r
+        )""",
     )
     write(
         "embeddings",
