@@ -293,12 +293,14 @@ _LSH_BUCKETS_CACHE: dict = {}
 
 
 def clear_caches() -> None:
-    """Drop the quantizer + assignment + LSH-index memos."""
+    """Drop the quantizer + assignment + LSH/PQ-index memos."""
     from guagua_spark.memo import unpersist_all
 
     _IVF_CENTROID_CACHE.clear()
+    _PQ_CODEBOOK_CACHE.clear()
     unpersist_all(_IVF_CELLS_CACHE)
     unpersist_all(_LSH_BUCKETS_CACHE)
+    unpersist_all(_PQ_CODES_CACHE)
 
 
 def _lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,9 +980,221 @@ SELECT vec_id, mn, mx, qsum, max_err FROM qrows ORDER BY vec_id
 """.strip()
 
 
+# -- product quantization (the IVF-PQ storage layout) ------------------------
+
+#: PQ geometry: DIM=64 → PQ_M subvectors of DIM/PQ_M dims, PQ_KS
+#: centroids per subquantizer (4-bit codes → 8 codes = 4 bytes/vector,
+#: a 64x compression of float64; the FAISS IVF-PQ layout). PQ_CAND is
+#: the ADC candidate depth fed to the exact rescore stage.
+PQ_M = 8
+PQ_KS = 16
+PQ_CAND = 25
+
+_PQ_CODEBOOK_CACHE: dict = {}
+_PQ_CODES_CACHE: dict = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """(PQ_M, PQ_KS, DIM/PQ_M) subquantizer codebooks, trained with the
+    shared deterministic-sample Lloyd loop (_sample_kmeans) per
+    subspace — memoized per table fingerprint + durable across
+    sessions, exactly like the coarse quantizer. Codebook training on
+    a bounded sample is the FAISS recipe: the sample fits the driver at
+    any corpus size."""
+    from guagua_spark.sources.tables import table_fingerprint
+
+    memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    books = _PQ_CODEBOOK_CACHE.get(memo_key)
+    if books is None:
+        import time
+
+        from guagua_spark import durable
+        from guagua_spark.metrics import record_index_build
+
+        t0 = time.monotonic()
+        stored = durable.load_json(spark, "model:pq_codebooks", memo_key)
+        if stored is not None:
+            books = durable.np_from_jsonable(stored)
+            record_index_build(
+                "pq_codebooks:load", time.monotonic() - t0
+            )
+        else:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            sample = np.array(
+                [
+                    r.embedding
+                    for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
+                    .orderBy("vec_id")
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            dsub = DIM // PQ_M
+            books = np.stack(
+                [
+                    _sample_kmeans(
+                        sample[:, j * dsub : (j + 1) * dsub], PQ_KS
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+            record_index_build("pq_codebooks", time.monotonic() - t0)
+            durable.store_json(
+                spark,
+                "model:pq_codebooks",
+                memo_key,
+                durable.np_to_jsonable(books),
+            )
+        _PQ_CODEBOOK_CACHE.clear()  # one live codebook set
+        _PQ_CODEBOOK_CACHE[memo_key] = books
+    return books
+
+
+def _encode_udf(books: np.ndarray):
+    """PQ encoding as PQ_M small matmuls per Arrow batch: per
+    subspace, argmin_c ‖x_j − c‖² via the ‖c‖² − 2·x_j·c form (same
+    identity as _cell_udf). Returns the per-row code array."""
+    dsub = books.shape[2]
+    sq = (books**2).sum(axis=2)  # (m, ks)
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, DIM)
+        codes = np.empty((m.shape[0], PQ_M), dtype=np.int32)
+        for j in range(PQ_M):
+            xj = m[:, j * dsub : (j + 1) * dsub]
+            d = sq[j][None, :] - 2.0 * (xj @ books[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (vec_id, codes array<int>) PQ-encoded corpus — the
+    compressed index table (4 bytes of codes per vector at this
+    geometry; the embeddings themselves are only read back for the
+    final exact rescore of ≤ PQ_CAND·|q| candidates)."""
+    from guagua_spark.memo import persisted_index
+    from guagua_spark.sources.tables import table_fingerprint
+
+    books = _pq_codebooks(spark, sf_dir)
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        return emb.select(
+            "vec_id", _encode_udf(books)(F.col("embedding")).alias("codes")
+        )
+
+    return persisted_index(
+        _PQ_CODES_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+        "pq_codes",
+        build,
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization + asymmetric distance computation:
+    each query precomputes a (PQ_M × PQ_KS) table of subspace distances
+    to every codebook centroid driver-side; scoring a corpus vector is
+    then PQ_M table lookups over its CODES — the corpus embeddings are
+    never touched until the exact rescore of the top PQ_CAND
+    candidates per query. Completes the compression ladder next to the
+    int8 audit (embedding_quantize_stats): int8 is 4x storage with
+    exact-ish reconstruction, PQ is 64x storage for candidate
+    generation with a rescore stage for accuracy (recall vs brute
+    force asserted in tests/test_similarity.py).
+
+    100 TB shape: the scan side reads ONLY the 4-byte code column
+    (column pruning on the stored code table); the per-batch UDF keeps
+    a local top-PQ_CAND per query, so the shuffle into the global
+    candidate window is (partitions × |q| × PQ_CAND) rows, corpus-
+    independent — the brute-force partial-top-k shape with 64x less
+    I/O. No SQL oracle: the codebooks come from the sampled Lloyd
+    loop (driver-side); the full-pipeline numpy replay in
+    tests/test_similarity.py is the value oracle, the same precedent
+    as infer_nn_scores."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    dsub = books.shape[2]
+    q_rows = sorted(
+        (r.query_id, np.array(r.qe, dtype=np.float64)) for r in q.collect()
+    )
+    # per-query ADC tables: T[i, j, c] = ||q_j - books[j, c]||^2
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (books[j] - qv[j * dsub : (j + 1) * dsub][None, :])
+                        ** 2
+                    ).sum(axis=1)
+                    for j in range(PQ_M)
+                ]
+            )
+            for _, qv in q_rows
+        ]
+    )
+    qids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            all_codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            all_vids = pdf["vec_id"].to_numpy()
+            out = []
+            for i, qid in enumerate(qids):
+                # self-exclusion BEFORE the local cut: pruning the self
+                # row afterwards would leave its partition one
+                # candidate short of PQ_CAND
+                mask = all_vids != qid
+                vids, codes = all_vids[mask], all_codes[mask]
+                adist = tables[i][np.arange(PQ_M)[:, None], codes.T].sum(
+                    axis=0
+                )
+                keep = min(PQ_CAND, len(vids))
+                # tie-STABLE local prune: vectors sharing codes share
+                # adist exactly, so the cut must order by (adist,
+                # vec_id) or the local top-C drops a tied candidate the
+                # global (adist, vec_id) window would have kept
+                loc = np.lexsort((vids, adist))[:keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vids[loc],
+                            "adist": adist[loc],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    local = _pq_codes_df(spark, sf_dir).mapInPandas(
+        score, "query_id long, vec_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    cand = (
+        local.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    return exact_rescore_topk(cand, emb, q).orderBy("query_id", "rank")
+
+
 LOCAL_QUERIES = {
     "embedding_balanced_sample": embedding_balanced_sample,
     "embedding_quantize_stats": embedding_quantize_stats,
+    "ann_pq_topk": ann_pq_topk,  # numpy-replay + recall tested (no SQL)
 }
 LOCAL_ORACLE_SQL = {
     "embedding_balanced_sample": _balanced_sample_oracle(),

@@ -399,7 +399,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores are rounded to 6dp BEFORE ranking so the rank tiebreak
     (score desc, term asc) is engine-portable: ln() may differ from the
     oracle's in the last ulp, never at 1e-6.
+
+    ``bm_*`` (round 7): the BM25 retrieval certificate (bm25_cert_df —
+    top-k row count, Σ round(score·1e6), (query·1000+rank)-weighted
+    doc-id sum), memoized per documents fingerprint and attached as
+    typed literal columns — driver-certifies the bm25_topk LOCAL
+    operator inside this green row (column-merge pattern).
     """
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    bm_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "bm25",
+        ("documents",),
+        "bm_rows bigint, bm_score_e6 bigint, bm_doc_wsum bigint",
+        lambda: bm25_cert_df(spark, sf_dir),
+    )
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(_tokens()).alias("term")
@@ -426,9 +442,193 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
-        .select("doc_id", "rnk", "term", "tfidf")
+        .select("doc_id", "rnk", "term", "tfidf", *bm_cols)
         .orderBy("doc_id", "rnk")
     )
+
+
+# -- BM25 lexical retrieval --------------------------------------------------
+
+#: Okapi BM25 parameters (the Lucene/Robertson defaults) and the fixed
+#: retrieval probes — literal term sets standing in for eval prompts /
+#: retrieval queries (same fixture role as CONTAMINATION_PROBES);
+#: "dup" is the corpus's one rare term, so the probes span the IDF
+#: range instead of all hitting ~every document equally.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+BM25_QUERIES = (
+    (1, ("hash", "join")),
+    (2, ("sort", "merge", "window")),
+    (3, ("dup", "query")),
+)
+
+
+def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (query_id, doc_id, score) Okapi BM25 scores — shared
+    by the standalone top-k query and the bm_* certificate.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Robertson-Spärck
+    Jones, the Lucene form — never negative), tf component
+    tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)). Scores rounded 6dp before
+    any ranking so ln()'s last-ulp engine differences can't flip a
+    tiebreak (the tfidf_top_terms discipline).
+
+    100 TB shape: the probe terms are plan literals, so the explode is
+    followed immediately by a map-side isin filter — only rows whose
+    term IS a probe term survive into the (doc, term) aggregation; the
+    whole retrieval pipeline shuffles the postings of the probe terms,
+    never the corpus. Doc lengths join back via ONE broadcast hash
+    join (the tiny filtered side broadcasts into the length scan), and
+    N/avgdl ride in as a 1-row broadcast. This is exactly an inverted-
+    index probe expressed declaratively; with a STORED posting table
+    (write_bucketed on term — the save_lsh_index pattern) the explode
+    pass disappears too."""
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(_tokens()).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 retrieval per probe query: (query_id, rnk, doc_id,
+    score). The rank window partitions by query_id — bounded per-probe
+    candidate sets here (every candidate contains a probe term); a
+    probe matching half the corpus graduates to the bucketed window
+    escape (functions/scale.py), same as every window-family op."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        _bm25_scores_df(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def bm25_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row integer certificate of the whole retrieval stack: top-k
+    row count, Σ round(score·1e6), and a (query·1000 + rank)-weighted
+    doc-id sum binding WHICH doc lands at WHICH rank of WHICH query."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    topk = (
+        _bm25_scores_df(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+    )
+    return topk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bm_rows"),
+        F.sum(F.round(F.col("score") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("bm_score_e6"),
+        F.sum(
+            (F.col("query_id").cast("bigint") * 1000 + F.col("rnk"))
+            * F.col("doc_id")
+        )
+        .cast("bigint")
+        .alias("bm_doc_wsum"),
+    )
+
+
+def _bm25_ctes() -> str:
+    """``bmq`` → … → ``bmtop`` CTE block replaying the BM25 stack —
+    shared by the standalone oracle and the bm_* certificate splice in
+    the tfidf contract oracle."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    terms = ", ".join(
+        repr(t) for t in sorted({t for _, ts in BM25_QUERIES for t in ts})
+    )
+    return f"""bmq(query_id, term) AS (VALUES {qvals}),
+bmdl AS (
+  SELECT doc_id, CAST(len({_sql_tokens()}) AS DOUBLE) AS dl FROM documents
+),
+bmstats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM bmdl
+),
+bmtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2
+),
+bmdf AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM bmtf GROUP BY 1
+),
+bmsc AS (
+  SELECT q.query_id, t.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * t.tf * ({BM25_K1!r} + 1.0)
+             / (t.tf + {BM25_K1!r}
+                * (1.0 - {BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM bmtf t
+  JOIN bmdf d ON t.term = d.term
+  JOIN bmdl l ON t.doc_id = l.doc_id
+  JOIN bmq q ON t.term = q.term
+  CROSS JOIN bmstats s
+  GROUP BY 1, 2
+),
+bmtop AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM bmsc
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT query_id, rnk, doc_id, score
+FROM bmtop WHERE rnk <= {BM25_TOP_K}
+ORDER BY query_id, rnk
+""".strip()
 
 
 NGRAM_TOP_K = 20
@@ -675,31 +875,9 @@ ORACLE_SQL = {
     # right after this dict literal — the strings live in their home
     # modules)
     "text_fingerprints": None,
-    "text_tfidf_top_terms": f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
-),
-tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
-),
-dfreq AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
-),
-total AS (SELECT COUNT(*) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.term,
-         ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
-  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                               ORDER BY tfidf DESC, term) AS rnk
-  FROM scored
-)
-SELECT doc_id, rnk, term, tfidf
-FROM ranked WHERE rnk <= {TFIDF_TOP_K}
-ORDER BY doc_id, rnk
-""".strip(),
+    # assigned right after this dict literal — splices the bm_*
+    # retrieval certificate CTEs (defined above)
+    "text_tfidf_top_terms": None,
     "text_corpus_bigrams": f"""
 WITH grams AS (
   SELECT unnest(CASE WHEN len({_sql_tokens()}) >= 2 THEN
@@ -774,6 +952,46 @@ FROM base CROSS JOIN cd_cert ORDER BY doc_id
 """.strip()
 
 
+def _tfidf_oracle() -> str:
+    """tfidf_top_terms end-to-end, with the bm_* retrieval certificate
+    (the shared _bm25_ctes block) cross-joined onto every rank row."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+),
+{_bm25_ctes()},
+bmcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bm_rows,
+         CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS BIGINT)
+           AS bm_score_e6,
+         CAST(SUM((query_id * 1000 + rnk) * doc_id) AS BIGINT)
+           AS bm_doc_wsum
+  FROM bmtop WHERE rnk <= {BM25_TOP_K}
+)
+SELECT doc_id, r.rnk, term, tfidf, bm_rows, bm_score_e6, bm_doc_wsum
+FROM ranked r, bmcert WHERE r.rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, r.rnk
+""".strip()
+
+
+ORACLE_SQL["text_tfidf_top_terms"] = _tfidf_oracle()
 ORACLE_SQL["text_token_counts"] = _token_counts_oracle()
 
 
@@ -1141,6 +1359,7 @@ LOCAL_QUERIES = {
     "text_redact_denylist": redact_denylist,
     "text_unigram_logprob": unigram_logprob,
     "text_decontaminate": decontaminate,
+    "text_bm25_topk": bm25_topk,
 }
 
 LOCAL_ORACLE_SQL = {
@@ -1157,4 +1376,5 @@ LOCAL_ORACLE_SQL = {
     "text_redact_denylist": _redact_oracle(),
     "text_unigram_logprob": _unigram_oracle(),
     "text_decontaminate": _decontaminate_oracle(),
+    "text_bm25_topk": _bm25_oracle(),
 }

@@ -133,3 +133,89 @@ def test_quantize_stats_match_oracle_and_error_bound(
     for r in df.collect():
         scale = (r["mx"] - r["mn"]) / 255.0 if r["mx"] != r["mn"] else 1.0
         assert r["max_err"] <= scale / 2 * (1 + 1e-9) + 1e-15, r
+
+
+def test_pq_topk_matches_numpy_replay(spark, oracle_sf_dir):
+    """Full-pipeline value oracle for ann_pq_topk: encoding, the ADC
+    tables, candidate selection, and the exact rescore are replayed in
+    single-process numpy — with the DIRECT squared-distance form where
+    the UDF uses the expanded matmul identity, so a formulation bug
+    can't hide (same discipline as the quantizer-oracle divergence
+    note). No SQL oracle exists for PQ: the codebooks come from the
+    sampled driver-side Lloyd loop, shared by construction."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from guagua_spark.operators import similarity as sim
+
+    got = [
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in sim.LOCAL_QUERIES["ann_pq_topk"](
+            spark, oracle_sf_dir
+        ).collect()
+    ]
+
+    df = pd.read_parquet(os.path.join(oracle_sf_dir, "embeddings.parquet"))
+    order = np.argsort(df["vec_id"].to_numpy())
+    vid = df["vec_id"].to_numpy()[order]
+    M = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+    dsub = sim.DIM // sim.PQ_M
+    sample = M[vid < sim.QUANT_SAMPLE]
+    books = np.stack(
+        [
+            sim._sample_kmeans(sample[:, j * dsub : (j + 1) * dsub], sim.PQ_KS)
+            for j in range(sim.PQ_M)
+        ]
+    )
+    codes = np.empty((len(vid), sim.PQ_M), dtype=np.int64)
+    for j in range(sim.PQ_M):
+        xj = M[:, j * dsub : (j + 1) * dsub]
+        codes[:, j] = (
+            ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        ).argmin(axis=1)
+
+    want = []
+    for qid in range(sim.NUM_QUERIES):
+        qv = M[vid == qid][0]
+        table = np.stack(
+            [
+                ((books[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(
+                    axis=1
+                )
+                for j in range(sim.PQ_M)
+            ]
+        )
+        adist = table[np.arange(sim.PQ_M)[:, None], codes.T].sum(axis=0)
+        mask = vid != qid
+        cand = sorted(zip(adist[mask], vid[mask]))[: sim.PQ_CAND]
+        scored = []
+        for _, v in cand:
+            x = M[vid == v][0]
+            cos = float(
+                np.dot(qv, x)
+                / (np.linalg.norm(qv) * np.linalg.norm(x))
+            )
+            scored.append((-cos, v))
+        for rnk, (negcos, v) in enumerate(sorted(scored)[: sim.TOP_K], 1):
+            want.append((qid, rnk, int(v), -negcos))
+
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (w[0], w[1], w[2]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+def test_pq_recall_vs_bruteforce(spark, oracle_sf_dir, truth):
+    from guagua_spark.operators.similarity import LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["ann_pq_topk"](spark, oracle_sf_dir).collect()
+    found = {(r.query_id, r.neighbor_id) for r in rows}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.4, f"ann_pq_topk recall {recall}"
