@@ -573,6 +573,94 @@ def bm25_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def save_text_index(docs: DataFrame, name: str, n_buckets: int = 16) -> None:
+    """Materialize the full-text index of a (doc_id, text) corpus as
+    stored tables — the deployment form of the BM25 pipeline (the
+    save_lsh_index pattern applied to lexical retrieval):
+
+    - ``<name>_postings`` — (term, doc_id, tf), bucketed by term:
+      probing ANY term set is a bucket-local read + join, no corpus
+      text rescan, no explode.
+    - ``<name>_lengths`` — (doc_id, dl), bucketed by doc_id.
+    - ``<name>_stats`` — 1 row (n_docs, avgdl).
+
+    Unlike the on-the-fly path (which filters the explode to literal
+    probe terms), the stored index carries EVERY term — it serves
+    arbitrary future queries; that is what makes it the write-once
+    form. Overwrites any previous index of the same name."""
+    from guagua_spark.functions.scale import write_bucketed
+
+    base = docs.select(
+        "doc_id", F.size(_tokens()).cast("double").alias("dl"), "text"
+    )
+    postings = (
+        base.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    write_bucketed(postings, f"{name}_postings", ["term"], n_buckets)
+    write_bucketed(
+        base.select("doc_id", "dl"), f"{name}_lengths", ["doc_id"], n_buckets
+    )
+    base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").saveAsTable(f"{name}_stats")
+
+
+def bm25_topk_from_index(
+    spark: SparkSession, name: str, queries=BM25_QUERIES, k: int = BM25_TOP_K
+) -> DataFrame:
+    """BM25 top-k probing the STORED text index: postings, lengths,
+    and corpus stats come from catalog tables — the corpus text is
+    never rescanned, and the probe-term filter lands on the postings
+    table's bucket key. Round-trip equality with the on-the-fly path
+    is asserted in tests/test_index_store.py."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    tf = spark.table(f"{name}_postings").filter(
+        F.col("term").isin(*all_terms)
+    )
+    dl = spark.table(f"{name}_lengths")
+    stats = spark.table(f"{name}_stats")
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id int, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def _bm25_ctes() -> str:
     """``bmq`` → … → ``bmtop`` CTE block replaying the BM25 stack —
     shared by the standalone oracle and the bm_* certificate splice in

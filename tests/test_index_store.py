@@ -200,3 +200,28 @@ def test_streaming_static_side_reads_stored_index(spark, sf_dir, lsh_index):
         )
 
     assert rows(got) == rows(want)
+
+
+def test_stored_text_index_bm25_equals_recompute_path(spark, sf_dir):
+    """The stored full-text index (postings/lengths/stats tables) must
+    reproduce the on-the-fly BM25 pipeline exactly — same top-k rows,
+    same 6dp scores."""
+    from guagua_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        save_text_index,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    save_text_index(docs, "s_text_idx")
+
+    def rows(df):
+        return [
+            (r.query_id, r.rnk, r.doc_id, round(r.score, 9))
+            for r in df.collect()
+        ]
+
+    assert rows(bm25_topk_from_index(spark, "s_text_idx")) == rows(
+        bm25_topk(spark, sf_dir)
+    )
