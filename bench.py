@@ -134,7 +134,11 @@ def main() -> None:
     prev_plans = {}
     try:
         with open(out_path) as f:
-            prev_plans = json.load(f).get("plans", {})
+            prev = json.load(f)
+        # only diff like-for-like: AQE may legitimately pick different
+        # plans at a different scale factor
+        if prev.get("sf") == sf:
+            prev_plans = prev.get("plans", {})
     except (OSError, ValueError):
         pass
     regressions = {
