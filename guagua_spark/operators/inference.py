@@ -173,6 +173,46 @@ def load_lr_model(
     return tuple(r["weight"] for r in rows)
 
 
+def save_nn_model(spark: SparkSession, name: str, sf_dir: str) -> None:
+    """Persist the engine-trained NN as a catalog table — the stored
+    form of trained_nn_model, one row per parameter: (layer, kind
+    'W'|'b', i, j, value). Any session (or another team's scorer)
+    reconstructs the [(W1,b1),(W2,b2)] layout and scores with the SAME
+    unrolled plan nn_score_col builds for fresh weights. Overwrites a
+    previous model of the same name (retrain-and-replace)."""
+    rows = []
+    for layer, (w, b) in enumerate(trained_nn_model(spark, sf_dir)):
+        for i in range(w.shape[0]):
+            for j in range(w.shape[1]):
+                rows.append((layer, "W", i, j, float(w[i, j])))
+        for j in range(b.shape[0]):
+            rows.append((layer, "b", 0, j, float(b[j])))
+    spark.createDataFrame(
+        rows, "layer int, kind string, i int, j int, value double"
+    ).write.mode("overwrite").saveAsTable(name)
+
+
+def load_nn_model(spark: SparkSession, name: str):
+    """Stored NN model → the [(W,b), ...] numpy layout nn_score_col
+    consumes. Driver-sized collect (41 rows for the [4,8,1] net)."""
+    import numpy as np
+
+    rows = spark.table(name).collect()
+    layers = sorted({r.layer for r in rows})
+    out = []
+    for layer in layers:
+        ws = [r for r in rows if r.layer == layer and r.kind == "W"]
+        bs = [r for r in rows if r.layer == layer and r.kind == "b"]
+        w = np.zeros((max(r.i for r in ws) + 1, max(r.j for r in ws) + 1))
+        for r in ws:
+            w[r.i, r.j] = r.value
+        b = np.zeros(max(r.j for r in bs) + 1)
+        for r in bs:
+            b[r.j] = r.value
+        out.append((w, b))
+    return out
+
+
 def lr_score_col(weights: tuple[float, float, float]):
     """sigmoid(w·x) over (l_quantity, l_discount) with the weights
     inlined as plan literals, rounded to 6dp (see module docstring) —

@@ -513,6 +513,107 @@ LIMIT {WSAMPLE_K}
 """.strip()
 
 
+#: temperature for the rebalanced source mixture: sampling probability
+#: p_s ∝ n_s^(1/T) with 1/T = 0.5 — the multilingual-LM recipe
+#: (upsample the tail, downsample the head) with α = 0.5 EXACTLY so
+#: the weight is sqrt(n): IEEE requires sqrt to be correctly rounded,
+#: so both engines derive bit-identical rates (pow/exp would not be).
+TEMP_TARGET_FRAC = 0.6
+
+
+def pipeline_temperature_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-rebalanced source mixture: target sampling
+    probability p_s ∝ sqrt(n_s), keep-rate_s = min(1, target·p_s/n_s)
+    with target = TEMP_TARGET_FRAC·N — over-represented sources get
+    down-sampled toward the tempered distribution while small sources
+    are kept whole; membership is the deterministic md5-Bernoulli rule
+    (u32('tmix'|doc_id) < rate·2³²), reproducible engine-to-engine and
+    under repartitioning. Output per source: n_docs, the tempered
+    rate, kept count, kept-id sum (binds WHICH docs).
+
+    100 TB shape: one partial-agg exchange for source counts (bounded
+    = |sources| rows), the normalizer and target ride a 1-row
+    broadcast, the keep rule is a map-side hash predicate on the
+    second scan — the same skeleton as pipeline_source_mix, with the
+    rate LAW swapped. Float-exactness: sqrt is correctly rounded by
+    IEEE; the only order-dependent float is the |sources|-term
+    normalizer sum, whose last-ulp noise moves the 2³²-scaled keep
+    threshold by ~1e-6 of one u32 step — a flip needs a doc's hash
+    inside that window (P ≈ 2e-16 per doc)."""
+    from guagua_spark.functions.scale import u32_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    norm = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_TARGET_FRAC)
+            * F.col("n_total")
+            * F.sqrt(F.col("n_docs"))
+            / F.col("z")
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    keep = u32_hash("tmix", F.col("doc_id").cast("string")) < (
+        F.col("rate") * float(2**32)
+    )
+    return (
+        docs.join(rates, "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.round(F.min("rate"), 6).alias("rate"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _temperature_mix_oracle() -> str:
+    u32 = (
+        "CAST(('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+norm AS (
+  SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z, SUM(n_docs) AS n_total
+  FROM counts
+),
+rates AS (
+  SELECT source, n_docs,
+         LEAST(1.0, {TEMP_TARGET_FRAC!r} * n_total
+               * sqrt(CAST(n_docs AS DOUBLE)) / z / n_docs) AS rate
+  FROM counts, norm
+)
+SELECT d.source, CAST(MIN(r.n_docs) AS BIGINT) AS n_docs,
+       ROUND(MIN(r.rate), 6) AS rate,
+       CAST(SUM(CASE WHEN {u32} < r.rate * 4294967296.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN {u32} < r.rate * 4294967296.0
+                THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source ORDER BY d.source
+""".strip()
+
+
 def corpus_diff(
     old_df: DataFrame,
     new_df: DataFrame,
@@ -759,6 +860,7 @@ rcert AS (
 LOCAL_QUERIES = {
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_source_mix": pipeline_source_mix,
+    "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_weighted_sample": pipeline_weighted_sample,
     "pipeline_corpus_diff": pipeline_corpus_diff,
     "pipeline_incremental_chunks": pipeline_incremental_chunks,
@@ -767,6 +869,7 @@ LOCAL_QUERIES = {
 LOCAL_ORACLE_SQL = {
     "pipeline_stratified_sample": _stratified_oracle(),
     "pipeline_source_mix": _source_mix_oracle(),
+    "pipeline_temperature_mix": _temperature_mix_oracle(),
     "pipeline_weighted_sample": _weighted_sample_oracle(),
     "pipeline_corpus_diff": _corpus_diff_oracle(),
     "pipeline_incremental_chunks": _incremental_chunks_oracle(),

@@ -146,3 +146,25 @@ def test_ranked_relation_memoized_per_model_version(spark, oracle_sf_dir):
     r3 = inf._ranked_scored(spark, oracle_sf_dir)
     assert r3 is not r1
     assert inf._RANKED_CACHE[oracle_sf_dir][0] == (fp, w)
+
+
+def test_stored_nn_model_round_trip(spark, oracle_sf_dir):
+    """save_nn_model/load_nn_model: the catalog round trip must
+    reproduce the trained weights bit-exactly, so the reconstructed
+    unrolled scoring plan equals the fresh-trained one."""
+    import numpy as np
+
+    from guagua_spark.operators.inference import (
+        load_nn_model,
+        save_nn_model,
+        trained_nn_model,
+    )
+
+    save_nn_model(spark, "t_nn_model", oracle_sf_dir)
+    save_nn_model(spark, "t_nn_model", oracle_sf_dir)  # overwrite ok
+    got = load_nn_model(spark, "t_nn_model")
+    want = trained_nn_model(spark, oracle_sf_dir)
+    assert len(got) == len(want)
+    for (gw, gb), (ww, wb) in zip(got, want):
+        assert np.array_equal(gw, ww) and np.array_equal(gb, wb)
+    spark.sql("DROP TABLE IF EXISTS t_nn_model")
