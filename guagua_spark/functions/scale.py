@@ -294,6 +294,50 @@ def assign_dense_ids(
     )
 
 
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rank",
+    pin: bool = False,
+) -> DataFrame:
+    """Top-k rows per key WITHOUT sorting a whole hot key in one task
+    — the window-family escape for `row_number() OVER (PARTITION BY
+    key ORDER BY ...)` + `rank <= k` when one key dominates:
+
+    1. rank within (keys, salt) and keep k survivors per salt — each
+       sort unit holds ~1/n_salts of the hot key;
+    2. rank the ≤ k·n_salts survivors per key — bounded however hot
+       the key is.
+
+    Equivalent to the single window for any data PROVIDED ``order_by``
+    is a TOTAL order (append a unique tiebreak column — ties straddling
+    salts would otherwise resolve by salt placement): under a total
+    order, every global top-k row of a salt is in that salt's local
+    top-k, so phase 1 never discards a winner. The salt is the same
+    per-partition-record-index rule as salted_agg and inherits its
+    order-stability contract (pass ``pin=True`` for shuffle-rooted
+    inputs)."""
+    from pyspark.sql.window import Window
+
+    if pin:
+        df = df.localCheckpoint(eager=True)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(w2)
+    ).filter(F.col(rank_col) <= k)
+
+
 # -- hot-key escapes for the WINDOW family ---------------------------------
 #
 # AQE splits skewed JOIN partitions and salted_agg covers groupBy, but a

@@ -425,3 +425,34 @@ def test_rollup_maintenance_property_random_splits(spark):
         spark.sql("DROP TABLE IF EXISTS t_prop_rollup")
 
     check()
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """salted_topk must equal the single-window top-k for any data
+    under a total order — including a hot key holding half the rows
+    and k larger than some groups."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from guagua_spark.functions.scale import salted_topk
+
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 2 == 0, "hot")
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("key"),
+        (F.col("id") * 2654435761 % 1000003).alias("score"),
+        F.col("id"),
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    got = sorted(
+        tuple(r)
+        for r in salted_topk(df, ["key"], order, 25).collect()
+    )
+    w = Window.partitionBy("key").orderBy(*order)
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .collect()
+    )
+    assert got == want
