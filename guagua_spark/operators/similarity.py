@@ -1191,10 +1191,101 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rescore_topk(cand, emb, q).orderBy("query_id", "rank")
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS billion-vector layout: IVF cell probing PRUNES
+    the corpus to each query's IVF_NPROBE nearest cells, PQ/ADC scores
+    only those survivors from 4-byte codes, and the exact cosine
+    rescore runs over the top PQ_CAND. Composes the two stored-index
+    memos (cells + codes) it shares with ann_ivf_topk / ann_pq_topk:
+    at 100 TB the scan reads the (cell, codes) columns of the index
+    dataset — bucketed/partitioned by cell, so probing is partition
+    pruning — and the corpus embeddings surface only for the ≤
+    PQ_CAND·|q| rescore rows. Numpy full-pipeline replay + recall
+    tests, same oracle style as ann_pq_topk."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    centroids = _quantizer_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    dsub = books.shape[2]
+    q_rows = sorted(
+        (r.query_id, np.array(r.qe, dtype=np.float64)) for r in q.collect()
+    )
+    probe_rows = []
+    adc_tables = {}
+    for qid, qv in q_rows:
+        d = np.linalg.norm(centroids - qv, axis=1)
+        for cell in np.argsort(d, kind="stable")[:IVF_NPROBE]:
+            probe_rows.append((qid, int(cell)))
+        adc_tables[qid] = np.stack(
+            [
+                (
+                    (books[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2
+                ).sum(axis=1)
+                for j in range(PQ_M)
+            ]
+        )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, pcell int"
+    )
+    # candidate rows: (query_id, vec_id, codes) — cell probe as a
+    # broadcast join of the tiny probe set into the joined index
+    idx = _pq_codes_df(spark, sf_dir).join(
+        _ivf_cells_df(spark, sf_dir), "vec_id"
+    )
+    cand_codes = idx.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "codes")
+
+    qids = sorted(adc_tables)
+    tables = np.stack([adc_tables[qid] for qid in qids])
+    qpos = {qid: i for i, qid in enumerate(qids)}
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for qid, grp in pdf.groupby("query_id"):
+                codes = np.stack(grp["codes"].to_numpy())
+                adist = tables[qpos[qid]][
+                    np.arange(PQ_M)[:, None], codes.T
+                ].sum(axis=0)
+                vids = grp["vec_id"].to_numpy()
+                keep = min(PQ_CAND, len(vids))
+                loc = np.lexsort((vids, adist))[:keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vids[loc],
+                            "adist": adist[loc],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    local = cand_codes.mapInPandas(
+        score, "query_id long, vec_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    cand = (
+        local.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    return exact_rescore_topk(cand, emb, q).orderBy("query_id", "rank")
+
+
 LOCAL_QUERIES = {
     "embedding_balanced_sample": embedding_balanced_sample,
     "embedding_quantize_stats": embedding_quantize_stats,
     "ann_pq_topk": ann_pq_topk,  # numpy-replay + recall tested (no SQL)
+    "ann_ivfpq_topk": ann_ivfpq_topk,  # numpy-replay + recall tested
 }
 LOCAL_ORACLE_SQL = {
     "embedding_balanced_sample": _balanced_sample_oracle(),

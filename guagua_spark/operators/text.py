@@ -499,8 +499,14 @@ def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+    # df via a window over the ALREADY-aggregated tf relation (the
+    # tfidf_top_terms shape): a separate groupBy would re-evaluate the
+    # whole explode+filter subtree — one more corpus scan for nothing
+    tf = tf.withColumn(
+        "df",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("term"))
+        .cast("double"),
     )
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
@@ -520,8 +526,7 @@ def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(q), "term")
         .groupBy("query_id", "doc_id")

@@ -213,6 +213,10 @@ def test_stored_text_index_bm25_equals_recompute_path(spark, sf_dir):
     )
     from guagua_spark.sources.tables import load_table
 
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_postings", "_lengths", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS s_text_idx{suffix}")
+        shutil.rmtree(f"{wh}/s_text_idx{suffix}", ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     save_text_index(docs, "s_text_idx")
 

@@ -303,3 +303,38 @@ def test_weighted_sample_is_take_ordered(spark, oracle_sf_dir):
     assert "TakeOrderedAndProject" in p, p
     # a global Sort would be the scale bug this helper exists to avoid
     assert "Sort [" not in p.replace("TakeOrderedAndProject", ""), p
+
+
+def _final(p: str) -> str:
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_bm25_probe_prunes_and_filters_terms(spark, oracle_sf_dir):
+    """The BM25 pipeline must read only (doc_id, text) from documents,
+    touch the corpus in exactly three passes (probe postings, lengths,
+    corpus stats — the stored-index path, bm25_topk_from_index, does
+    ZERO), and carry the literal probe-term IN-filter so only probe
+    postings ever reach the (doc, term) aggregation."""
+    from guagua_spark.operators.text import bm25_topk
+
+    df = bm25_topk(spark, oracle_sf_dir)
+    df.collect()
+    p = _final(_plan(df))
+    assert p.count("Scan parquet") == 3, p
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        assert "lang" not in m.group(1) and "source" not in m.group(1), p
+    assert re.search(r"term#\d+ IN \(", p), p
+
+
+def test_pq_scoring_never_single_partition(spark, oracle_sf_dir):
+    """PQ ADC scoring + the candidate window must stay parallel: the
+    window partitions by query_id (hash exchange), never
+    SinglePartition, and the codes come from the persisted index
+    relation rather than a fresh embedding scan per call."""
+    from guagua_spark.operators.similarity import LOCAL_QUERIES
+
+    df = LOCAL_QUERIES["ann_pq_topk"](spark, oracle_sf_dir)
+    df.collect()
+    p = _final(_plan(df))
+    assert "Exchange SinglePartition" not in p, p
+    assert "InMemoryTableScan" in p, p

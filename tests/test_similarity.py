@@ -219,3 +219,83 @@ def test_pq_recall_vs_bruteforce(spark, oracle_sf_dir, truth):
     assert len(by_q) == 5
     recall = len(found & truth) / len(truth)
     assert recall >= 0.4, f"ann_pq_topk recall {recall}"
+
+
+def test_ivfpq_topk_matches_numpy_replay(spark, oracle_sf_dir):
+    """Full-pipeline value oracle for the combined IVF-PQ path: coarse
+    cell assignment + probing, PQ encoding, ADC over the probed cells
+    only, and the exact rescore — all replayed in single-process numpy
+    with direct distance forms."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from guagua_spark.operators import similarity as sim
+
+    got = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim.LOCAL_QUERIES["ann_ivfpq_topk"](
+            spark, oracle_sf_dir
+        ).collect()
+    ]
+
+    df = pd.read_parquet(os.path.join(oracle_sf_dir, "embeddings.parquet"))
+    order = np.argsort(df["vec_id"].to_numpy())
+    vid = df["vec_id"].to_numpy()[order]
+    M = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+    sample = M[vid < sim.QUANT_SAMPLE]
+    cents = sim._sample_kmeans(sample, sim.IVF_CELLS)
+    cells = (
+        ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ).argmin(axis=1)
+    dsub = sim.DIM // sim.PQ_M
+    books = np.stack(
+        [
+            sim._sample_kmeans(sample[:, j * dsub : (j + 1) * dsub], sim.PQ_KS)
+            for j in range(sim.PQ_M)
+        ]
+    )
+    codes = np.empty((len(vid), sim.PQ_M), dtype=np.int64)
+    for j in range(sim.PQ_M):
+        xj = M[:, j * dsub : (j + 1) * dsub]
+        codes[:, j] = (
+            ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        ).argmin(axis=1)
+
+    want = []
+    for qid in range(sim.NUM_QUERIES):
+        qv = M[vid == qid][0]
+        d = np.linalg.norm(cents - qv, axis=1)
+        probed = set(np.argsort(d, kind="stable")[: sim.IVF_NPROBE])
+        table = np.stack(
+            [
+                ((books[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(
+                    axis=1
+                )
+                for j in range(sim.PQ_M)
+            ]
+        )
+        adist = table[np.arange(sim.PQ_M)[:, None], codes.T].sum(axis=0)
+        mask = (vid != qid) & np.isin(cells, list(probed))
+        cand = sorted(zip(adist[mask], vid[mask]))[: sim.PQ_CAND]
+        scored = []
+        for _, v in cand:
+            x = M[vid == v][0]
+            cos = float(
+                np.dot(qv, x) / (np.linalg.norm(qv) * np.linalg.norm(x))
+            )
+            scored.append((-cos, v))
+        for rnk, (_, v) in enumerate(sorted(scored)[: sim.TOP_K], 1):
+            want.append((qid, rnk, int(v)))
+    assert got == want
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, oracle_sf_dir, truth):
+    from guagua_spark.operators.similarity import LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["ann_ivfpq_topk"](spark, oracle_sf_dir).collect()
+    found = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len({r.query_id for r in rows}) == 5
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.4, f"ann_ivfpq_topk recall {recall}"
