@@ -578,6 +578,68 @@ def bm25_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_index_stats(spark: SparkSession, name: str) -> dict:
+    """Probe-relevant statistics of a STORED text index — df per probe
+    term, n_docs, avgdl — as a tiny driver-side dict (|probe terms| +
+    2 scalars): the 'model' a deployed BM25 scorer carries. Index-time
+    statistics are the standard BM25 serving contract (scores stay
+    comparable across a model version; a re-index refreshes them)."""
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    df_rows = (
+        spark.table(f"{name}_postings")
+        .filter(F.col("term").isin(*all_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .collect()
+    )
+    s = spark.table(f"{name}_stats").first()
+    return {
+        "df": {r.term: r.df for r in df_rows},
+        "n_docs": float(s.n_docs),
+        "avgdl": float(s.avgdl),
+    }
+
+
+def bm25_doc_score_cols(stats: dict):
+    """Per-probe-query BM25 score COLUMNS over a (doc_id, text)
+    relation, with every corpus statistic inlined as a plan literal
+    (idf computed driver-side from the stored-index stats) — shared by
+    the batch scorer and the streaming twin so the two cannot drift.
+    Pure map-side codegen: per-term tf is an array filter over the
+    token split, dl its size; works unchanged on bounded and unbounded
+    relations (the lr_score_col philosophy applied to retrieval)."""
+    import math
+
+    toks = _tokens()
+    dl = F.size(toks).cast("double")
+    cols = []
+    for qid, terms in BM25_QUERIES:
+        score = F.lit(0.0)
+        for t in terms:
+            df_t = stats["df"].get(t, 0.0)
+            if df_t <= 0:
+                continue  # unseen term: tf would be 0 anyway at serve
+            idf = math.log(
+                1.0 + (stats["n_docs"] - df_t + 0.5) / (df_t + 0.5)
+            )
+            tf = F.size(
+                F.filter(toks, lambda w: w == F.lit(t))
+            ).cast("double")
+            score = score + F.lit(idf) * tf * (BM25_K1 + 1.0) / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * dl / stats["avgdl"])
+            )
+        cols.append(F.round(score, 6).alias(f"q{qid}_score"))
+    return cols
+
+
+def bm25_score_docs(docs: DataFrame, stats: dict) -> DataFrame:
+    """Batch form of the stored-stats BM25 scorer: one map-side pass
+    adding a score column per probe query."""
+    return docs.select("doc_id", *bm25_doc_score_cols(stats))
+
+
 def save_text_index(docs: DataFrame, name: str, n_buckets: int = 16) -> None:
     """Materialize the full-text index of a (doc_id, text) corpus as
     stored tables — the deployment form of the BM25 pipeline (the

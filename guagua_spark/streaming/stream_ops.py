@@ -258,6 +258,37 @@ def streaming_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_bm25_score(
+    spark: SparkSession, sf_dir: str, index_name: str
+) -> DataFrame:
+    """Streaming twin of the stored-stats BM25 scorer: INDEX OFFLINE
+    (save_text_index), SCORE THE STREAM — each incoming document gets
+    its per-probe-query BM25 scores with every corpus statistic (df,
+    n_docs, avgdl) inlined as plan literals read ONCE from the stored
+    index at query-construction time (text_index_stats). Stateless
+    map-side codegen via the SAME bm25_doc_score_cols expression the
+    batch scorer uses: no state store, no stream-static join per
+    batch, and a replayed record re-scores identically. A re-index is
+    a query restart, exactly streaming_score's model-refresh
+    contract."""
+    from guagua_spark.operators.text import (
+        bm25_doc_score_cols,
+        text_index_stats,
+    )
+
+    stats = text_index_stats(spark, index_name)
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return docs.select("doc_id", *bm25_doc_score_cols(stats))
+
+
 def streaming_rollup_maintenance(
     spark: SparkSession,
     sf_dir: str,

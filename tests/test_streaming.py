@@ -300,3 +300,32 @@ def test_streaming_psi_monitor_bins_match_batch(spark, sf_dir):
         for r in rows
     )
     assert abs(psi) < 1e-12  # monitored == reference -> zero drift
+
+
+def test_streaming_bm25_score_matches_batch(spark, sf_dir):
+    """Index-offline/score-the-stream for retrieval: the availableNow
+    drain must equal the batch scorer over the same table — corpus
+    statistics are plan literals from the stored index, the scoring
+    expression is shared (bm25_doc_score_cols)."""
+    import shutil
+
+    from guagua_spark.operators.text import (
+        bm25_score_docs,
+        save_text_index,
+        text_index_stats,
+    )
+    from guagua_spark.streaming import streaming_bm25_score
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_postings", "_lengths", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS st_bm25{suffix}")
+        shutil.rmtree(f"{wh}/st_bm25{suffix}", ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    save_text_index(docs, "st_bm25")
+
+    got = run_available_now(
+        streaming_bm25_score(spark, sf_dir, "st_bm25"), "s_bm25", "append"
+    )
+    want = bm25_score_docs(docs, text_index_stats(spark, "st_bm25"))
+    cols = ("doc_id", "q1_score", "q2_score", "q3_score")
+    assert _rows(got, *cols) == _rows(want, *cols)
