@@ -73,3 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key (omitted ⇒ rows-only check)."""
     return _gather("ORACLE_SQL")
+
+
+def local_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The extension surface OUTSIDE the 50-slot driver contract —
+    per-module LOCAL_QUERIES, oracle-tested in pytest (tests/oracle.py)
+    and timed by bench.py's LOCAL lane. Not part of the driver's
+    correctness sweep (the contract is capped at 50); certificates
+    fold their math into contract rows instead (SURVEY.md §7)."""
+    return _gather("LOCAL_QUERIES")

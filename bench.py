@@ -125,11 +125,30 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 4),
         "sf": sf,
     }
+    # LOCAL lane (file only): one timed pass over every LOCAL_QUERIES
+    # operator — the extension surface outside the 50-slot contract
+    # (BM25, PQ/IVF-PQ, temperature mix, corpus diff, ...) gets cost
+    # visibility too, with index builds attributed the same way
+    local: dict[str, float] = {}
+    for name, fn in entry_mod.local_queries().items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        elapsed = time.monotonic() - t0
+        for iname, secs in drain_index_builds().items():
+            local[iname] = round(local.get(iname, 0.0) + secs, 4)
+            elapsed -= secs
+        local[name] = round(max(elapsed, 0.0), 4)
+    result["local"] = local
+    result["local_total"] = round(sum(local.values()), 4)
+
     # stdout stays the compact one-line contract (the driver's
     # artifact keeps only a tail of stdout and has truncated the warm
-    # lane mid-dict before); plan metrics + a regression diff go to
-    # the file copy only
-    print(json.dumps(result))
+    # lane mid-dict before); plan metrics + a regression diff + the
+    # LOCAL lane go to the file copy only
+    stdout_result = {
+        k: v for k, v in result.items() if k not in ("local",)
+    }
+    print(json.dumps(stdout_result))
     out_path = os.path.join(_REPO, "BENCH_LOCAL.json")
     prev_plans = {}
     try:
