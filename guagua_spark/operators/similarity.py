@@ -895,7 +895,14 @@ def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max) — NO libm calls — so per-row values are bit-identical
     between Spark and DuckDB and integer rollups over them are safe to
     hash-compare (the same argument as the dedup md5 rules, weaker
-    than it looks only for exp/log-based scores)."""
+    than it looks only for exp/log-based scores).
+
+    ensure_parallelism on the input: higher-order array functions
+    (transform/aggregate) evaluate INTERPRETED per element, and a
+    small parquet file scans as ONE partition — without the fan-out
+    the whole ~400-op/row chain ran in a single task (measured 5.7 s
+    warm at sf0.1 vs sub-second fanned; a 100 TB scan has thousands
+    of splits, so this is a no-op at scale)."""
     e = F.col("embedding").cast("array<double>")
     mn, mx = F.array_min(e), F.array_max(e)
     sc = F.when(mx != mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
@@ -903,7 +910,9 @@ def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon_err = F.transform(
         e, lambda x: F.abs(x - (mn + F.round((x - mn) / sc) * sc))
     )
-    return load_table(spark, sf_dir, "embeddings").select(
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings"), spark
+    ).select(
         "vec_id",
         mn.alias("mn"),
         mx.alias("mx"),

@@ -1178,9 +1178,17 @@ ORACLE_SQL["text_fingerprints"] = _fingerprints_oracle()
 
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document n-gram repetition ratio (1 − distinct/total) —
-    the standard 'repetitious document' quality filter. Single codegen
-    scan, no shuffle beyond the presentation sort."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    the standard 'repetitious document' quality filter. Single pass,
+    no shuffle beyond the presentation sort; ensure_parallelism fans
+    the per-row gram build + array_distinct (interpreted HOFs) out of
+    a small file's single scan partition (measured 7.5 s warm at
+    sf0.1 single-task vs sub-second fanned; no-op at real scale)."""
+    from guagua_spark.functions.scale import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
     g = _grams_col(REP_GRAM)
     n = F.size(g)
     d = F.size(F.array_distinct(g))
