@@ -1223,8 +1223,15 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     by gram — deterministic). Per-doc array_distinct BEFORE the explode
     keeps the shuffle one row per (doc, gram), so a gram repeated
     inside one doc can't inflate its count, and the count is a plain
-    count(1), not a countDistinct expand."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    count(1), not a countDistinct expand. ensure_parallelism fans the
+    per-row gram build + array_distinct (interpreted HOFs) out of a
+    small file's single scan partition — no-op at real scale."""
+    from guagua_spark.functions.scale import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
     exploded = docs.select(
         F.explode(F.array_distinct(_grams_col(BOILER_GRAM))).alias("gram")
     )
@@ -1324,7 +1331,14 @@ def decontaminate_df(docs: DataFrame) -> DataFrame:
     """Core per-training-doc decontamination rollup over a
     (doc_id, text) DataFrame — shared by the standalone LOCAL query and
     the corpus-level certificate columns merged into
-    text_contamination (see decontaminate for the plan notes)."""
+    text_contamination (see decontaminate for the plan notes).
+    ensure_parallelism: the per-row gram build is an interpreted HOF
+    running below the first exchange — fanned out of a small file's
+    single scan partition (measured 2.6 s warm at sf0.1 single-task;
+    no-op at real scale)."""
+    from guagua_spark.functions.scale import ensure_parallelism
+
+    docs = ensure_parallelism(docs, docs.sparkSession)
     grams = _decon_grams()
     train = docs.filter(F.col("doc_id") >= DECON_HELDOUT).select(
         "doc_id", F.explode_outer(grams).alias("g")
