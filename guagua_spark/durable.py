@@ -186,6 +186,40 @@ def store_json(spark: SparkSession, name: str, key, data) -> bool:
     return True
 
 
+def durable_model(
+    spark: SparkSession,
+    store_name: str,
+    metric_name: str,
+    key,
+    build,
+    encode=lambda v: v,
+    decode=lambda v: v,
+):
+    """The load-else-build-and-store contract every driver-side model
+    artifact (LR/NN weights, quantizer centroids, PQ codebooks, k-means
+    init) shares — ONE implementation so a change to the invalidation
+    or attribution rules lands everywhere at once (round-7 review):
+    durable hit → decode + ``_index:<metric>:load``; miss → build
+    inside timed_index_build (nested builds record self-time) +
+    write-through. Callers keep only their thin process-memo layer."""
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build, timed_index_build
+
+    t0 = _time.monotonic()
+    stored = load_json(spark, store_name, key)
+    if stored is not None:
+        val = decode(stored)
+        record_index_build(
+            f"{metric_name}:load", _time.monotonic() - t0
+        )
+        return val
+    with timed_index_build(metric_name):
+        val = build()
+        store_json(spark, store_name, key, encode(val))
+    return val
+
+
 # -- parquet frame tier ------------------------------------------------------
 
 

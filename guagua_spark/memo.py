@@ -68,16 +68,29 @@ def persisted_index(
     spark = SparkSession.getActiveSession()
     dkey = (index_name, sf_dir, fingerprint)
     t0 = time.monotonic()
-    stored = (
-        durable.load_frame(spark, index_name, dkey) if spark else None
-    )
-    if stored is not None:
-        df = stored.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        record_index_build(
-            f"{index_name}:load", time.monotonic() - t0
+    df = None
+    try:
+        stored = (
+            durable.load_frame(spark, index_name, dkey) if spark else None
         )
-    else:
+        if stored is not None:
+            df = stored.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            record_index_build(
+                f"{index_name}:load", time.monotonic() - t0
+            )
+    except Exception:
+        # the module's concurrency contract: a torn read (e.g. a
+        # concurrent store_frame replacing the directory mid-scan —
+        # surfaces as a Spark analysis/IO error, not OSError) degrades
+        # to a rebuild, never an aborted query
+        try:
+            if df is not None:
+                df.unpersist()
+        except Exception:
+            pass
+        df = None
+    if df is None:
         # timed: build() may trigger nested memo builds (the IVF cell
         # table builds the quantizer), which must record self-time only
         with timed_index_build(index_name):

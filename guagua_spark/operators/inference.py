@@ -46,13 +46,10 @@ data, and tolerated by the tests' 1e-9 rtol everywhere it could matter.
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guagua_spark.functions.scale import assign_dense_ids
-from guagua_spark.metrics import record_index_build
 from guagua_spark.operators.iterative import _cached_persisted
 from guagua_spark.operators.lr_sql import (
     DECILE_QS as _DECILE_QS,
@@ -112,25 +109,13 @@ def trained_lr_weights(
         return hit[1]
     from guagua_spark import durable
 
-    t0 = time.monotonic()
-    stored = durable.load_json(
-        spark, "model:lr_weights", (sf_dir, fp)
-    )
-    if stored is not None:
-        weights = tuple(stored)
-        record_index_build(
-            "model:lr_weights:load", time.monotonic() - t0
+    def build() -> tuple:
+        from guagua_spark.algorithms.gradient import (
+            GradientDescentMaster,
+            LogisticGradientWorker,
         )
-        _MODEL_CACHE[sf_dir] = (fp, weights)
-        return weights
-    from guagua_spark.algorithms.gradient import (
-        GradientDescentMaster,
-        LogisticGradientWorker,
-    )
-    from guagua_spark.engine import IterativeEngine
-    from guagua_spark.metrics import timed_index_build
+        from guagua_spark.engine import IterativeEngine
 
-    with timed_index_build("model:lr_weights"):  # nests features:lr
         model = IterativeEngine(spark).run(
             GradientDescentMaster(dim=2, learning_rate=0.5),
             LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
@@ -138,10 +123,17 @@ def trained_lr_weights(
             total_iteration=5,
             persist=False,
         )
-        weights = tuple(round(float(x), 6) for x in model.weights)
-        durable.store_json(
-            spark, "model:lr_weights", (sf_dir, fp), list(weights)
-        )
+        return tuple(round(float(x), 6) for x in model.weights)
+
+    weights = durable.durable_model(
+        spark,
+        "model:lr_weights",
+        "model:lr_weights",  # nests features:lr (timed self-time)
+        (sf_dir, fp),
+        build,
+        encode=list,
+        decode=tuple,
+    )
     _MODEL_CACHE[sf_dir] = (fp, weights)
     return weights
 
@@ -418,30 +410,17 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
         return hit[1]
     from guagua_spark import durable
 
-    t0 = time.monotonic()
-    stored = durable.load_json(spark, "model:nn_weights", (sf_dir, fp))
-    if stored is not None:
-        weights = [
-            (durable.np_from_jsonable(w), durable.np_from_jsonable(b))
-            for w, b in stored
-        ]
-        record_index_build(
-            "model:nn_weights:load", time.monotonic() - t0
+    def build():
+        from guagua_spark.algorithms.nn import NNMaster, NNWorker
+        from guagua_spark.engine import IterativeEngine
+        from guagua_spark.operators.iterative import (
+            NN_GD_LAYERS,
+            NN_GD_LR,
+            NN_GD_ROUNDS,
+            _nn_features,
+            _nn_partitions,
         )
-        _MODEL_CACHE[("nn", sf_dir)] = (fp, weights)
-        return weights
-    from guagua_spark.algorithms.nn import NNMaster, NNWorker
-    from guagua_spark.engine import IterativeEngine
-    from guagua_spark.metrics import timed_index_build
-    from guagua_spark.operators.iterative import (
-        NN_GD_LAYERS,
-        NN_GD_LR,
-        NN_GD_ROUNDS,
-        _nn_features,
-        _nn_partitions,
-    )
 
-    with timed_index_build("model:nn_weights"):  # nests features:nn
         li = _cached_persisted(
             "nn",
             sf_dir,
@@ -460,17 +439,25 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
             total_iteration=NN_GD_ROUNDS,
             persist=False,
         )
-        durable.store_json(
-            spark,
-            "model:nn_weights",
-            (sf_dir, fp),
-            [
-                [durable.np_to_jsonable(w), durable.np_to_jsonable(b)]
-                for w, b in model.weights
-            ],
-        )
-    _MODEL_CACHE[("nn", sf_dir)] = (fp, model.weights)
-    return model.weights
+        return model.weights
+
+    weights = durable.durable_model(
+        spark,
+        "model:nn_weights",
+        "model:nn_weights",  # nests features:nn (timed self-time)
+        (sf_dir, fp),
+        build,
+        encode=lambda ws: [
+            [durable.np_to_jsonable(w), durable.np_to_jsonable(b)]
+            for w, b in ws
+        ],
+        decode=lambda ws: [
+            (durable.np_from_jsonable(w), durable.np_from_jsonable(b))
+            for w, b in ws
+        ],
+    )
+    _MODEL_CACHE[("nn", sf_dir)] = (fp, weights)
+    return weights
 
 
 def nn_score_col(weights, feature_cols=("f1", "f2", "f3", "f4")):

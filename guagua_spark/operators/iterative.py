@@ -313,17 +313,9 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     cached = _KMEANS_INIT_CACHE.get(memo_key)
     if cached is not None:
         return cached
-    import time
-
     from guagua_spark import durable
-    from guagua_spark.metrics import record_index_build
 
-    t0 = time.monotonic()
-    stored = durable.load_json(spark, "model:kmeans_init", memo_key)
-    if stored is not None:
-        init = durable.np_from_jsonable(stored)
-        record_index_build("kmeans_init:load", time.monotonic() - t0)
-    else:
+    def build() -> "np.ndarray":
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
@@ -336,11 +328,17 @@ def _kmeans_contract_init(spark: SparkSession, sf_dir: str) -> "np.ndarray":
             [[float(v) for v in r["embedding"]] for r in cands_rows],
             dtype=np.float64,
         )
-        init = select_centroids_by_norm(cands, KMEANS_K)
-        record_index_build("kmeans_init", time.monotonic() - t0)
-        durable.store_json(
-            spark, "model:kmeans_init", memo_key, durable.np_to_jsonable(init)
-        )
+        return select_centroids_by_norm(cands, KMEANS_K)
+
+    init = durable.durable_model(
+        spark,
+        "model:kmeans_init",
+        "kmeans_init",
+        memo_key,
+        build,
+        encode=durable.np_to_jsonable,
+        decode=durable.np_from_jsonable,
+    )
     _KMEANS_INIT_CACHE.clear()  # at most one live init per session
     _KMEANS_INIT_CACHE[memo_key] = init
     return init

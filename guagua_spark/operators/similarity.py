@@ -474,19 +474,9 @@ def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
     centroids = _IVF_CENTROID_CACHE.get(memo_key)
     if centroids is None:
-        import time
-
         from guagua_spark import durable
-        from guagua_spark.metrics import record_index_build
 
-        t0 = time.monotonic()
-        stored = durable.load_json(spark, "model:ivf_quantizer", memo_key)
-        if stored is not None:
-            centroids = durable.np_from_jsonable(stored)
-            record_index_build(
-                "ivf_quantizer:load", time.monotonic() - t0
-            )
-        else:
+        def build() -> np.ndarray:
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"
             )
@@ -499,14 +489,17 @@ def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
                 ],
                 dtype=np.float64,
             )
-            centroids = _sample_kmeans(sample, IVF_CELLS)
-            record_index_build("ivf_quantizer", time.monotonic() - t0)
-            durable.store_json(
-                spark,
-                "model:ivf_quantizer",
-                memo_key,
-                durable.np_to_jsonable(centroids),
-            )
+            return _sample_kmeans(sample, IVF_CELLS)
+
+        centroids = durable.durable_model(
+            spark,
+            "model:ivf_quantizer",
+            "ivf_quantizer",
+            memo_key,
+            build,
+            encode=durable.np_to_jsonable,
+            decode=durable.np_from_jsonable,
+        )
         _IVF_CENTROID_CACHE.clear()  # at most one live quantizer
         _IVF_CENTROID_CACHE[memo_key] = centroids
     return centroids
@@ -1015,19 +1008,9 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
     memo_key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
     books = _PQ_CODEBOOK_CACHE.get(memo_key)
     if books is None:
-        import time
-
         from guagua_spark import durable
-        from guagua_spark.metrics import record_index_build
 
-        t0 = time.monotonic()
-        stored = durable.load_json(spark, "model:pq_codebooks", memo_key)
-        if stored is not None:
-            books = durable.np_from_jsonable(stored)
-            record_index_build(
-                "pq_codebooks:load", time.monotonic() - t0
-            )
-        else:
+        def build() -> np.ndarray:
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"
             )
@@ -1041,7 +1024,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
                 dtype=np.float64,
             )
             dsub = DIM // PQ_M
-            books = np.stack(
+            return np.stack(
                 [
                     _sample_kmeans(
                         sample[:, j * dsub : (j + 1) * dsub], PQ_KS
@@ -1049,13 +1032,16 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
                     for j in range(PQ_M)
                 ]
             )
-            record_index_build("pq_codebooks", time.monotonic() - t0)
-            durable.store_json(
-                spark,
-                "model:pq_codebooks",
-                memo_key,
-                durable.np_to_jsonable(books),
-            )
+
+        books = durable.durable_model(
+            spark,
+            "model:pq_codebooks",
+            "pq_codebooks",
+            memo_key,
+            build,
+            encode=durable.np_to_jsonable,
+            decode=durable.np_from_jsonable,
+        )
         _PQ_CODEBOOK_CACHE.clear()  # one live codebook set
         _PQ_CODEBOOK_CACHE[memo_key] = books
     return books
@@ -1108,6 +1094,40 @@ def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adc_tables(books: np.ndarray, q_vectors) -> np.ndarray:
+    """Per-query ADC tables, T[i][j, c] = ‖q_j − books[j, c]‖² —
+    shared by the PQ and IVF-PQ paths (one definition of the
+    asymmetric-distance model)."""
+    dsub = books.shape[2]
+    return np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (books[j] - qv[j * dsub : (j + 1) * dsub][None, :])
+                        ** 2
+                    ).sum(axis=1)
+                    for j in range(books.shape[0])
+                ]
+            )
+            for qv in q_vectors
+        ]
+    )
+
+
+def _adc_local_topc(table: np.ndarray, codes: np.ndarray, vids: np.ndarray):
+    """ADC-score a code batch against one query's table and keep the
+    local top-PQ_CAND. Tie-STABLE by construction: vectors sharing
+    codes share adist exactly, so the cut orders by (adist, vec_id) —
+    an argpartition here would drop a tied candidate the global
+    (adist, vec_id) window keeps (found by the numpy replay oracle).
+    ONE definition for both the PQ and IVF-PQ score generators."""
+    adist = table[np.arange(PQ_M)[:, None], codes.T].sum(axis=0)
+    keep = min(PQ_CAND, len(vids))
+    loc = np.lexsort((vids, adist))[:keep]
+    return vids[loc], adist[loc]
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization + asymmetric distance computation:
     each query precomputes a (PQ_M × PQ_KS) table of subspace distances
@@ -1136,25 +1156,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     books = _pq_codebooks(spark, sf_dir)
-    dsub = books.shape[2]
     q_rows = sorted(
         (r.query_id, np.array(r.qe, dtype=np.float64)) for r in q.collect()
     )
-    # per-query ADC tables: T[i, j, c] = ||q_j - books[j, c]||^2
-    tables = np.stack(
-        [
-            np.stack(
-                [
-                    (
-                        (books[j] - qv[j * dsub : (j + 1) * dsub][None, :])
-                        ** 2
-                    ).sum(axis=1)
-                    for j in range(PQ_M)
-                ]
-            )
-            for _, qv in q_rows
-        ]
-    )
+    tables = _adc_tables(books, [qv for _, qv in q_rows])
     qids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
 
     def score(batches):
@@ -1167,23 +1172,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # row afterwards would leave its partition one
                 # candidate short of PQ_CAND
                 mask = all_vids != qid
-                vids, codes = all_vids[mask], all_codes[mask]
-                adist = tables[i][np.arange(PQ_M)[:, None], codes.T].sum(
-                    axis=0
+                kv, ka = _adc_local_topc(
+                    tables[i], all_codes[mask], all_vids[mask]
                 )
-                keep = min(PQ_CAND, len(vids))
-                # tie-STABLE local prune: vectors sharing codes share
-                # adist exactly, so the cut must order by (adist,
-                # vec_id) or the local top-C drops a tied candidate the
-                # global (adist, vec_id) window would have kept
-                loc = np.lexsort((vids, adist))[:keep]
                 out.append(
                     pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": vids[loc],
-                            "adist": adist[loc],
-                        }
+                        {"query_id": qid, "vec_id": kv, "adist": ka}
                     )
                 )
             yield pd.concat(out)
@@ -1219,24 +1213,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = _quantizer_centroids(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
-    dsub = books.shape[2]
     q_rows = sorted(
         (r.query_id, np.array(r.qe, dtype=np.float64)) for r in q.collect()
     )
     probe_rows = []
-    adc_tables = {}
     for qid, qv in q_rows:
         d = np.linalg.norm(centroids - qv, axis=1)
         for cell in np.argsort(d, kind="stable")[:IVF_NPROBE]:
             probe_rows.append((qid, int(cell)))
-        adc_tables[qid] = np.stack(
-            [
-                (
-                    (books[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2
-                ).sum(axis=1)
-                for j in range(PQ_M)
-            ]
-        )
+    tables = _adc_tables(books, [qv for _, qv in q_rows])
+    adc_tables = {qid: tables[i] for i, (qid, _) in enumerate(q_rows)}
     probes = spark.createDataFrame(
         probe_rows, "query_id long, pcell int"
     )
@@ -1251,28 +1237,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", "vec_id", "codes")
 
-    qids = sorted(adc_tables)
-    tables = np.stack([adc_tables[qid] for qid in qids])
-    qpos = {qid: i for i, qid in enumerate(qids)}
-
     def score(batches):
         for pdf in batches:
             out = []
             for qid, grp in pdf.groupby("query_id"):
-                codes = np.stack(grp["codes"].to_numpy())
-                adist = tables[qpos[qid]][
-                    np.arange(PQ_M)[:, None], codes.T
-                ].sum(axis=0)
-                vids = grp["vec_id"].to_numpy()
-                keep = min(PQ_CAND, len(vids))
-                loc = np.lexsort((vids, adist))[:keep]
+                kv, ka = _adc_local_topc(
+                    adc_tables[qid],
+                    np.stack(grp["codes"].to_numpy()),
+                    grp["vec_id"].to_numpy(),
+                )
                 out.append(
                     pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": vids[loc],
-                            "adist": adist[loc],
-                        }
+                        {"query_id": qid, "vec_id": kv, "adist": ka}
                     )
                 )
             if out:

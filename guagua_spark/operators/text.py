@@ -464,6 +464,71 @@ BM25_QUERIES = (
 )
 
 
+def _bm25_score_agg(joined: DataFrame, queries=BM25_QUERIES) -> DataFrame:
+    """(query_id, doc_id, score) rollup over a joined per-(query,
+    term, doc) relation carrying tf/df/dl/n_docs/avgdl — the ONE
+    definition of the BM25 formula, shared by the on-the-fly and
+    stored-index paths so they cannot drift.
+
+    DETERMINISTIC summation (hash-gate discipline): a per-group
+    ``SUM(idf·tf_part)`` would merge 2-3 doubles in shuffle arrival
+    order — run-to-run and engine-to-engine unstable in the last ulp,
+    which a 6dp-rounded certificate must not sit on. Instead each
+    probe term gets its own conditional aggregate (a (query, doc)
+    group holds at most ONE row per term, so every SUM reduces a
+    single value — exact), and the per-term partials add in fixed
+    lexicographic term order as a plain expression. No float
+    reduction ever depends on row order; the SQL twin renders the
+    identical conditional sums in the identical order."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    contrib = idf * tf_part
+    g = joined.groupBy("query_id", "doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, contrib)).alias(f"__c{i}")
+            for i, t in enumerate(all_terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(all_terms)):
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    return g.select(
+        "query_id", "doc_id", F.round(total, 6).alias("score")
+    )
+
+
+def _bm25_score_sum_sql(contrib: str) -> str:
+    """The SQL twin of _bm25_score_agg's fixed-order conditional
+    sums, given the per-row contribution expression."""
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    return " + ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN {contrib} END), 0.0)"
+        for t in all_terms
+    )
+
+
+#: per-row BM25 contribution over the flattened (term, tf, df, dl,
+#: n_docs, avgdl) relation — the SQL twin of _bm25_score_agg's contrib
+_BM25_CONTRIB = (
+    f"LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * tf * ({BM25_K1!r} + 1.0)"
+    f" / (tf + {BM25_K1!r}"
+    f" * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl))"
+)
+
+
 def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (query_id, doc_id, score) Okapi BM25 scores — shared
     by the standalone top-k query and the bm_* certificate.
@@ -512,26 +577,12 @@ def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
         "query_id int, term string",
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_part = (
-        F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    return (
+    joined = (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(q), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )
+    return _bm25_score_agg(joined)
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,26 +747,12 @@ def bm25_topk_from_index(
         [(qid, t) for qid, ts in queries for t in ts],
         "query_id int, term string",
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_part = (
-        F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    scores = (
+    scores = _bm25_score_agg(
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(q), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .join(F.broadcast(q), "term"),
+        queries,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
@@ -755,18 +792,20 @@ bmdf AS (
   SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM bmtf GROUP BY 1
 ),
 bmsc AS (
-  SELECT q.query_id, t.doc_id,
-         ROUND(SUM(
-           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * t.tf * ({BM25_K1!r} + 1.0)
-             / (t.tf + {BM25_K1!r}
-                * (1.0 - {BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl))
-         ), 6) AS score
-  FROM bmtf t
-  JOIN bmdf d ON t.term = d.term
-  JOIN bmdl l ON t.doc_id = l.doc_id
-  JOIN bmq q ON t.term = q.term
-  CROSS JOIN bmstats s
+  -- fixed-order conditional sums, one per probe term (each reduces a
+  -- single row): _bm25_score_agg's determinism discipline, rendered
+  -- in the identical term order
+  SELECT query_id, doc_id, ROUND({_bm25_score_sum_sql(_BM25_CONTRIB)}, 6)
+           AS score
+  FROM (
+    SELECT q.query_id, t.doc_id, t.term, t.tf, d.df, l.dl,
+           s.n_docs, s.avgdl
+    FROM bmtf t
+    JOIN bmdf d ON t.term = d.term
+    JOIN bmdl l ON t.doc_id = l.doc_id
+    JOIN bmq q ON t.term = q.term
+    CROSS JOIN bmstats s
+  )
   GROUP BY 1, 2
 ),
 bmtop AS (

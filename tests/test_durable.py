@@ -277,3 +277,32 @@ def test_fresh_session_round_trip(tmp_path):
     assert "_index:certload:inference" in b["builds"]
     assert "_index:minhash_pairs" not in b["builds"]
     assert "_index:minhash_pairs:load" in b["builds"]
+
+
+def test_frame_torn_read_degrades_to_rebuild(spark, sf_dir, droot):
+    """Concurrency contract: a torn frame entry (sidecar present, data
+    directory gutted — what a reader can observe mid-replacement) must
+    degrade to a rebuild, never abort the query."""
+    import glob
+
+    from guagua_spark.memo import persisted_index, unpersist_all
+
+    cache: dict = {}
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(0, 50).select(
+            F.col("id"), (F.col("id") + 1).alias("v")
+        )
+
+    df1 = persisted_index(cache, sf_dir, ("fp", 9), "t_torn", build)
+    rows = sorted(tuple(r) for r in df1.collect())
+    unpersist_all(cache)
+    # gut the stored data dir but keep the sidecar: load_frame's
+    # sidecar check passes, the parquet read then fails mid-flight
+    for part in glob.glob(os.path.join(droot, "frames", "t_torn", "*", "*")):
+        os.remove(part)
+    df2 = persisted_index(cache, sf_dir, ("fp", 9), "t_torn", build)
+    assert builds == [1, 1]
+    assert sorted(tuple(r) for r in df2.collect()) == rows
