@@ -128,7 +128,11 @@ def main() -> None:
     # LOCAL lane (file only): one timed pass over every LOCAL_QUERIES
     # operator — the extension surface outside the 50-slot contract
     # (BM25, PQ/IVF-PQ, temperature mix, corpus diff, ...) gets cost
-    # visibility too, with index builds attributed the same way
+    # visibility too, with index builds attributed the same way.
+    # Drain warm-lane residue first: any _index:* time recorded during
+    # warm reps would otherwise be misattributed to (and subtracted
+    # from) the first LOCAL entry.
+    drain_index_builds()
     local: dict[str, float] = {}
     for name, fn in entry_mod.local_queries().items():
         t0 = time.monotonic()
@@ -141,14 +145,27 @@ def main() -> None:
     result["local"] = local
     result["local_total"] = round(sum(local.values()), 4)
 
-    # stdout stays the compact one-line contract (the driver's
-    # artifact keeps only a tail of stdout and has truncated the warm
-    # lane mid-dict before); plan metrics + a regression diff + the
-    # LOCAL lane go to the file copy only
+    # stdout is ONE compact line that must fit ENTIRELY inside the
+    # driver's stdout capture window (the last 2000 bytes — BENCH_r05..
+    # r07 all recorded "parsed": null because the full-precision line
+    # with the cold dict ran ~4.4 KB and lost its opening brace to the
+    # cut). Per-query values at 2dp, no cold/_index detail, minimal
+    # separators: ~1.4 KB today with headroom. Full precision + cold +
+    # plan metrics + the LOCAL lane live in BENCH_LOCAL.json.
     stdout_result = {
-        k: v for k, v in result.items() if k not in ("local",)
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "cold_total": result["cold_total"],
+        "local_total": result["local_total"],
+        "sf": sf,
     }
-    print(json.dumps(stdout_result))
+    line = json.dumps(stdout_result, separators=(",", ":"))
+    if len(line) > 1900:  # never regress past the capture window
+        stdout_result.pop("queries")
+        line = json.dumps(stdout_result, separators=(",", ":"))
+    print(line)
     out_path = os.path.join(_REPO, "BENCH_LOCAL.json")
     prev_plans = {}
     try:
