@@ -22,17 +22,20 @@ the Spark warehouse directory with three tiers —
   key sidecar. Loads are one parquet scan instead of the build's jobs.
 
 INVALIDATION CONTRACT. Keys always embed the input tables'
-``table_fingerprint`` (content signature: per-file size + mtime), the
-payload's schema string where one exists, and ``DURABLE_FORMAT`` —
-so regenerated data, a widened certificate, or a format bump each
-miss cleanly. What the key canNOT see is a semantics change to the
-builder that keeps the same schema — bump ``DURABLE_FORMAT`` (or
-``clear()`` the store) when changing any builder's math in place.
+``table_fingerprint`` (content signature: per-file size + mtime +
+footer sample), the payload's schema string where one exists,
+``DURABLE_FORMAT``, and — since round 8 — :func:`code_version`, a
+hash of every ``guagua_spark`` source file. A builder-semantics
+change that keeps the same schema therefore misses automatically:
+editing ANY module's math changes the package hash and every stored
+key with it (deliberately coarse — the store is a cache; a spurious
+full rebuild after an unrelated edit costs one cold lane, while a
+stale certificate served to the driver's correctness sweep corrupts
+the hard signal everything rests on). ``DURABLE_FORMAT`` remains as
+a manual escape hatch for layout changes to the store itself.
 The pytest suite pins GUAGUA_CACHE_DIR to a fresh tmpdir (conftest),
 so its DuckDB oracle sweep always re-derives from the raw tables and
-can never be masked by a stale store; the shared repo store is wiped
-and repopulated with an oracle-checked sweep whenever builder
-semantics change.
+can never be masked by a stale store.
 
 CONCURRENCY. Writes are atomic (tempfile + os.replace for JSON;
 write-to-temp-dir + rename for parquet); a lost race or a torn read
@@ -84,8 +87,44 @@ def cache_root(spark: SparkSession) -> str:
     return os.path.join(wh, "_guagua_cache")
 
 
+_CODE_VERSION: str | None = None
+
+
+def hash_package_source(pkg_dir: str) -> str:
+    """sha256 over every ``*.py`` under ``pkg_dir`` (sorted relpaths,
+    path + content both hashed) — the builder-version component of
+    every durable key. Pure function of the source tree, so two
+    processes running the same code agree and any edit disagrees."""
+    h = hashlib.sha256()
+    for dirpath, dirnames, files in os.walk(pkg_dir):
+        dirnames[:] = sorted(
+            d for d in dirnames if d != "__pycache__"
+        )
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            h.update(os.path.relpath(path, pkg_dir).encode())
+            h.update(b"\0")
+            with open(path, "rb") as fh:
+                h.update(fh.read())
+            h.update(b"\0")
+    return h.hexdigest()[:16]
+
+
+def code_version() -> str:
+    """Package-source hash mixed into every durable key (round-8 fix
+    for the invalidation blind spot: a same-schema builder-math change
+    used to require a manual DURABLE_FORMAT bump; now it is a
+    guaranteed miss). Computed once per process (~5 ms)."""
+    global _CODE_VERSION
+    if _CODE_VERSION is None:
+        _CODE_VERSION = hash_package_source(os.path.dirname(__file__))
+    return _CODE_VERSION
+
+
 def _key_repr(key) -> str:
-    return repr((DURABLE_FORMAT, key))
+    return repr((DURABLE_FORMAT, code_version(), key))
 
 
 def _key_hash(key) -> str:
@@ -268,7 +307,13 @@ def store_frame(
             json.dump({"key": _key_repr(key)}, f)
         os.replace(ktmp, sidecar)
         _evict_frames(base, h)
-    except OSError:
+    except Exception:
+        # not just OSError: df.write.parquet surfaces failures as Py4J
+        # / Spark exceptions (AnalysisException, wrapped Java IO
+        # errors). The module contract is that a failed CACHE write
+        # degrades to a rebuild next session, never an abort of the
+        # caller's query — the result df is already built at this
+        # point (round-8 advice).
         shutil.rmtree(tmp, ignore_errors=True)
         return False
     return True

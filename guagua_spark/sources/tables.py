@@ -58,13 +58,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _footer_token(path: str, size: int) -> int:
+    """crc32 of the file's last 64 bytes — for parquet that covers the
+    footer length + metadata tail, which moves whenever row groups,
+    stats, or values change. Defends the fingerprint against
+    regenerated files with a PRESERVED (size, mtime) stat (cp -p, tar
+    extraction, some syncs), where stale derived state would otherwise
+    survive across sessions via the durable store (round-8 advice).
+    Deliberately NOT memoized on (size, mtime) — that would reopen the
+    exact blind spot it closes; the 64-byte read costs the same order
+    as the stat beside it."""
+    import zlib
+
+    try:
+        with open(path, "rb") as f:
+            f.seek(max(size - 64, 0))
+            return zlib.crc32(f.read(64))
+    except OSError:
+        return -1
+
+
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
     """Cheap content signature of a table's parquet files — sorted
-    (relpath, size, mtime_ns) triples. Memo caches (k-means init, IVF
-    quantizer centroids, persisted feature inputs, the MinHash pair
-    graph, media assets) key on this so that regenerating the testdata
-    under an unchanged path invalidates them instead of silently
-    serving stale derived state.
+    (relpath, size, mtime_ns, footer_crc) tuples. Memo caches (k-means
+    init, IVF quantizer centroids, persisted feature inputs, the MinHash
+    pair graph, media assets) key on this so that regenerating the
+    testdata under an unchanged path invalidates them instead of
+    silently serving stale derived state.
 
     Deployment note (object stores): (size, mtime_ns) is a LOCAL-FS
     contract — S3/GCS-style stores don't expose a stable mtime across
@@ -82,12 +102,27 @@ def table_fingerprint(sf_dir: str, name: str) -> tuple:
             for f in files:
                 if f.startswith(("_", ".")):
                     continue
-                st = os.stat(os.path.join(dirpath, f))
-                rel = os.path.relpath(os.path.join(dirpath, f), root)
-                sig.append((rel, st.st_size, st.st_mtime_ns))
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, root)
+                sig.append(
+                    (
+                        rel,
+                        st.st_size,
+                        st.st_mtime_ns,
+                        _footer_token(p, st.st_size),
+                    )
+                )
     elif os.path.exists(root):
         st = os.stat(root)
-        sig.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+        sig.append(
+            (
+                os.path.basename(root),
+                st.st_size,
+                st.st_mtime_ns,
+                _footer_token(root, st.st_size),
+            )
+        )
     return tuple(sorted(sig))
 
 

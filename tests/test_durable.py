@@ -306,3 +306,60 @@ def test_frame_torn_read_degrades_to_rebuild(spark, sf_dir, droot):
     df2 = persisted_index(cache, sf_dir, ("fp", 9), "t_torn", build)
     assert builds == [1, 1]
     assert sorted(tuple(r) for r in df2.collect()) == rows
+
+
+def test_code_version_invalidates_builder_math_change(
+    spark, droot, monkeypatch
+):
+    """Round-8 fix for the invalidation blind spot: a builder-semantics
+    change (simulated by a different package-source hash) must miss the
+    store — no manual DURABLE_FORMAT bump, no clear()."""
+    from guagua_spark import durable
+
+    assert durable.store_json(spark, "cert:cv", ("k",), [[42]])
+    assert durable.load_json(spark, "cert:cv", ("k",)) == [[42]]
+    # same key, different code version — as after editing any module
+    monkeypatch.setattr(durable, "_CODE_VERSION", "deadbeef00000000")
+    assert durable.load_json(spark, "cert:cv", ("k",)) is None
+    # the new version's write does not clobber the old version's entry
+    assert durable.store_json(spark, "cert:cv", ("k",), [[43]])
+    assert durable.load_json(spark, "cert:cv", ("k",)) == [[43]]
+
+
+def test_hash_package_source_sees_any_edit(tmp_path):
+    """The version hash moves on content edits, new files, and renames
+    — the properties the auto-invalidation rests on."""
+    from guagua_spark import durable
+
+    pkg = tmp_path / "pkg"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "a.py").write_text("X = 1\n")
+    (pkg / "sub" / "b.py").write_text("def f():\n    return 2\n")
+    (pkg / "notes.txt").write_text("ignored\n")
+    v0 = durable.hash_package_source(str(pkg))
+    assert v0 == durable.hash_package_source(str(pkg))  # deterministic
+    (pkg / "sub" / "b.py").write_text("def f():\n    return 3\n")
+    v1 = durable.hash_package_source(str(pkg))
+    assert v1 != v0
+    (pkg / "c.py").write_text("")
+    v2 = durable.hash_package_source(str(pkg))
+    assert v2 != v1
+    (pkg / "notes.txt").write_text("still ignored, edited\n")
+    assert durable.hash_package_source(str(pkg)) == v2
+
+
+def test_fingerprint_footer_token_sees_content_change(tmp_path):
+    """Regenerating a file with PRESERVED size+mtime (cp -p / tar) must
+    still change the fingerprint — the footer crc carries it."""
+    from guagua_spark.sources import tables
+
+    root = tmp_path / "t.parquet"
+    root.write_bytes(b"A" * 200)
+    st = os.stat(root)
+    fp0 = tables.table_fingerprint(str(tmp_path), "t")
+    assert len(fp0) == 1 and len(fp0[0]) == 4  # (name, size, mtime, crc)
+    # same size, same mtime, different tail bytes
+    root.write_bytes(b"A" * 136 + b"B" * 64)
+    os.utime(root, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp1 = tables.table_fingerprint(str(tmp_path), "t")
+    assert fp1 != fp0 and fp1[0][:3] == fp0[0][:3]
