@@ -91,24 +91,91 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _per_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, user_id, total_value, n_events) — shared by the
+    window top-N query and the salted-top-k certificate, so both rank
+    the SAME aggregated relation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def salted_topk_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding functions.scale.salted_topk into a
+    hash-checked contract row: runs the REAL salted operator (two-phase
+    per-salt rank → bounded merge, ``pin=True`` because the input is a
+    shuffle-rooted aggregate) over the same per-user relation the host
+    query windows, and condenses its top-N to (row count,
+    Σ u32(md5(event_type|rank|user_id)), Σ round(total_value·10⁶)).
+    The oracle replays the PLAIN window top-N — equality is exactly
+    salted_topk's contract (same result under a total order), so a
+    dropped winner, a wrong rank, or a tie broken by salt placement
+    all flip an integer."""
+    from guagua_spark.functions.scale import salted_topk, u32_hash
+
+    topk = salted_topk(
+        _per_user_totals(spark, sf_dir),
+        ["event_type"],
+        [F.col("total_value").desc(), F.col("user_id")],
+        TOP_N,
+        pin=True,
+    )
+    binder = u32_hash(
+        "stk",
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.col("rank").cast("string"),
+            F.col("user_id").cast("string"),
+        ),
+    )
+    return topk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("stk_rows"),
+        F.sum(binder).cast("bigint").alias("stk_hash"),
+        F.sum(F.round(F.col("total_value") * 1e6))
+        .cast("bigint")
+        .alias("stk_val_e6"),
+    )
+
+
 def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 users by total value within each event_type.
 
     Aggregate FIRST (shrinks to |users|×|types| rows), then rank — the
     window runs over the aggregated relation, not the raw events.
+
+    ``stk_*`` (round 8): the salted-top-k certificate
+    (salted_topk_cert_df) — driver-certifies the skew-safe
+    functions.scale.salted_topk against this row's own plain-window
+    top-N, as typed literal columns.
     """
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 6).alias("total_value"),
-        F.count(F.lit(1)).alias("n_events"),
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    stk_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "salted_topk",
+        ("events",),
+        "stk_rows bigint, stk_hash bigint, stk_val_e6 bigint",
+        lambda: salted_topk_cert_df(spark, sf_dir),
     )
+    per_user = _per_user_totals(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(
         F.col("total_value").desc(), F.col("user_id")
     )
     return (
         per_user.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_N)
-        .select("event_type", "rank", "user_id", "total_value", "n_events")
+        .select(
+            "event_type",
+            "rank",
+            "user_id",
+            "total_value",
+            "n_events",
+            *stk_cols,
+        )
         .orderBy("event_type", "rank")
     )
 
@@ -440,9 +507,19 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                                ORDER BY total_value DESC, user_id) AS rank
   FROM per_user
+),
+stk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS stk_rows,
+         CAST(SUM(CAST(('0x' || substr(md5('stk|' || event_type || '|'
+                  || CAST(rank AS VARCHAR) || '|'
+                  || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT))
+              AS BIGINT) AS stk_hash,
+         CAST(SUM(ROUND(total_value * 1e6)) AS BIGINT) AS stk_val_e6
+  FROM ranked WHERE rank <= {TOP_N}
 )
-SELECT event_type, rank, user_id, total_value, n_events
-FROM ranked WHERE rank <= {TOP_N}
+SELECT event_type, rank, user_id, total_value, n_events,
+       stk_rows, stk_hash, stk_val_e6
+FROM ranked, stk WHERE rank <= {TOP_N}
 ORDER BY event_type, rank
 """.strip(),
     "events_json_props": """

@@ -163,6 +163,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pack CTE block over its ``clean`` CTE. Certifies the
     composition LOCAL operator inside the 50-slot cap.
 
+    ``tm_*`` (round 8): the temperature-rebalancing certificate
+    (temperature_cert_df) — source count, kept total, Σ round(rate·10⁶)
+    and a per-source result-row hash — as typed literal columns,
+    driver-certifying pipeline_temperature_mix inside this green row.
+
     The mixture rates need per-source totals of the clean corpus while
     the mix predicate is per-row — two passes over the cleaned relation
     are inherent. To keep that cheap the clean corpus is condensed ONCE
@@ -241,6 +246,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rch_checksum bigint",
         lambda: diff_rechunk_cert_df(spark, sf_dir),
     )
+    # tm_* (round 8): the temperature-rebalancing certificate
+    # (temperature_cert_df) — driver-certifies
+    # pipeline_temperature_mix inside this same green row
+    tm_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "temperature_mix",
+        ("documents",),
+        "tm_sources bigint, tm_kept bigint, tm_rate_e6 bigint, "
+        "tm_hash bigint",
+        lambda: temperature_cert_df(spark, sf_dir),
+    )
     strat = stratified_keep()
     mix = _u32("mix", F.col("doc_id").cast("string")) < (
         F.col("rate") * float(2**32)
@@ -261,7 +278,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_chars"
             ),
         )
-        .select("*", *tcert_cols, *dif_cols)
+        .select("*", *tcert_cols, *dif_cols, *tm_cols)
         .orderBy("lang", "source")
     )
 
@@ -327,7 +344,8 @@ tcert AS (
            AS ts_checksum
   FROM seqs
 ),
-{_diff_cert_ctes()}
+{_diff_cert_ctes()},
+{_temperature_cert_ctes()}
 SELECT lang, cl.source, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -341,11 +359,14 @@ SELECT lang, cl.source, COUNT(*) AS n_docs,
          AS mix_chars,
        ts_n_seqs, ts_tokens, ts_checksum,
        dif_added, dif_removed, dif_changed, dif_id_wsum,
-       rch_chunks, rch_tok_sum, rch_checksum
-FROM clean cl JOIN rates r ON cl.source = r.source, tcert, dcert, rcert
+       rch_chunks, rch_tok_sum, rch_checksum,
+       tm_sources, tm_kept, tm_rate_e6, tm_hash
+FROM clean cl JOIN rates r ON cl.source = r.source, tcert, dcert, rcert,
+     tmcert
 GROUP BY lang, cl.source, ts_n_seqs, ts_tokens, ts_checksum,
          dif_added, dif_removed, dif_changed, dif_id_wsum,
-         rch_chunks, rch_tok_sum, rch_checksum
+         rch_chunks, rch_tok_sum, rch_checksum,
+         tm_sources, tm_kept, tm_rate_e6, tm_hash
 ORDER BY lang, cl.source
 """.strip()
 
@@ -818,6 +839,80 @@ def diff_rechunk_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return dcert.crossJoin(rcert)
+
+
+def temperature_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding pipeline_temperature_mix into a
+    hash-checked contract row (the column-merge pattern, SURVEY.md §7):
+    source count, total kept, Σ round(rate·10⁶) over the 6dp-rounded
+    tempered rates, and a u32(md5) over each source's full
+    (source, kept, kept_id_sum) result row — so a wrong rate law, a
+    flipped membership, or a miscounted source all flip an integer.
+    Runs the REAL operator (not a re-derivation), so the oracle's
+    independent replay certifies the whole temperature-mix pipeline."""
+    tm = pipeline_temperature_mix(spark, sf_dir)
+    binder = _u32(
+        "tm",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.col("kept").cast("string"),
+            F.col("kept_id_sum").cast("string"),
+        ),
+    )
+    return tm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tm_sources"),
+        F.sum("kept").cast("bigint").alias("tm_kept"),
+        F.sum(F.round(F.col("rate") * 1e6))
+        .cast("bigint")
+        .alias("tm_rate_e6"),
+        F.sum(binder).cast("bigint").alias("tm_hash"),
+    )
+
+
+def _temperature_cert_ctes() -> str:
+    """``tm_counts`` → … → ``tmcert`` 1-row CTE block replaying
+    temperature_cert_df — spliced into the pipeline_clean_corpus
+    oracle. Names are tm_-prefixed: the host oracle already defines
+    ``rates``/``counts``-shaped CTEs for its own stages."""
+    u32_doc = (
+        "CAST(('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT)"
+    )
+    u32_row = (
+        "CAST(('0x' || substr(md5('tm|' || source || '|' ||"
+        " CAST(kept AS VARCHAR) || '|' || CAST(kept_id_sum AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT)"
+    )
+    return f"""tm_counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tm_norm AS (
+  SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z, SUM(n_docs) AS n_total
+  FROM tm_counts
+),
+tm_rates AS (
+  SELECT source, n_docs,
+         LEAST(1.0, {TEMP_TARGET_FRAC!r} * n_total
+               * sqrt(CAST(n_docs AS DOUBLE)) / z / n_docs) AS rate
+  FROM tm_counts, tm_norm
+),
+tm_rows AS (
+  SELECT d.source, ROUND(MIN(r.rate), 6) AS rate,
+         CAST(SUM(CASE WHEN {u32_doc} < r.rate * 4294967296.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         CAST(SUM(CASE WHEN {u32_doc} < r.rate * 4294967296.0
+                  THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+  FROM documents d JOIN tm_rates r ON d.source = r.source
+  GROUP BY d.source
+),
+tmcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tm_sources,
+         CAST(SUM(kept) AS BIGINT) AS tm_kept,
+         CAST(SUM(ROUND(rate * 1e6)) AS BIGINT) AS tm_rate_e6,
+         CAST(SUM({u32_row}) AS BIGINT) AS tm_hash
+  FROM tm_rows
+)"""
 
 
 def _diff_cert_ctes() -> str:

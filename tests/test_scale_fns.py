@@ -456,3 +456,33 @@ def test_salted_topk_equals_plain_window(spark):
         .collect()
     )
     assert got == want
+
+
+def test_salted_unpinned_shuffle_input_warns(spark):
+    """Round-8 contract surfacing: a shuffle-rooted input without
+    pin=True warns (the record-index salt is retry-unstable there);
+    pin=True and scan/range-rooted inputs stay silent."""
+    import warnings
+
+    from guagua_spark.functions.scale import salted_agg, salted_topk
+
+    base = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("key"), F.col("id").alias("v")
+    )
+    # groupBy("key") genuinely shuffles (grouping by the unique v=id
+    # column plans exchange-free — Spark proves partition-local groups)
+    shuffled = base.groupBy("key").agg(F.sum("v").alias("v"))
+    with pytest.warns(UserWarning, match="shuffle-rooted"):
+        salted_agg(shuffled, ["key"], {"n": ("v", "count")})
+    with pytest.warns(UserWarning, match="shuffle-rooted"):
+        salted_topk(shuffled, ["key"], [F.col("v").desc()], 3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # range-rooted: silent
+        salted_agg(base, ["key"], {"n": ("v", "count")})
+        salted_topk(base, ["key"], [F.col("v").desc()], 3)
+        # shuffle-rooted but pinned: silent
+        salted_agg(shuffled, ["key"], {"n": ("v", "count")}, pin=True)
+        salted_topk(
+            shuffled, ["key"], [F.col("v").desc()], 3, pin=True
+        )
