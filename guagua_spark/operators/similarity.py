@@ -252,17 +252,37 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once into L tables; a query's candidate set is the union of its L
     buckets; exact cosine + top-k over candidates only.
 
-    Deterministic (seeded planes) — rows-only driver check; recall vs
-    brute force AND bit-exactness of the rescoring stage (vs the DuckDB
-    oracle given the same candidates) are asserted in tests.
+    Deterministic (seeded planes) — recall vs brute force AND
+    bit-exactness of the rescoring stage (vs the DuckDB oracle given
+    the same candidates) are asserted in tests.
+
+    ``pq_*`` (round 8): the product-quantization certificate
+    (pq_cert_df — stored-code checksum + ann_pq_topk's end-to-end
+    result condensed to integers), memoized per embeddings fingerprint
+    and attached as typed literal columns — driver-certifies the PQ
+    family inside this green row against the oracle's full SQL replay
+    of codebook training, encoding, ADC, and rescore.
     """
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
     # rescore joins touch only the small candidate set — no need for the
     # corpus repartition that the bucketing stage uses
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return exact_rescore_topk(lsh_candidates(spark, sf_dir), emb, q)
+    pq_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "pq",
+        ("embeddings",),
+        "pq_rows bigint, pq_wsum bigint, pq_cos_e6 bigint, "
+        "pq_code_sum bigint",
+        lambda: pq_cert_df(spark, sf_dir),
+    )
+    return exact_rescore_topk(
+        lsh_candidates(spark, sf_dir), emb, q
+    ).select("*", *pq_cols)
 
 
 QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
@@ -637,8 +657,11 @@ def _lsh_oracle() -> str:
     planes (see _planes), compute every vector's L bucket ids via
     per-(table, bit) dot-product signs (hyperplane_bucket_ctes — shared
     with the semantic-dedup oracle), join queries to corpus on
-    (table, bucket), then the shared exact-rescore stage.
-    """
+    (table, bucket), then the shared exact-rescore stage. Since round 8
+    the ``pq_*`` certificate rides this row: the full PQ pipeline —
+    per-subspace Lloyd codebooks, corpus encoding, ADC candidate cut,
+    exact rescore — is replayed by the pq CTE blocks and condensed to
+    the same four integers the Spark side attaches (pq_cert_df)."""
     planes = hyperplane_bucket_ctes("lsh", LSH_TABLES, LSH_BITS) + f""",
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id
@@ -646,8 +669,15 @@ cand AS (
   JOIN bk c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {NUM_QUERIES}
 )"""
-    assert RESCORE_ORACLE_SQL.startswith("WITH scored AS")
-    return "WITH " + planes + ",\n" + RESCORE_ORACLE_SQL[len("WITH ") :]
+    final = f"""SELECT r.query_id, r.neighbor_id, r.rank, r.cosine,
+       p.pq_rows, p.pq_wsum, p.pq_cos_e6, p.pq_code_sum
+FROM ranked r, pqcert p WHERE r.rank <= {TOP_K}
+ORDER BY r.query_id, r.rank"""
+    return (
+        "WITH RECURSIVE " + planes + ",\n" + RESCORE_CTES + ",\n"
+        + _pq_codebook_ctes() + ",\n" + _pq_pipeline_ctes() + ",\n"
+        + _pq_cert_cte() + "\n" + final
+    )
 
 
 def _sql_dist(e: str, c: str, dim: int = DIM) -> str:
@@ -771,9 +801,10 @@ ORDER BY r.query_id, r.rank"""
 
 ORACLE_SQL = {
     "ann_bruteforce_topk": _bruteforce_oracle(),
-    "ann_lsh_topk": _lsh_oracle(),
-    # assigned at the bottom of the module — the IVF oracle splices the
-    # balanced-sampling CTE block, defined down there
+    # both assigned at the bottom of the module — the LSH oracle
+    # splices the PQ certificate CTEs and the IVF oracle the
+    # balanced-sampling block, all defined down there
+    "ann_lsh_topk": None,
     "ann_ivf_topk": None,
 }
 
@@ -1213,6 +1244,27 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = _quantizer_centroids(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
+    # candidate rows: (query_id, vec_id, codes) — cell probe as a
+    # broadcast join of the tiny probe set into the joined index
+    idx = _pq_codes_df(spark, sf_dir).join(
+        _ivf_cells_df(spark, sf_dir), "vec_id"
+    )
+    return _ivfpq_topk_of(spark, emb, q, centroids, books, idx)
+
+
+def _ivfpq_topk_of(
+    spark: SparkSession,
+    emb: DataFrame,
+    q: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    idx: DataFrame,
+) -> DataFrame:
+    """IVF-PQ probe + ADC + rescore over an explicit (vec_id, cell,
+    codes) index relation and quantizer/codebook models — ONE
+    implementation shared by the session-memo path (ann_ivfpq_topk)
+    and the stored-catalog path (ann_ivfpq_topk_from_index), so the
+    probe-equality contract between them is structural."""
     q_rows = sorted(
         (r.query_id, np.array(r.qe, dtype=np.float64)) for r in q.collect()
     )
@@ -1225,11 +1277,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc_tables = {qid: tables[i] for i, (qid, _) in enumerate(q_rows)}
     probes = spark.createDataFrame(
         probe_rows, "query_id long, pcell int"
-    )
-    # candidate rows: (query_id, vec_id, codes) — cell probe as a
-    # broadcast join of the tiny probe set into the joined index
-    idx = _pq_codes_df(spark, sf_dir).join(
-        _ivf_cells_df(spark, sf_dir), "vec_id"
     )
     cand_codes = idx.join(
         F.broadcast(probes),
@@ -1266,17 +1313,297 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rescore_topk(cand, emb, q).orderBy("query_id", "rank")
 
 
+def save_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Materialize the IVF-PQ index as stored datasets — the
+    deployment form of the PQ session memos, completing the catalog
+    ladder next to save_lsh_index / save_ivf_index / save_text_index:
+
+    - ``<name>_codes`` — (vec_id, cell, codes), bucketed by cell: the
+      compressed corpus (4-byte code words + cell tag; the FAISS
+      on-disk layout). Probing joins it on cell with zero corpus
+      rescan and column-prunes to exactly these three columns.
+    - ``<name>_centroids`` — the coarse quantizer, (cell, centroid).
+    - ``<name>_books`` — the PQ codebooks, (j, tag, centroid) with one
+      row per (subspace, code) — PQ_M·PQ_KS tiny rows, collected by
+      probers at plan time. float64 round-trips exactly through
+      parquet doubles, so ADC from the stored books is bit-identical
+      to the memo path.
+
+    Overwrites any previous index of the same name (corpus re-index)."""
+    from guagua_spark.functions.scale import write_bucketed
+
+    centroids = _quantizer_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    idx = _pq_codes_df(spark, sf_dir).join(
+        _ivf_cells_df(spark, sf_dir), "vec_id"
+    )
+    write_bucketed(idx, f"{name}_codes", ["cell"], n_buckets)
+    cen_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cen_df.write.mode("overwrite").saveAsTable(f"{name}_centroids")
+    bk_df = spark.createDataFrame(
+        [
+            (j, t, [float(x) for x in books[j, t]])
+            for j in range(books.shape[0])
+            for t in range(books.shape[1])
+        ],
+        "j int, tag int, centroid array<double>",
+    )
+    bk_df.write.mode("overwrite").saveAsTable(f"{name}_books")
+
+
+def ann_ivfpq_topk_from_index(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """IVF-PQ top-k probing the STORED index: quantizer, codebooks,
+    and the (vec_id, cell, codes) table all come from the catalog — no
+    quantizer/codebook training, no encode-UDF pass, no session memo.
+    Only the query batch and the final exact rescore touch the
+    embeddings table. Probe equality with the memo path and the
+    no-rebuild property are asserted in tests/test_index_store.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cen_rows = spark.table(f"{name}_centroids").orderBy("cell").collect()
+    centroids = np.array([r.centroid for r in cen_rows], dtype=np.float64)
+    bk_rows = spark.table(f"{name}_books").orderBy("j", "tag").collect()
+    m = max(r.j for r in bk_rows) + 1
+    ks = max(r.tag for r in bk_rows) + 1
+    books = np.array(
+        [r.centroid for r in bk_rows], dtype=np.float64
+    ).reshape(m, ks, -1)
+    idx = spark.table(f"{name}_codes")
+    return _ivfpq_topk_of(spark, emb, q, centroids, books, idx)
+
+
+def _pq_codebook_ctes() -> str:
+    """``pqsmp`` → per-subspace ``pq{j}_cells``/``pq{j}_cf``/
+    ``pq{j}_code`` CTE blocks: PQ_M independent recursive-CTE Lloyd
+    replays (one per subspace slice of the deterministic sample — the
+    same machinery as _quantizer_asg_ctes, parameterized by the slice
+    offset), each followed by the corpus's arg-min code assignment for
+    that subspace. Must be preceded by ``WITH RECURSIVE``. The float
+    divergence hazard documented on _quantizer_asg_ctes applies per
+    subspace (expanded-form matmul vs direct squared-distance sums)."""
+    dsub = DIM // PQ_M
+    k, iters = PQ_KS, QUANT_ITERS
+    parts = [
+        f"""pqsmp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {QUANT_SAMPLE}
+),
+pqparams AS (SELECT GREATEST(COUNT(*) // {k}, 1) AS m FROM pqsmp)"""
+    ]
+    for j in range(PQ_M):
+        off = j * dsub
+
+        def dist(e: str, c: str) -> str:
+            return " + ".join(
+                f"((CAST({e}[{off + d + 1}] AS DOUBLE) - {c}.c{d}) * "
+                f"(CAST({e}[{off + d + 1}] AS DOUBLE) - {c}.c{d}))"
+                for d in range(dsub)
+            )
+
+        norm = " + ".join(
+            f"(CAST(embedding[{off + d + 1}] AS DOUBLE) * "
+            f"CAST(embedding[{off + d + 1}] AS DOUBLE))"
+            for d in range(dsub)
+        )
+        init_cols = ", ".join(
+            f"CAST(embedding[{off + d + 1}] AS DOUBLE) AS c{d}"
+            for d in range(dsub)
+        )
+        sums = ", ".join(
+            f"SUM(CAST(emb[{off + d + 1}] AS DOUBLE)) AS s{d}"
+            for d in range(dsub)
+        )
+        upd = ", ".join(
+            f"CASE WHEN a.cnt IS NULL THEN prev.c{d} "
+            f"ELSE a.s{d} / a.cnt END"
+            for d in range(dsub)
+        )
+        parts.append(
+            f"""pq{j}_cnd AS (
+  SELECT vec_id, embedding, ROW_NUMBER() OVER (
+           ORDER BY ({norm}), vec_id) - 1 AS crn,
+         COUNT(*) OVER () AS nc
+  FROM pqsmp WHERE vec_id % (SELECT m FROM pqparams) = 0
+),
+pq{j}_cells AS (
+  SELECT 0 AS i, CAST(crn // GREATEST(nc // {k}, 1) AS INT) AS tag, {init_cols}
+  FROM pq{j}_cnd
+  WHERE crn % GREATEST(nc // {k}, 1) = 0 AND crn // GREATEST(nc // {k}, 1) < {k}
+  UNION ALL
+  SELECT prev.i + 1, prev.tag, {upd}
+  FROM (SELECT * FROM pq{j}_cells WHERE i < {iters}) prev
+  LEFT JOIN (
+    SELECT i, atag, COUNT(*) AS cnt, {sums}
+    FROM (
+      SELECT c.i, p.vec_id, arg_min(c.tag, ({dist('p.embedding', 'c')})) AS atag,
+             any_value(p.embedding) AS emb
+      FROM (SELECT * FROM pq{j}_cells WHERE i < {iters}) c, pqsmp p
+      GROUP BY c.i, p.vec_id
+    ) asg
+    GROUP BY i, atag
+  ) a ON a.i = prev.i AND a.atag = prev.tag
+),
+pq{j}_cf AS (SELECT * FROM pq{j}_cells WHERE i = {iters}),
+pq{j}_code AS (
+  SELECT e.vec_id, arg_min(c.tag, ({dist('e.embedding', 'c')})) AS code
+  FROM embeddings e, pq{j}_cf c GROUP BY e.vec_id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _pq_pipeline_ctes() -> str:
+    """``pqcodes`` → ``pqadc`` → ``pqcand`` → ``pqranked``: corpus code
+    words, per-(query, vector) asymmetric distance via the codebook
+    joins, the top-PQ_CAND candidate cut under the total (adist,
+    vec_id) order, and the shared exact cosine rescore — the SQL twin
+    of ann_pq_topk (whose partition-local cut provably preserves the
+    global top-PQ_CAND under that same total order)."""
+    dsub = DIM // PQ_M
+    code_joins = " ".join(
+        f"JOIN pq{j}_code k{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    code_cols = ", ".join(
+        f"k{j}.code AS c{j}" for j in range(PQ_M)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN pq{j}_cf b{j} ON b{j}.tag = v.c{j}" for j in range(PQ_M)
+    )
+    adist = " + ".join(
+        " + ".join(
+            f"((CAST(q.embedding[{j * dsub + d + 1}] AS DOUBLE) - b{j}.c{d}) * "
+            f"(CAST(q.embedding[{j * dsub + d + 1}] AS DOUBLE) - b{j}.c{d}))"
+            for d in range(dsub)
+        )
+        for j in range(PQ_M)
+    )
+    cos = sql_cosine("c.embedding", "q.embedding", DIM)
+    return f"""pqcodes AS (
+  SELECT k0.vec_id, {code_cols}
+  FROM pq0_code k0 {code_joins}
+),
+pqadc AS (
+  SELECT q.vec_id AS query_id, v.vec_id, ({adist}) AS adist
+  FROM embeddings q, pqcodes v
+  {book_joins}
+  WHERE q.vec_id < {NUM_QUERIES} AND v.vec_id <> q.vec_id
+),
+pqcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rn
+    FROM pqadc
+  ) WHERE rn <= {PQ_CAND}
+),
+pqscored AS (
+  SELECT pqcand.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM pqcand
+  JOIN embeddings c ON c.vec_id = pqcand.vec_id
+  JOIN embeddings q ON q.vec_id = pqcand.query_id
+),
+pqranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pqscored
+)"""
+
+
+def _pq_cert_cte() -> str:
+    """``pqcert`` 1-row CTE condensing the replayed pipeline to the
+    four integers pq_cert_df attaches — per-row integer rounding
+    before the sums keeps the rollup order-independent."""
+    code_wsum = " + ".join(f"{j + 1} * c{j}" for j in range(PQ_M))
+    return f"""pqcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pq_rows,
+         CAST(SUM((query_id * 1000 + rank) * neighbor_id) AS BIGINT)
+           AS pq_wsum,
+         CAST(SUM(ROUND(cosine * 1e6)) AS BIGINT) AS pq_cos_e6,
+         (SELECT CAST(SUM((vec_id + 1) * ({code_wsum})) AS BIGINT)
+          FROM pqcodes) AS pq_code_sum
+  FROM pqranked WHERE rank <= {TOP_K}
+)"""
+
+
+def _pq_oracle() -> str:
+    """ann_pq_topk end-to-end in SQL (local oracle) — the same CTE
+    blocks the pq_* certificate splices, returning the full top-k."""
+    return (
+        "WITH RECURSIVE " + _pq_codebook_ctes() + ",\n"
+        + _pq_pipeline_ctes()
+        + f"""
+SELECT query_id, neighbor_id, rank, cosine
+FROM pqranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+    )
+
+
+def pq_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding the PQ family into a hash-checked
+    contract row (the column-merge pattern, SURVEY.md §7): the stored
+    code table's weighted checksum Σ (vec_id+1)·Σⱼ (j+1)·codeⱼ (binds
+    every vector's full code word), plus ann_pq_topk's end-to-end
+    result condensed to (row count, Σ (query_id·1000+rank)·neighbor_id,
+    Σ round(cosine·10⁶)) — so a drifted codebook, a flipped code, a
+    dropped ADC candidate, or a mis-ranked rescore all flip an integer.
+    The oracle replays the ENTIRE pipeline in SQL: per-subspace Lloyd
+    over the deterministic sample (the same recursive-CTE machinery as
+    the coarse-quantizer replay), corpus encoding, ADC candidate cut,
+    exact rescore (see _pq_cert_ctes; float-noise hazard documented on
+    _quantizer_asg_ctes applies per subspace)."""
+    codes = _pq_codes_df(spark, sf_dir)
+    code_sum = codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "c")
+    ).agg(
+        F.sum(
+            (F.col("vec_id") + 1) * (F.col("j") + 1) * F.col("c")
+        )
+        .cast("bigint")
+        .alias("pq_code_sum")
+    )
+    top = ann_pq_topk(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pq_rows"),
+        F.sum(
+            (F.col("query_id") * 1000 + F.col("rank"))
+            * F.col("neighbor_id")
+        )
+        .cast("bigint")
+        .alias("pq_wsum"),
+        F.sum(F.round(F.col("cosine") * 1e6))
+        .cast("bigint")
+        .alias("pq_cos_e6"),
+    )
+    return top.crossJoin(code_sum)
+
+
 LOCAL_QUERIES = {
     "embedding_balanced_sample": embedding_balanced_sample,
     "embedding_quantize_stats": embedding_quantize_stats,
-    "ann_pq_topk": ann_pq_topk,  # numpy-replay + recall tested (no SQL)
+    "ann_pq_topk": ann_pq_topk,  # full SQL replay below + numpy/recall
     "ann_ivfpq_topk": ann_ivfpq_topk,  # numpy-replay + recall tested
 }
 LOCAL_ORACLE_SQL = {
     "embedding_balanced_sample": _balanced_sample_oracle(),
     "embedding_quantize_stats": _quantize_oracle(),
+    "ann_pq_topk": _pq_oracle(),
 }
 
 # deferred: the IVF contract oracle splices the balance AND quantize
-# CTE blocks, both defined above
+# CTE blocks and the LSH oracle the PQ certificate blocks, all
+# defined above
 ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
+ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle()

@@ -229,3 +229,38 @@ def test_stored_text_index_bm25_equals_recompute_path(spark, sf_dir):
     assert rows(bm25_topk_from_index(spark, "s_text_idx")) == rows(
         bm25_topk(spark, sf_dir)
     )
+
+
+def test_stored_pq_index_probe_equals_memo_path(spark, sf_dir):
+    """Round 8: save_pq_index → clear the session memos (new-session
+    semantics) → probing the stored catalog tables must reproduce the
+    memo path's IVF-PQ top-k exactly, with NO session-index rebuild
+    (quantizer, codebooks, and codes all come from the catalog; only
+    the query batch and the exact rescore touch the embeddings)."""
+    from guagua_spark.metrics import drain_index_builds
+    from guagua_spark.operators import similarity as sim
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_codes", "_centroids", "_books"):
+        spark.sql(f"DROP TABLE IF EXISTS t_pqidx{suffix}")
+        shutil.rmtree(f"{wh}/t_pqidx{suffix}", ignore_errors=True)
+
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in sim.ann_ivfpq_topk(spark, sf_dir).collect()
+    )
+    sim.save_pq_index(spark, sf_dir, "t_pqidx")
+    sim.clear_caches()  # new-session semantics: no memos survive
+    drain_index_builds()
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in sim.ann_ivfpq_topk_from_index(
+            spark, sf_dir, "t_pqidx"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    rebuilt = drain_index_builds()
+    assert not rebuilt, f"stored path rebuilt session indexes: {rebuilt}"
+    for suffix in ("_codes", "_centroids", "_books"):
+        spark.sql(f"DROP TABLE IF EXISTS t_pqidx{suffix}")
+        shutil.rmtree(f"{wh}/t_pqidx{suffix}", ignore_errors=True)

@@ -299,3 +299,22 @@ def test_ivfpq_recall_vs_bruteforce(spark, oracle_sf_dir, truth):
     assert len({r.query_id for r in rows}) == 5
     recall = len(found & truth) / len(truth)
     assert recall >= 0.4, f"ann_ivfpq_topk recall {recall}"
+
+
+def test_pq_topk_matches_sql_oracle(spark, oracle_sf_dir, duck):
+    """Round 8: ann_pq_topk's FULL SQL replay (per-subspace Lloyd
+    codebooks → corpus encoding → ADC candidate cut → exact rescore)
+    — the same CTE blocks the pq_* certificate splices into the
+    ann_lsh_topk contract row."""
+    from guagua_spark.operators.similarity import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        LOCAL_QUERIES["ann_pq_topk"](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL["ann_pq_topk"],
+    )
