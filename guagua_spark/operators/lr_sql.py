@@ -169,7 +169,18 @@ def sql_inference_cert_ctes() -> str:
     certificates — per-row 6dp scores summed at 1e-6 resolution
     (exact: a 6dp-rounded double times 1e6 re-rounds to the same
     integer on both engines) plus their 0.5-threshold counts. Spliced
-    into lr_train's contract oracle."""
+    into lr_train's contract oracle.
+
+    libm boundary-flip bound (round-8 advice): emb_score_e6 /
+    nnf_score_e6 (and text.py's bm_score_e6) sum EXP/LN-based per-row
+    scores rounded at 6dp. IEEE +-*/ are bit-exact across engines, but
+    libm exp/ln may differ in the last ulp; a flip needs a per-row
+    score whose pre-rounding value sits within ~1 ulp (~1e-16 of a
+    O(1) score) of a 0.5e-6 rounding boundary - P ~ 2e-10 per row, so
+    ~ N*2e-10 per certificate (~4e-6 at sf1's ~2e4 rows). The qnt_*
+    certificate avoids libm entirely; these three accept the bound in
+    exchange for certifying the real sigmoid/BM25 math, and every
+    sweep at sf0.001-0.1 has confirmed it empirically."""
     qs = ", ".join(str(q) for q in DECILE_QS)
     return f"""{auc_rank_ctes("ic")},
 icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),

@@ -37,11 +37,31 @@ QUERIES = [
 ]
 
 
+#: per-table replica key offsets — must exceed the source table's max
+#: id or replicas silently collide (asserted in generate())
+OFFSETS = {
+    "lineitem": ("l_orderkey", 200000),
+    "documents": ("doc_id", 5000),
+    "embeddings": ("vec_id", 2000),
+}
+
+
 def generate() -> None:
     import duckdb
 
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # guard the hardcoded offsets against a regenerated sf0.1 with
+    # larger cardinalities: a collision would silently corrupt the
+    # synthetic dataset and the published exponents (round-8 advice)
+    for table, (col, off) in OFFSETS.items():
+        (mx,) = con.execute(
+            f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+        ).fetchone()
+        assert mx < off, (
+            f"{table}.{col} max {mx} >= replica offset {off}: replicas"
+            " would collide — raise the offset"
+        )
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS k")
 
     def write(name: str, sql: str) -> None:

@@ -19,6 +19,7 @@ from guagua_spark.api import (
     WorkerComputable,
     WorkerContext,
 )
+from guagua_spark.algorithms.sum_ import SumMaster, SumWorker
 from guagua_spark.engine import IterativeEngine
 
 
@@ -114,3 +115,51 @@ def test_full_barrier_when_all_fast(spark):
     # nobody straggles ⇒ identical to the default path
     assert master.arrived_history == [4, 4]
     assert result.n == 40
+
+
+class SlowPartitionSumWorker(SumWorker):
+    """The reference SUM worker, with partition 0 sleeping far past the
+    barrier deadline — the straggler-self-kill shape
+    (GuaguaWorkerService.java:304-316) on the golden workload."""
+
+    def compute(
+        self, context: WorkerContext, batches: Iterator[pa.RecordBatch]
+    ) -> Any:
+        if context.partition_id == 0:
+            time.sleep(30)
+        return super().compute(context, batches)
+
+
+class RecordingSumMaster(SumMaster):
+    def __init__(self) -> None:
+        super().__init__()
+        self.arrived_history: list[int] = []
+
+    def compute(self, context: MasterContext) -> Any:
+        self.arrived_history.append(context.arrived_workers)
+        return super().compute(context)
+
+
+def test_sum_golden_under_real_timeout_drop(spark):
+    """End-to-end §2.5 drop semantics on the REFERENCE workload: with
+    the SumTest partitions {1,2,3} / {2,3,4} and partition 0 cancelled
+    at the deadline every iteration, each round the master sees ONE
+    result carrying prev_sum + 9, so Mₙ = Mₙ₋₁ + 9 — the golden under
+    drop is 9·iterations, not the full-barrier 15·(2ⁿ−1)."""
+    from guagua_spark.engine import IterativeEngine
+
+    rdd = spark.sparkContext.parallelize(
+        [(1,), (2,), (3,), (2,), (3,), (4,)], 2
+    )
+    df = spark.createDataFrame(rdd, "value long")
+    master = RecordingSumMaster()
+    result = IterativeEngine(spark).run(
+        master,
+        SlowPartitionSumWorker(),
+        df,
+        total_iteration=3,
+        min_workers_ratio=0.5,
+        min_workers_timeout=2.0,
+    )
+    assert master.arrived_history == [1, 1, 1]
+    assert result.value == 27  # 9 * 3 iterations
