@@ -1465,13 +1465,10 @@ pq{j}_code AS (
     return ",\n".join(parts)
 
 
-def _pq_pipeline_ctes() -> str:
-    """``pqcodes`` → ``pqadc`` → ``pqcand`` → ``pqranked``: corpus code
-    words, per-(query, vector) asymmetric distance via the codebook
-    joins, the top-PQ_CAND candidate cut under the total (adist,
-    vec_id) order, and the shared exact cosine rescore — the SQL twin
-    of ann_pq_topk (whose partition-local cut provably preserves the
-    global top-PQ_CAND under that same total order)."""
+def _pq_books_sql() -> tuple[str, str, str]:
+    """Shared SQL fragments over the pq{j}_cf/pq{j}_code relations:
+    (pqcodes CTE, per-code book joins against alias ``v``, the ADC
+    distance expression against query alias ``q``)."""
     dsub = DIM // PQ_M
     code_joins = " ".join(
         f"JOIN pq{j}_code k{j} USING (vec_id)" for j in range(1, PQ_M)
@@ -1479,6 +1476,10 @@ def _pq_pipeline_ctes() -> str:
     code_cols = ", ".join(
         f"k{j}.code AS c{j}" for j in range(PQ_M)
     )
+    pqcodes = f"""pqcodes AS (
+  SELECT k0.vec_id, {code_cols}
+  FROM pq0_code k0 {code_joins}
+)"""
     book_joins = "\n  ".join(
         f"JOIN pq{j}_cf b{j} ON b{j}.tag = v.c{j}" for j in range(PQ_M)
     )
@@ -1490,11 +1491,19 @@ def _pq_pipeline_ctes() -> str:
         )
         for j in range(PQ_M)
     )
+    return pqcodes, book_joins, adist
+
+
+def _pq_pipeline_ctes() -> str:
+    """``pqcodes`` → ``pqadc`` → ``pqcand`` → ``pqranked``: corpus code
+    words, per-(query, vector) asymmetric distance via the codebook
+    joins, the top-PQ_CAND candidate cut under the total (adist,
+    vec_id) order, and the shared exact cosine rescore — the SQL twin
+    of ann_pq_topk (whose partition-local cut provably preserves the
+    global top-PQ_CAND under that same total order)."""
+    pqcodes, book_joins, adist = _pq_books_sql()
     cos = sql_cosine("c.embedding", "q.embedding", DIM)
-    return f"""pqcodes AS (
-  SELECT k0.vec_id, {code_cols}
-  FROM pq0_code k0 {code_joins}
-),
+    return f"""{pqcodes},
 pqadc AS (
   SELECT q.vec_id AS query_id, v.vec_id, ({adist}) AS adist
   FROM embeddings q, pqcodes v
@@ -1521,6 +1530,65 @@ pqranked AS (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pqscored
 )"""
+
+
+def _ivfpq_oracle() -> str:
+    """ann_ivfpq_topk end-to-end in SQL (local oracle): the coarse
+    quantizer's recursive Lloyd replay + cell assignment
+    (_quantizer_asg_ctes → ``cf``/``asg``), the per-subspace codebook
+    replays + corpus codes (_pq_codebook_ctes), IVF_NPROBE cell
+    probing, ADC over the probed cells only, the top-PQ_CAND cut, and
+    the exact cosine rescore — closing the last ANN path without a
+    SQL twin (round 8)."""
+    pqcodes, book_joins, adist = _pq_books_sql()
+    cos = sql_cosine("c.embedding", "q.embedding", DIM)
+    return (
+        "WITH RECURSIVE "
+        + _quantizer_asg_ctes()
+        + ",\n"
+        + _pq_codebook_ctes()
+        + ",\n"
+        + f"""{pqcodes},
+ipqprobes AS (
+  SELECT query_id, pcell FROM (
+    SELECT q.vec_id AS query_id, cf.tag AS pcell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ({_sql_dist('q.embedding', 'cf')}), cf.tag) AS rn
+    FROM embeddings q, cf WHERE q.vec_id < {NUM_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+ipqadc AS (
+  SELECT p.query_id, v.vec_id, ({adist}) AS adist
+  FROM ipqprobes p
+  JOIN asg a ON a.cell = p.pcell AND a.vec_id <> p.query_id
+  JOIN pqcodes v ON v.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  {book_joins}
+),
+ipqcand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rn
+    FROM ipqadc
+  ) WHERE rn <= {PQ_CAND}
+),
+ipqscored AS (
+  SELECT ipqcand.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM ipqcand
+  JOIN embeddings c ON c.vec_id = ipqcand.vec_id
+  JOIN embeddings q ON q.vec_id = ipqcand.query_id
+),
+ipqranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ipqscored
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ipqranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+    )
 
 
 def _pq_cert_cte() -> str:
@@ -1594,12 +1662,13 @@ LOCAL_QUERIES = {
     "embedding_balanced_sample": embedding_balanced_sample,
     "embedding_quantize_stats": embedding_quantize_stats,
     "ann_pq_topk": ann_pq_topk,  # full SQL replay below + numpy/recall
-    "ann_ivfpq_topk": ann_ivfpq_topk,  # numpy-replay + recall tested
+    "ann_ivfpq_topk": ann_ivfpq_topk,  # full SQL replay + numpy/recall
 }
 LOCAL_ORACLE_SQL = {
     "embedding_balanced_sample": _balanced_sample_oracle(),
     "embedding_quantize_stats": _quantize_oracle(),
     "ann_pq_topk": _pq_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
 }
 
 # deferred: the IVF contract oracle splices the balance AND quantize

@@ -318,3 +318,21 @@ def test_pq_topk_matches_sql_oracle(spark, oracle_sf_dir, duck):
         duck,
         LOCAL_ORACLE_SQL["ann_pq_topk"],
     )
+
+
+def test_ivfpq_topk_matches_sql_oracle(spark, oracle_sf_dir, duck):
+    """Round 8: ann_ivfpq_topk's FULL SQL replay — coarse-quantizer
+    Lloyd + cell probing composed with the PQ codebook replays, ADC
+    over the probed cells only, exact rescore."""
+    from guagua_spark.operators.similarity import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        LOCAL_QUERIES["ann_ivfpq_topk"](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL["ann_ivfpq_topk"],
+    )
