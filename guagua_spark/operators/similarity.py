@@ -1359,21 +1359,12 @@ def save_pq_index(
     bk_df.write.mode("overwrite").saveAsTable(f"{name}_books")
 
 
-def ann_ivfpq_topk_from_index(
-    spark: SparkSession, sf_dir: str, name: str
-) -> DataFrame:
-    """IVF-PQ top-k probing the STORED index: quantizer, codebooks,
-    and the (vec_id, cell, codes) table all come from the catalog — no
-    quantizer/codebook training, no encode-UDF pass, no session memo.
-    Only the query batch and the final exact rescore touch the
-    embeddings table. Probe equality with the memo path and the
-    no-rebuild property are asserted in tests/test_index_store.py."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+def _load_pq_models(
+    spark: SparkSession, name: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse centroids, PQ codebooks) from the stored catalog model
+    tables — tiny, collected at plan time. float64 round-trips exactly
+    through parquet doubles."""
     cen_rows = spark.table(f"{name}_centroids").orderBy("cell").collect()
     centroids = np.array([r.centroid for r in cen_rows], dtype=np.float64)
     bk_rows = spark.table(f"{name}_books").orderBy("j", "tag").collect()
@@ -1382,6 +1373,55 @@ def ann_ivfpq_topk_from_index(
     books = np.array(
         [r.centroid for r in bk_rows], dtype=np.float64
     ).reshape(m, ks, -1)
+    return centroids, books
+
+
+def append_to_pq_index(
+    new_emb: DataFrame, name: str, vec_col: str = "embedding"
+) -> None:
+    """Index MAINTENANCE: encode a new vector batch against the STORED
+    quantizer + codebooks and insert into ``<name>_codes`` — the ANN
+    ingest loop (the FAISS `add` contract: models are FROZEN at index
+    build; only re-training — save_pq_index — moves them, so existing
+    code words never change and the append is O(batch)). Spark keeps
+    the bucket spec on insert, so cell-probe pruning survives the
+    merge. Caller owns id uniqueness between batch and corpus."""
+    spark = new_emb.sparkSession
+    from guagua_spark.functions.scale import ensure_parallelism
+
+    centroids, books = _load_pq_models(spark, name)
+    batch = ensure_parallelism(new_emb, spark)
+    batch.select(
+        "vec_id",
+        _cell_udf(centroids)(F.col(vec_col)).alias("cell"),
+        _encode_udf(books)(F.col(vec_col)).alias("codes"),
+    ).select("vec_id", "codes", "cell").write.insertInto(
+        f"{name}_codes"
+    )
+
+
+def ann_ivfpq_topk_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    emb: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k probing the STORED index: quantizer, codebooks,
+    and the (vec_id, cell, codes) table all come from the catalog — no
+    quantizer/codebook training, no encode-UDF pass, no session memo.
+    Only the query batch and the final exact rescore touch the
+    corpus relation ``emb`` (default: the sf_dir embeddings table —
+    pass the grown corpus after append_to_pq_index batches, since the
+    rescore can only return vectors whose raw embeddings it can join).
+    Probe equality with the memo path and the no-rebuild property are
+    asserted in tests/test_index_store.py."""
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    centroids, books = _load_pq_models(spark, name)
     idx = spark.table(f"{name}_codes")
     return _ivfpq_topk_of(spark, emb, q, centroids, books, idx)
 

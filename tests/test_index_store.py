@@ -264,3 +264,66 @@ def test_stored_pq_index_probe_equals_memo_path(spark, sf_dir):
     for suffix in ("_codes", "_centroids", "_books"):
         spark.sql(f"DROP TABLE IF EXISTS t_pqidx{suffix}")
         shutil.rmtree(f"{wh}/t_pqidx{suffix}", ignore_errors=True)
+
+
+def test_append_to_pq_index_completes_ingest_loop(spark, sf_dir):
+    """Round 8: the ANN ingest loop — new vectors encoded against the
+    STORED (frozen) quantizer + codebooks and inserted into the codes
+    table; the grown index must answer queries exactly as the shared
+    probe/score stage does over a direct encode of the union with the
+    same models, and the appended vectors must actually surface (the
+    batch duplicates corpus vectors, so ties put the new ids into the
+    top-k)."""
+    from guagua_spark.operators import similarity as sim
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_codes", "_centroids", "_books"):
+        spark.sql(f"DROP TABLE IF EXISTS t_pqgrow{suffix}")
+        shutil.rmtree(f"{wh}/t_pqgrow{suffix}", ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    sim.save_pq_index(spark, sf_dir, "t_pqgrow")
+    # new batch: shifted-id copies of vectors 100..149 (exact
+    # duplicates — cosine ties force them into results when present)
+    batch = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 150)
+    ).select((F.col("vec_id") + n).alias("vec_id"), "embedding")
+    sim.append_to_pq_index(batch, "t_pqgrow")
+
+    # the ingest loop grows the corpus dataset alongside the index —
+    # the rescore can only return vectors whose embeddings it can join
+    centroids, books = sim._load_pq_models(spark, "t_pqgrow")
+    union = emb.unionByName(batch)
+    got = sim.ann_ivfpq_topk_from_index(
+        spark, sf_dir, "t_pqgrow", emb=union
+    )
+    # expected: the same frozen models over a direct encode of the
+    # union, through the same shared probe/score stage
+    idx = union.select(
+        "vec_id",
+        sim._encode_udf(books)(F.col("embedding")).alias("codes"),
+        sim._cell_udf(centroids)(F.col("embedding")).alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < sim.NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    want = sim._ivfpq_topk_of(spark, union, q, centroids, books, idx)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+            for r in df.collect()
+        )
+
+    g, w = rows(got), rows(want)
+    assert g == w and len(g) > 0
+    # the grown index actually holds the batch
+    stored = spark.table("t_pqgrow_codes")
+    assert stored.count() == n + 50
+    assert stored.filter(F.col("vec_id") >= n).count() == 50
+    for suffix in ("_codes", "_centroids", "_books"):
+        spark.sql(f"DROP TABLE IF EXISTS t_pqgrow{suffix}")
+        shutil.rmtree(f"{wh}/t_pqgrow{suffix}", ignore_errors=True)
