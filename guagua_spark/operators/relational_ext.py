@@ -26,14 +26,20 @@ def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gs_*``: the GROUPING SETS certificate — a 1-row rollup of the
     ACTUAL rx_grouping_sets output (explicit-sets syntax over orders):
     output row count plus label-hash-weighted integer sums of every
-    group's count and (revenue·10⁴ as bigint), where the label hash
-    covers (priority, status, gid). The weighting binds WHICH group got
-    WHICH count/revenue — a swap between two groups changes the sum —
-    and the integer form keeps the certificate exact cross-engine
-    (summing doubles is order-sensitive; summing per-row rounded
-    integers is not). This certifies the standalone LOCAL operator
-    inside the 50-slot driver cap. Memoized per orders fingerprint
-    (certmemo); cost on miss reports as _index:cert:grouping_sets."""
+    group's count and cent total, where the label hash covers
+    (priority, status, gid). The weighting binds WHICH group got
+    WHICH count/revenue — a swap between two groups changes the sum.
+    The cent totals come from a twin aggregation that rounds EACH ROW
+    to integer cents before summing (joined 1:1 on the group label):
+    per-row rounding of identical doubles is bit-exact cross-engine
+    and integer sums are order-independent, so the certificate is
+    exact at ANY scale — the previous form rounded each group's FLOAT
+    revenue sum, whose accumulation noise grows with group magnitude
+    and flipped the 10⁻⁴ rounding at the synthetic sf1 (found by the
+    round-8 value sweep; the sf0.01 contract gate never sees it).
+    This certifies the standalone LOCAL operator inside the 50-slot
+    driver cap. Memoized per orders fingerprint (certmemo); cost on
+    miss reports as _index:cert:grouping_sets."""
     from guagua_spark.operators.certmemo import cached_cert_cols
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -44,20 +50,42 @@ def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         gs = rx_grouping_sets(spark, sf_dir)
-        label = F.concat_ws(
-            "|",
-            F.coalesce(F.col("o_orderpriority"), F.lit("~")),
-            F.coalesce(F.col("o_orderstatus"), F.lit("~")),
-            F.col("gid").cast("string"),
+        cents_twin = spark.sql(
+            """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(grouping_id() AS BIGINT) AS gid,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS cents
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
+            """
         )
-        # small weight (u32 % 997 + 1) so weight·(revenue·10⁴) summed
-        # over all groups stays far inside bigint range
-        w = F.pmod(u32_hash("gs", label), F.lit(997)) + 1
-        rev_i = F.round(F.col("revenue") * 10000).cast("bigint")
-        return gs.agg(
+
+        def label_of(df: DataFrame) -> F.Column:
+            return F.concat_ws(
+                "|",
+                F.coalesce(df["o_orderpriority"], F.lit("~")),
+                F.coalesce(df["o_orderstatus"], F.lit("~")),
+                df["gid"].cast("string"),
+            )
+
+        # label join (not the raw keys: rollup label rows hold NULLs,
+        # which an equi-join would drop); 1:1 by construction, so the
+        # join also asserts group-set correspondence
+        joined = gs.withColumn("__label", label_of(gs)).join(
+            cents_twin.select(
+                label_of(cents_twin).alias("__label"), "cents"
+            ),
+            "__label",
+        )
+        # small weight (u32 % 997 + 1) so weight·cents summed over all
+        # groups stays far inside bigint range
+        w = F.pmod(u32_hash("gs", F.col("__label")), F.lit(997)) + 1
+        return joined.agg(
             F.count(F.lit(1)).alias("gs_rows"),
             F.sum(w * F.col("n_orders")).alias("gs_n_wsum"),
-            F.sum(w * rev_i).alias("gs_rev_wsum"),
+            F.sum(w * F.col("cents")).alias("gs_rev_wsum"),
         )
 
     cert_cols = cached_cert_cols(
@@ -741,7 +769,7 @@ WITH gs AS (
   SELECT o_orderpriority, o_orderstatus,
          CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
          COUNT(*) AS n_orders,
-         ROUND(SUM(o_totalprice), 4) AS revenue
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
   FROM orders
   GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                           (o_orderpriority), ())
@@ -751,8 +779,7 @@ cert AS (
          CAST(SUM(({_U32_SQL.format(tag="gs", expr=_GS_LABEL)} % 997 + 1)
                   * n_orders) AS BIGINT) AS gs_n_wsum,
          CAST(SUM(({_U32_SQL.format(tag="gs", expr=_GS_LABEL)} % 997 + 1)
-                  * CAST(ROUND(revenue * 10000) AS BIGINT))
-              AS BIGINT) AS gs_rev_wsum
+                  * cents) AS BIGINT) AS gs_rev_wsum
   FROM gs
 ),
 roll AS (
