@@ -1,0 +1,95 @@
+"""Bounded-memory frequent items (heavy hitters) with EXACT output.
+
+The 100 TB problem: "which tokens appear in more than x% of the
+corpus" via a plain groupBy shuffles the ENTIRE distinct-value set —
+billions of rare tokens move through the exchange to produce a
+handful of output rows. The sketch route bounds that:
+
+1. **Misra-Gries candidate pass** (mapInPandas, one scan): each
+   partition folds its batches into a c-counter summary using the
+   mergeable-summaries MERGE (combine counts, subtract the (c+1)-th
+   largest, keep the positive top c — Agarwal/Cormode et al., PODS'12
+   "Mergeable Summaries"): undercount ≤ N_p/(c+1), so any value with
+   partition frequency > N_p/(c+1) survives its partition's sketch.
+   By averaging, a value with GLOBAL frequency > N/(c+1) exceeds that
+   bound in at least one partition — the union of partition sketches
+   is a SUPERSET of every global heavy hitter. ≤ (c+1)·P tiny rows
+   leave the scan.
+2. **Exact recount**: broadcast the candidate set back as a map-side
+   semi filter, one partially-aggregated groupBy over ONLY candidate
+   rows (map-side combine collapses each partition's contribution to
+   ≤ |candidates| rows before the exchange), threshold at N/(c+1).
+
+Step 2 makes the output EXACT — provably equal to
+``GROUP BY v HAVING COUNT(*) > N/(c+1)`` — so a plain SQL oracle can
+replay it, while the shuffle stays candidate-sized at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counts, c: int):
+    """One mergeable-summaries MERGE step: keep the top c counters
+    after subtracting the (c+1)-th largest (0 if none)."""
+    if len(counts) <= c:
+        return counts
+    top = counts.nlargest(c + 1)
+    out = top.iloc[:c] - top.iloc[-1]
+    return out[out > 0]
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    counters: int = 64,
+    out_col: str = "n",
+) -> DataFrame:
+    """Every value of ``col`` whose frequency exceeds N/(counters+1),
+    with its EXACT count, ordered by (count desc, value). See the
+    module docstring for the two-pass construction and the exactness
+    argument. ``counters`` trades candidate-set size (≤ (counters+1)·P
+    rows) against the detection threshold."""
+    c = counters
+
+    def mg(batches):
+        import pandas as pd
+
+        sketch = pd.Series(dtype="float64")
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            vc = pdf["__v"].value_counts()
+            sketch = _mg_merge(sketch.add(vc, fill_value=0), c)
+        out = pd.DataFrame(
+            {"val": sketch.index.astype(object), "n": 0}
+        )
+        yield pd.concat(
+            [out, pd.DataFrame({"val": [None], "n": [total]})]
+        )
+
+    base = df.select(F.col(col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    # one scan emits ≤ c candidates + 1 total-marker row per partition;
+    # pinned so the totals job and the candidates job read ONE
+    # materialized result (it is candidate-sized, never corpus-sized)
+    part = base.mapInPandas(mg, "val string, n long").localCheckpoint(
+        eager=True
+    )
+    n_total = (
+        part.filter(F.col("val").isNull()).agg(F.sum("n")).collect()[0][0]
+        or 0
+    )
+    cand = part.filter(F.col("val").isNotNull()).select("val").distinct()
+    thresh = float(n_total) / (c + 1)
+    return (
+        base.join(F.broadcast(cand), F.col("__v") == F.col("val"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias(out_col))
+        .filter(F.col(out_col) > thresh)
+        .select(F.col("__v").alias(col), out_col)
+        .orderBy(F.col(out_col).desc(), col)
+    )

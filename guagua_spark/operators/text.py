@@ -1564,10 +1564,49 @@ ORACLE_SQL["text_quality_scores"] = _quality_oracle()
 ORACLE_SQL["text_contamination"] = _contamination_oracle()
 
 
+#: Misra-Gries counter budget for text_frequent_tokens — the
+#: detection threshold is N/(counters+1) of all corpus tokens
+FREQ_COUNTERS = 64
+
+
+def text_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent tokens (> N/(FREQ_COUNTERS+1) of all token
+    occurrences) with exact counts — the bounded-memory heavy-hitters
+    operator (functions.sketch.frequent_items: Misra-Gries candidate
+    scan + exact recount; see that module for the exactness proof).
+    At 100 TB this replaces a full distinct-token shuffle with a
+    candidate-sized one; the SQL oracle is the plain GROUP BY/HAVING
+    the construction provably equals."""
+    from guagua_spark.functions.sketch import frequent_items
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return frequent_items(
+        toks, "tok", FREQ_COUNTERS, out_col="n_occurrences"
+    )
+
+
+def _frequent_tokens_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({_sql_tokens()}) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok, COUNT(*) AS n_occurrences
+FROM toks, tot
+GROUP BY tok, tot.n
+HAVING COUNT(*) > CAST(tot.n AS DOUBLE) / {FREQ_COUNTERS + 1}
+ORDER BY n_occurrences DESC, tok
+""".strip()
+
+
 #: standalone building-block queries kept oracle-tested locally
 #: (tests/test_text_ops.py) but not registered with the 50-slot driver
 #: contract — their outputs are certified there via the merged columns.
 LOCAL_QUERIES = {
+    "text_frequent_tokens": text_frequent_tokens,
     "text_bpe_token_counts": bpe_token_counts,
     "text_rolling_fingerprint": rolling_fingerprint,
     "text_repetition_scores": repetition_scores,
@@ -1579,6 +1618,7 @@ LOCAL_QUERIES = {
 }
 
 LOCAL_ORACLE_SQL = {
+    "text_frequent_tokens": _frequent_tokens_oracle(),
     "text_bpe_token_counts": (
         f"SELECT doc_id, len(regexp_extract_all(text, '{BPE_REGEX}')) "
         "AS n_bpe_tokens FROM documents ORDER BY doc_id"

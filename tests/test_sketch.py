@@ -1,0 +1,78 @@
+"""Bounded-memory frequent items (functions.sketch): exactness vs the
+plain GROUP BY/HAVING form, the oracle match of the text host, and the
+candidate-superset guarantee under heavy skew."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from guagua_spark.functions.sketch import frequent_items
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    from oracle import duck_connection
+
+    return duck_connection(oracle_sf_dir)
+
+
+def _exact(df, col, c):
+    n = df.filter(F.col(col).isNotNull()).count()
+    return sorted(
+        tuple(r)
+        for r in df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > n / (c + 1))
+        .collect()
+    )
+
+
+def test_frequent_items_equals_exact_groupby_skewed(spark):
+    """50% hot value + zipf-ish tail across 8 partitions: the sketch
+    route must return EXACTLY the > N/(c+1) set with exact counts."""
+    df = spark.range(0, 40000, 1, 8).select(
+        F.when(F.col("id") % 2 == 0, "hot")
+        .when(F.col("id") % 4 == 1, "warm")
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 500).cast("string")))
+        .alias("v")
+    )
+    for c in (4, 16, 64):
+        got = sorted(
+            tuple(r) for r in frequent_items(df, "v", c).collect()
+        )
+        assert got == _exact(df, "v", c), c
+    assert ("hot", 20000) in got
+
+
+def test_frequent_items_uniform_returns_empty_or_exact(spark):
+    """Uniform data (nothing above threshold at small c): still exact."""
+    df = spark.range(0, 3000, 1, 4).select(
+        (F.col("id") % 1000).cast("string").alias("v")
+    )
+    got = sorted(tuple(r) for r in frequent_items(df, "v", 8).collect())
+    assert got == _exact(df, "v", 8)
+
+
+def test_frequent_items_nulls_ignored(spark):
+    df = spark.range(0, 1000, 1, 4).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.lit("x")).alias("v")
+    )
+    rows = frequent_items(df, "v", 4).collect()
+    assert [(r.v, r.n) for r in rows] == [("x", 666)]
+
+
+def test_text_frequent_tokens_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.text import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        LOCAL_QUERIES["text_frequent_tokens"](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL["text_frequent_tokens"],
+    )
