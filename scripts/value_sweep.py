@@ -96,7 +96,10 @@ def _adjudicate(sdf, odf) -> dict:
                     if rel > worst:
                         worst, worst_col = rel, c
         else:
-            hard += int((g != w).sum())
+            # None (Spark) vs NaN (DuckDB fetchdf) both mean NULL —
+            # don't count representation skew as a mismatch
+            both_null = g.isna() & w.isna()
+            hard += int(((g != w) & ~both_null).sum())
     return {
         "max_float_rel_err": f"{worst:.2e}",
         "max_rel_err_col": worst_col,
