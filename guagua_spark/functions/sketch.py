@@ -41,6 +41,56 @@ def _mg_merge(counts, c: int):
     return out[out > 0]
 
 
+def skew_report(
+    df: DataFrame,
+    col: str,
+    counters: int = 64,
+    n_salts: int = 16,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Pre-flight skew diagnostics for a join/groupBy/window key: the
+    exact share of rows held by every value above the 1/(counters+1)
+    detection threshold (via :func:`frequent_items` — candidate-sized
+    shuffle at any scale), plus the mitigation each hot key calls for.
+    At 100 TB you run THIS before the expensive job, not after the one
+    straggler task times out:
+
+    - share ≥ 0.5/shuffle-partitions → one reducer holds multiples of
+      the average: ``salted_agg``/``salted_topk`` (groupBy/window) or
+      AQE skew-join handles the join case;
+    - below that → no action, AQE partition coalescing suffices.
+
+    Output: (value, n, share, salted_tasks, recommendation) ordered by
+    share desc — ``salted_tasks`` is the per-key fan-out ``n_salts``
+    would give that key. Exact (sketch candidates + exact recount), so
+    the SQL oracle is a plain GROUP BY/HAVING replay. Pass an explicit
+    ``shuffle_partitions`` when the report must be reproducible across
+    environments (oracle replays pin it); default reads the session
+    conf."""
+    spark = df.sparkSession
+    hot = frequent_items(df, col, counters, out_col="n")
+    n_total = (
+        df.filter(F.col(col).isNotNull()).count() or 1
+    )
+    parts = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    share = (F.col("n") / F.lit(float(n_total))).alias("share")
+    hot_bar = 0.5 / parts
+    return hot.select(
+        col,
+        "n",
+        F.round(share, 6).alias("share"),
+        F.lit(n_salts).alias("salted_tasks"),
+        F.when(
+            F.col("n") / F.lit(float(n_total)) >= hot_bar,
+            F.lit("salt"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("recommendation"),
+    ).orderBy(F.col("share").desc(), col)
+
+
 def frequent_items(
     df: DataFrame,
     col: str,

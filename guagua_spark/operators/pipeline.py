@@ -635,6 +635,51 @@ GROUP BY d.source ORDER BY d.source
 """.strip()
 
 
+#: pinned knobs for the skew report host (explicit so the SQL oracle
+#: replays the thresholds regardless of session conf)
+SKEW_COUNTERS = 64
+SKEW_SALTS = 16
+SKEW_PARTS = 32
+
+
+def pipeline_source_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostics on the corpus's source key (the
+    partition/join key a by-source pipeline stage would shuffle on):
+    exact share per heavy value + the salting recommendation —
+    functions.sketch.skew_report over documents.source. At 100 TB this
+    report runs BEFORE the expensive job (candidate-sized shuffle);
+    thresholds are pinned (SKEW_*) so the DuckDB oracle replays the
+    recommendation column bit-identically."""
+    from guagua_spark.functions.sketch import skew_report
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    return skew_report(
+        docs,
+        "source",
+        counters=SKEW_COUNTERS,
+        n_salts=SKEW_SALTS,
+        shuffle_partitions=SKEW_PARTS,
+    )
+
+
+def _source_skew_oracle() -> str:
+    return f"""
+WITH vals AS (
+  SELECT source AS v FROM documents WHERE source IS NOT NULL
+),
+tot AS (SELECT COUNT(*) AS n FROM vals)
+SELECT v AS source, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(tot.n AS DOUBLE), 6) AS share,
+       {SKEW_SALTS} AS salted_tasks,
+       CASE WHEN COUNT(*) / CAST(tot.n AS DOUBLE) >= 0.5 / {SKEW_PARTS}
+            THEN 'salt' ELSE 'none' END AS recommendation
+FROM vals, tot
+GROUP BY v, tot.n
+HAVING COUNT(*) > CAST(tot.n AS DOUBLE) / {SKEW_COUNTERS + 1}
+ORDER BY share DESC, source
+""".strip()
+
+
 def corpus_diff(
     old_df: DataFrame,
     new_df: DataFrame,
@@ -953,6 +998,7 @@ rcert AS (
 #: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
 #: driver contract
 LOCAL_QUERIES = {
+    "pipeline_source_skew": pipeline_source_skew,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_temperature_mix": pipeline_temperature_mix,
@@ -962,6 +1008,7 @@ LOCAL_QUERIES = {
 }
 
 LOCAL_ORACLE_SQL = {
+    "pipeline_source_skew": _source_skew_oracle(),
     "pipeline_stratified_sample": _stratified_oracle(),
     "pipeline_source_mix": _source_mix_oracle(),
     "pipeline_temperature_mix": _temperature_mix_oracle(),

@@ -76,3 +76,44 @@ def test_text_frequent_tokens_matches_oracle(spark, oracle_sf_dir, duck):
         duck,
         LOCAL_ORACLE_SQL["text_frequent_tokens"],
     )
+
+
+def test_skew_report_flags_hot_key(spark):
+    """A 60%-share key must be flagged 'salt' with its exact share;
+    keys below 0.5/partitions get 'none'."""
+    from guagua_spark.functions.sketch import skew_report
+
+    df = spark.range(0, 10000, 1, 8).select(
+        F.when(F.col("id") % 10 < 6, "hot")
+        .when(F.col("id") % 10 < 8, "warm")
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 40).cast("string")))
+        .alias("k")
+    )
+    rows = {
+        r.k: r
+        for r in skew_report(
+            df, "k", counters=16, shuffle_partitions=4
+        ).collect()
+    }
+    assert rows["hot"].n == 6000 and rows["hot"].share == 0.6
+    assert rows["hot"].recommendation == "salt"
+    assert rows["warm"].recommendation == "salt"  # 0.2 >= 0.5/4=0.125
+    assert all(
+        v.recommendation == "none" for k, v in rows.items()
+        if k not in ("hot", "warm")
+    ) or set(rows) == {"hot", "warm"}
+
+
+def test_pipeline_source_skew_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.pipeline import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        LOCAL_QUERIES["pipeline_source_skew"](spark, oracle_sf_dir),
+        duck,
+        LOCAL_ORACLE_SQL["pipeline_source_skew"],
+    )
