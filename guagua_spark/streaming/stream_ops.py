@@ -155,6 +155,62 @@ def streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(stratified_keep()).select("doc_id", "lang")
 
 
+def streaming_temperature_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pipeline_temperature_mix: the tempered
+    per-source rates (p_s ∝ √n_s) are CORPUS-LEVEL statistics, so they
+    are computed once from the static corpus snapshot — the reference
+    distribution a production mixer pins per corpus version — and
+    joined stream-static (tiny broadcastable rate relation, re-read
+    per micro-batch so a re-pinned corpus version is picked up without
+    a restart). Membership is the same md5-Bernoulli rule as the batch
+    operator: stateless, so late/replayed docs decide identically and
+    the drained kept-set EQUALS the batch operator's per-source
+    kept/kept_id_sum rollup (asserted in tests/test_streaming.py).
+    Emits one row per KEPT document (doc_id, source)."""
+    from guagua_spark.functions.scale import u32_hash
+    from guagua_spark.operators.pipeline import TEMP_TARGET_FRAC
+    from guagua_spark.sources.tables import load_table
+
+    static_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    counts = static_docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    norm = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_TARGET_FRAC)
+            * F.col("n_total")
+            * F.sqrt(F.col("n_docs"))
+            / F.col("z")
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    keep = u32_hash("tmix", F.col("doc_id").cast("string")) < (
+        F.col("rate") * float(2**32)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .filter(keep)
+        .select("doc_id", "source")
+    )
+
+
 def streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of pipeline_doc_chunks: the SAME chunk_docs
     transform (shared expression tree — the twins cannot drift) over

@@ -329,3 +329,36 @@ def test_streaming_bm25_score_matches_batch(spark, sf_dir):
     want = bm25_score_docs(docs, text_index_stats(spark, "st_bm25"))
     cols = ("doc_id", "q1_score", "q2_score", "q3_score")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_temperature_mix_matches_batch(spark, sf_dir):
+    """The tempered rates are frozen from the static corpus snapshot
+    and membership is the md5-Bernoulli rule, so the drained kept-set's
+    per-source rollup must equal the batch operator's kept /
+    kept_id_sum columns exactly."""
+    import pyspark.sql.functions as F
+
+    from guagua_spark.operators.pipeline import pipeline_temperature_mix
+    from guagua_spark.streaming.stream_ops import (
+        streaming_temperature_mix,
+    )
+
+    got = run_available_now(
+        streaming_temperature_mix(spark, sf_dir), "s_tmix", "append"
+    )
+    rolled = sorted(
+        tuple(r)
+        for r in got.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (r.source, r.kept, r.kept_id_sum)
+        for r in pipeline_temperature_mix(spark, sf_dir).collect()
+        if r.kept > 0
+    )
+    got_nonzero = [t for t in rolled if t[1] > 0]
+    assert got_nonzero == want and len(want) > 0
