@@ -40,10 +40,17 @@ QUERIES = [
 #: per-table replica key offsets — must exceed the source table's max
 #: id or replicas silently collide (asserted in generate())
 OFFSETS = {
-    "lineitem": ("l_orderkey", 200000),
-    "documents": ("doc_id", 5000),
-    "embeddings": ("vec_id", 2000),
+    "lineitem": [("l_orderkey", 200000)],
+    "documents": [("doc_id", 5000)],
+    "embeddings": [("vec_id", 2000)],
+    "orders": [("o_orderkey", 200000)],
+    "events": [("event_id", 100000), ("user_id", 2000)],
 }
+
+#: dimension tables copied UNREPLICATED (facts scale 10x, dims fixed —
+#: the TPC-H-style scaling mode; lineitem keeps its part/supp keys and
+#: orders its custkeys, so FK joins stay consistent)
+DIM_COPIES = ("region", "nation", "customer", "supplier", "part")
 
 
 def generate() -> None:
@@ -54,14 +61,15 @@ def generate() -> None:
     # guard the hardcoded offsets against a regenerated sf0.1 with
     # larger cardinalities: a collision would silently corrupt the
     # synthetic dataset and the published exponents (round-8 advice)
-    for table, (col, off) in OFFSETS.items():
-        (mx,) = con.execute(
-            f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
-        ).fetchone()
-        assert mx < off, (
-            f"{table}.{col} max {mx} >= replica offset {off}: replicas"
-            " would collide — raise the offset"
-        )
+    for table, cols in OFFSETS.items():
+        for col, off in cols:
+            (mx,) = con.execute(
+                f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchone()
+            assert mx < off, (
+                f"{table}.{col} max {mx} >= replica offset {off}: replicas"
+                " would collide — raise the offset"
+            )
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS k")
 
     def write(name: str, sql: str) -> None:
@@ -103,6 +111,29 @@ def generate() -> None:
         f"""SELECT vec_id + k * 2000 AS vec_id, embedding, label
         FROM read_parquet('{SRC}/embeddings.parquet'), r""",
     )
+    # the remaining fact tables + dim copies (round 8) let the FULL
+    # 50-query contract run at sf1, not just the 5-query timing set:
+    # orders replicates on the same orderkey offset as lineitem so the
+    # l_orderkey = o_orderkey join stays consistent; events shifts both
+    # event and user ids so per-user session/retention structure is
+    # preserved per replica (10x users, not 10x-longer histories)
+    write(
+        "orders",
+        f"""SELECT o_orderkey + k * 200000 AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{SRC}/orders.parquet'), r""",
+    )
+    write(
+        "events",
+        f"""SELECT event_id + k * 100000 AS event_id, ts,
+               user_id + k * 2000 AS user_id, event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet'), r""",
+    )
+    for dim in DIM_COPIES:
+        write(
+            dim,
+            f"SELECT * FROM read_parquet('{SRC}/{dim}.parquet')",
+        )
 
 
 def run() -> None:
