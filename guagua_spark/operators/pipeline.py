@@ -635,6 +635,108 @@ GROUP BY d.source ORDER BY d.source
 """.strip()
 
 
+#: token budget for the quality-ranked corpus selection
+SELECT_TOKEN_BUDGET = 50_000
+#: fixed score-range buckets for the skew-safe global cumsum
+SELECT_BUCKETS = 20
+
+
+def pipeline_select_within_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget corpus selection: rank documents by quality (alpha
+    ratio — the same cross-engine-exact expression the clean-corpus
+    filter uses) and keep the greedy prefix whose cumulative token
+    count fits SELECT_TOKEN_BUDGET — "spend the token budget on the
+    best data", the data-selection step after cleaning/dedup.
+
+    Skew-safe global cumsum: a running sum over a global ORDER BY is a
+    SinglePartition window (one task sorts the corpus). Instead the
+    score axis is cut into SELECT_BUCKETS fixed ranges (bucket =
+    floor(score·B), monotone in score, so cross-bucket order IS score
+    order and equal scores can never straddle buckets): per-bucket
+    token totals (map-side partial agg) → prefix offsets over the
+    ≤B-row bucket relation (the only single-partition window, bounded
+    domain) → within-bucket running sum partitioned by bucket. Output
+    (doc_id, score, n_toks, cum_toks) equals the single-window form
+    for any data; cum_toks binds the full selection ORDER, so the SQL
+    oracle (plain global window) checks the decomposition exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    docs = docs.filter(F.length("text") > 0)
+    score = F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")
+    ).cast("double") / F.length("text")
+    s = docs.select(
+        "doc_id",
+        score.alias("score"),
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    b = s.withColumn(
+        "__b",
+        F.least(
+            F.floor(F.col("score") * SELECT_BUCKETS),
+            F.lit(SELECT_BUCKETS - 1),
+        ).cast("int"),
+    )
+    totals = b.groupBy("__b").agg(F.sum("n_toks").alias("__btot"))
+    from pyspark.sql.window import Window
+
+    w_off = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0)).alias(
+            "__off"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "cum_toks", F.col("__off") + F.sum("n_toks").over(w_in)
+        )
+        .filter(F.col("cum_toks") <= SELECT_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            "n_toks",
+            "cum_toks",
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+    )
+
+
+def _select_budget_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS score,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents WHERE LENGTH(text) > 0
+),
+c AS (
+  SELECT doc_id, score, n_toks,
+         SUM(n_toks) OVER (ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_toks
+  FROM s
+)
+SELECT doc_id, ROUND(score, 6) AS score,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(cum_toks AS BIGINT) AS cum_toks
+FROM c WHERE cum_toks <= {SELECT_TOKEN_BUDGET}
+ORDER BY score DESC, doc_id
+""".strip()
+
+
 #: pinned knobs for the skew report host (explicit so the SQL oracle
 #: replays the thresholds regardless of session conf)
 SKEW_COUNTERS = 64
@@ -998,6 +1100,7 @@ rcert AS (
 #: oracle-tested locally (tests/test_pipeline.py), not in the 50-slot
 #: driver contract
 LOCAL_QUERIES = {
+    "pipeline_select_within_budget": pipeline_select_within_budget,
     "pipeline_source_skew": pipeline_source_skew,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_source_mix": pipeline_source_mix,
@@ -1008,6 +1111,7 @@ LOCAL_QUERIES = {
 }
 
 LOCAL_ORACLE_SQL = {
+    "pipeline_select_within_budget": _select_budget_oracle(),
     "pipeline_source_skew": _source_skew_oracle(),
     "pipeline_stratified_sample": _stratified_oracle(),
     "pipeline_source_mix": _source_mix_oracle(),

