@@ -68,10 +68,10 @@ def skew_report(
     environments (oracle replays pin it); default reads the session
     conf."""
     spark = df.sparkSession
-    hot = frequent_items(df, col, counters, out_col="n")
-    n_total = (
-        df.filter(F.col(col).isNotNull()).count() or 1
-    )
+    # N comes from the candidate pass's partition total markers — no
+    # third corpus scan for the share denominators (round-8 review)
+    hot, n_total = _frequent_with_total(df, col, counters, "n")
+    n_total = n_total or 1
     parts = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -102,6 +102,15 @@ def frequent_items(
     module docstring for the two-pass construction and the exactness
     argument. ``counters`` trades candidate-set size (≤ (counters+1)·P
     rows) against the detection threshold."""
+    return _frequent_with_total(df, col, counters, out_col)[0]
+
+
+def _frequent_with_total(
+    df: DataFrame, col: str, counters: int, out_col: str
+) -> tuple[DataFrame, int]:
+    """(frequent-items result, exact non-null total N) — N falls out of
+    the candidate pass's per-partition total markers, so callers that
+    need it (skew_report's shares) don't pay a third corpus scan."""
     c = counters
 
     def mg(batches):
@@ -135,7 +144,7 @@ def frequent_items(
     )
     cand = part.filter(F.col("val").isNotNull()).select("val").distinct()
     thresh = float(n_total) / (c + 1)
-    return (
+    result = (
         base.join(F.broadcast(cand), F.col("__v") == F.col("val"))
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias(out_col))
@@ -143,3 +152,4 @@ def frequent_items(
         .select(F.col("__v").alias(col), out_col)
         .orderBy(F.col(out_col).desc(), col)
     )
+    return result, int(n_total)

@@ -122,11 +122,15 @@ def salted_topk_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_N,
         pin=True,
     )
+    # coalesce the string key: concat_ws silently SKIPS nulls while
+    # the oracle's || yields NULL and drops the row from the sum — a
+    # NULL event_type would flip the hash asymmetrically (round-8
+    # review; sentinel matches the gs-label convention)
     binder = u32_hash(
         "stk",
         F.concat_ws(
             "|",
-            F.col("event_type"),
+            F.coalesce(F.col("event_type"), F.lit("~")),
             F.col("rank").cast("string"),
             F.col("user_id").cast("string"),
         ),
@@ -510,7 +514,8 @@ ranked AS (
 ),
 stk AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS stk_rows,
-         CAST(SUM(CAST(('0x' || substr(md5('stk|' || event_type || '|'
+         CAST(SUM(CAST(('0x' || substr(md5('stk|'
+                  || coalesce(event_type, '~') || '|'
                   || CAST(rank AS VARCHAR) || '|'
                   || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT))
               AS BIGINT) AS stk_hash,

@@ -542,6 +542,33 @@ LIMIT {WSAMPLE_K}
 TEMP_TARGET_FRAC = 0.6
 
 
+def temperature_rates(docs: DataFrame) -> DataFrame:
+    """THE tempered rate law — (source, n_docs, rate) with
+    rate = min(1, TEMP_TARGET_FRAC·N·√n_s / Z / n_s) — single
+    definition shared by the batch operator and its streaming twin so
+    the two can never drift (round-8 review; the same shared-expression
+    contract as stratified_keep)."""
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    norm = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    return counts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_TARGET_FRAC)
+            * F.col("n_total")
+            * F.sqrt(F.col("n_docs"))
+            / F.col("z")
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+
+
 def pipeline_temperature_mix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -568,25 +595,7 @@ def pipeline_temperature_mix(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    norm = counts.agg(
-        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
-        F.sum("n_docs").alias("n_total"),
-    )
-    rates = counts.crossJoin(F.broadcast(norm)).select(
-        "source",
-        "n_docs",
-        F.least(
-            F.lit(1.0),
-            F.lit(TEMP_TARGET_FRAC)
-            * F.col("n_total")
-            * F.sqrt(F.col("n_docs"))
-            / F.col("z")
-            / F.col("n_docs"),
-        ).alias("rate"),
-    )
+    rates = temperature_rates(docs)
     keep = u32_hash("tmix", F.col("doc_id").cast("string")) < (
         F.col("rate") * float(2**32)
     )
@@ -998,11 +1007,13 @@ def temperature_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs the REAL operator (not a re-derivation), so the oracle's
     independent replay certifies the whole temperature-mix pipeline."""
     tm = pipeline_temperature_mix(spark, sf_dir)
+    # coalesce the string key: concat_ws skips nulls while the
+    # oracle's || nulls the whole hash (round-8 review)
     binder = _u32(
         "tm",
         F.concat_ws(
             "|",
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("~")),
             F.col("kept").cast("string"),
             F.col("kept_id_sum").cast("string"),
         ),
@@ -1027,9 +1038,9 @@ def _temperature_cert_ctes() -> str:
         " 1, 8)) AS UBIGINT)"
     )
     u32_row = (
-        "CAST(('0x' || substr(md5('tm|' || source || '|' ||"
-        " CAST(kept AS VARCHAR) || '|' || CAST(kept_id_sum AS VARCHAR)),"
-        " 1, 8)) AS UBIGINT)"
+        "CAST(('0x' || substr(md5('tm|' || coalesce(source, '~') ||"
+        " '|' || CAST(kept AS VARCHAR) || '|' ||"
+        " CAST(kept_id_sum AS VARCHAR)), 1, 8)) AS UBIGINT)"
     )
     return f"""tm_counts AS (
   SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source

@@ -162,38 +162,25 @@ def streaming_temperature_mix(
     per-source rates (p_s ∝ √n_s) are CORPUS-LEVEL statistics, so they
     are computed once from the static corpus snapshot — the reference
     distribution a production mixer pins per corpus version — and
-    joined stream-static (tiny broadcastable rate relation, re-read
-    per micro-batch so a re-pinned corpus version is picked up without
-    a restart). Membership is the same md5-Bernoulli rule as the batch
+    joined stream-static (a tiny broadcastable rate relation; note the
+    static side's FILE LISTING is frozen at plan time — per-batch
+    re-execution re-reads contents of the listed files, so a re-pinned
+    corpus version still needs a query restart). Membership is the
+    same md5-Bernoulli rule as the batch
     operator: stateless, so late/replayed docs decide identically and
     the drained kept-set EQUALS the batch operator's per-source
     kept/kept_id_sum rollup (asserted in tests/test_streaming.py).
     Emits one row per KEPT document (doc_id, source)."""
     from guagua_spark.functions.scale import u32_hash
-    from guagua_spark.operators.pipeline import TEMP_TARGET_FRAC
+    from guagua_spark.operators.pipeline import temperature_rates
     from guagua_spark.sources.tables import load_table
 
     static_docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    counts = static_docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    norm = counts.agg(
-        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
-        F.sum("n_docs").alias("n_total"),
-    )
-    rates = counts.crossJoin(F.broadcast(norm)).select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            F.lit(TEMP_TARGET_FRAC)
-            * F.col("n_total")
-            * F.sqrt(F.col("n_docs"))
-            / F.col("z")
-            / F.col("n_docs"),
-        ).alias("rate"),
-    )
+    # THE shared rate law (pipeline.temperature_rates) — the twins
+    # cannot drift
+    rates = temperature_rates(static_docs).select("source", "rate")
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .format("parquet")

@@ -66,10 +66,12 @@ def generate() -> None:
             (mx,) = con.execute(
                 f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
             ).fetchone()
-            assert mx < off, (
-                f"{table}.{col} max {mx} >= replica offset {off}: replicas"
-                " would collide — raise the offset"
-            )
+            if not mx < off:  # hard raise: asserts vanish under -O
+                raise ValueError(
+                    f"{table}.{col} max {mx} >= replica offset {off}:"
+                    " replicas would collide — raise the offset and"
+                    " delete stale testdata_sf1 outputs"
+                )
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS k")
 
     def write(name: str, sql: str) -> None:

@@ -160,6 +160,14 @@ def main() -> None:
     results: dict = {}
     n_pass = n_fail = n_err = 0
     out = args.out or os.path.join(_REPO, "SWEEP.json")
+    summary = {
+        "sf_dir": sf_dir,
+        "passed": 0,
+        "failed": 0,
+        "errors": 0,
+        "total": 0,
+        "results": results,
+    }
     for name, fn in qs.items():
         if (only and name not in only) or name in skip:
             continue
@@ -195,8 +203,11 @@ def main() -> None:
                     and rec["hash_match"]
                 )
             else:
+                # rows-only (no oracle): the driver's weaker check —
+                # ran without error AND produced rows (every contract
+                # query yields >0 rows at every sf)
                 rec.update(rows_only=True, spark_rows=len(sdf))
-                ok = len(sdf) >= 0
+                ok = len(sdf) > 0
             rec["err"] = None
         except Exception as e:  # noqa: BLE001 — sweep must finish
             rec["err"] = f"{type(e).__name__}: {e}"[:300]

@@ -152,7 +152,6 @@ def test_select_within_budget_matches_oracle_and_is_greedy(
     # plan shape: the corpus-sized window partitions by the score
     # bucket; the only unpartitioned sort unit is the <=B-row offsets
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "partitionBy" not in plan or True  # structural check below
     import re
 
     # every Window over the big relation must carry the bucket key
