@@ -82,3 +82,11 @@ def local_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness sweep (the contract is capped at 50); certificates
     fold their math into contract rows instead (SURVEY.md §7)."""
     return _gather("LOCAL_QUERIES")
+
+
+def sweep_sampled() -> dict:
+    """Scale-feasible (query_fn, oracle_sql, rule) twins keyed by
+    contract-query name — scripts/value_sweep.py falls back to these
+    when a full oracle exceeds its watchdog at sf>=1 (the driver's
+    sf0.01 gate never uses them)."""
+    return _gather("SWEEP_SAMPLED")

@@ -959,6 +959,55 @@ def ngram_jaccard_pairs_for(raw_docs: DataFrame, par: int) -> DataFrame:
     )
 
 
+#: Keep fraction for the SCALE-FEASIBLE ngram oracle: the exact PPJoin
+#: DuckDB replay is O(n²) list_intersect and exceeds any sane watchdog
+#: at sf1's 50k docs, so above that the sweep certifies the operator on
+#: a deterministic md5-selected ~10% doc subset (~5k docs at sf1 —
+#: still ~12.5M candidate pairs for the oracle, a real exactness
+#: exercise). u32(md5('ngsamp|doc_id')) < rate·2³² is the repo's
+#: standard engine-portable Bernoulli rule (functions/scale.py:53).
+NGRAM_SAMPLE_RATE = 0.1
+
+
+def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard restricted to the deterministic md5 doc
+    subset — the sweep's scale-feasible twin (same PPJoin interior,
+    same oracle body, WHERE clause on both sides). Used by
+    scripts/value_sweep.py when the full O(n²) oracle times out."""
+    from guagua_spark.functions.scale import u32_hash
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            u32_hash("ngsamp", F.col("doc_id").cast("string"))
+            < int(NGRAM_SAMPLE_RATE * 4294967296)
+        )
+    )
+    return ngram_jaccard_pairs_for(
+        docs, spark.sparkContext.defaultParallelism
+    )
+
+
+def _ngram_oracle_sampled() -> str:
+    keep = (
+        "CAST(('0x' || substr(md5('ngsamp|' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 8)) AS UBIGINT) < {int(NGRAM_SAMPLE_RATE * 4294967296)}"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+              WHERE {keep})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
 #: rows per corpus block in the tiled all-pairs prefilter — 64k × 64 dims
 #: × 8 B ≈ 32 MB per block, two blocks per task
 EMB_BLOCK_ROWS = 65_536
@@ -1346,6 +1395,17 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _ngram_oracle(),
     "dedup_embedding_pairs": _embedding_oracle(),
     "dedup_simhash": _simhash_oracle(),
+}
+
+#: scale-feasible (query, oracle) twins for scripts/value_sweep.py —
+#: used only when a contract query's FULL oracle exceeds the sweep's
+#: watchdog; the driver's sf0.01 gate always runs the full pair.
+SWEEP_SAMPLED = {
+    "dedup_ngram_jaccard": (
+        dedup_ngram_jaccard_sampled,
+        _ngram_oracle_sampled(),
+        f"u32(md5('ngsamp|doc_id')) < {NGRAM_SAMPLE_RATE}*2^32",
+    ),
 }
 
 

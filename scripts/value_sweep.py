@@ -78,15 +78,27 @@ def value_hash(rows) -> str:
     return m.hexdigest()
 
 
-def _adjudicate(sdf, odf) -> dict:
-    """Max relative float divergence + non-float mismatch count between
-    two same-shape frames (columns sorted by name, rows sorted)."""
+#: Relative tolerance for the float gate. Two engines summing the same
+#: doubles in different orders diverge by O(n·eps) relative — observed
+#: max 4e-12 across the sf1 sweep — while real defects (a wrong filter,
+#: a dropped row, a 1e-7 approximation) sit many decades above. 1e-9
+#: leaves ~3 decades of margin on each side.
+FLOAT_RTOL = 1e-9
+
+
+def _adjudicate(sdf, odf, rtol: float = FLOAT_RTOL) -> dict:
+    """Per-cell comparison of two same-shape frames (columns sorted by
+    name, rows sorted). Float cells pass on 6dp-absolute agreement (the
+    hash's own resolution) OR relative agreement ``<= rtol``; every
+    other cell must match exactly (Spark None vs DuckDB NaN both read
+    as NULL). Returns the machine-decidable verdict plus the worst
+    divergence for the artifact."""
     import pandas as pd
 
     cols = sorted(sdf.columns)
     s = sdf.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
     o = odf.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
-    worst, worst_col, hard = 0.0, None, 0
+    worst, worst_col, hard, gate_fail = 0.0, None, 0, 0
     for c in cols:
         g, w = s[c], o[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
@@ -95,6 +107,8 @@ def _adjudicate(sdf, odf) -> dict:
                     rel = abs(a - b) / max(abs(a), abs(b), 1e-300)
                     if rel > worst:
                         worst, worst_col = rel, c
+                    if round(a, 6) != round(b, 6) and rel > rtol:
+                        gate_fail += 1
         else:
             # None (Spark) vs NaN (DuckDB fetchdf) both mean NULL —
             # don't count representation skew as a mismatch
@@ -104,6 +118,8 @@ def _adjudicate(sdf, odf) -> dict:
         "max_float_rel_err": f"{worst:.2e}",
         "max_rel_err_col": worst_col,
         "non_float_mismatches": hard,
+        "float_gate_fail_cells": gate_fail,
+        "float_gate_pass": hard == 0 and gate_fail == 0,
     }
 
 
@@ -155,6 +171,7 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    sampled = entry.sweep_sampled() if hasattr(entry, "sweep_sampled") else {}
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     results: dict = {}
@@ -178,7 +195,25 @@ def main() -> None:
             rec["spark_secs"] = round(time.monotonic() - t0, 2)
             t0 = time.monotonic()
             if name in oracles:
-                odf = run_oracle(oracles[name])
+                try:
+                    odf = run_oracle(oracles[name])
+                except duckdb.InterruptException:
+                    if name not in sampled:
+                        raise
+                    # the full replay is infeasible at this sf (e.g.
+                    # the O(n²) PPJoin validator at 50k docs) — certify
+                    # the SAME operator interior on the deterministic
+                    # md5-selected subset instead; the rule is recorded
+                    # in the artifact so the rung is auditable.
+                    sfn, ssql, rule = sampled[name]
+                    rec["oracle_sampled"] = True
+                    rec["sample_rule"] = rule
+                    rec["full_oracle_timeout_secs"] = round(
+                        time.monotonic() - t0, 2
+                    )
+                    sdf = sfn(spark, sf_dir).toPandas()
+                    t0 = time.monotonic()
+                    odf = run_oracle(ssql)
                 rec["oracle_secs"] = round(time.monotonic() - t0, 2)
                 scols, srows = canon(sdf)
                 ocols, orows = canon(odf)
@@ -190,17 +225,19 @@ def main() -> None:
                     oracle_rows=len(orows),
                 )
                 if not rec["hash_match"] and rec["rows_match"]:
-                    # adjudicate: a 6dp-ABSOLUTE hash gate demands
-                    # ~1e-16 relative agreement once float magnitudes
-                    # reach 1e10 — below double accumulation noise.
-                    # Record the max relative float divergence and any
-                    # non-float (real) mismatches so the artifact
-                    # separates gate-resolution physics from bugs.
+                    # float gate: a 6dp-ABSOLUTE hash demands ~1e-16
+                    # relative agreement once float magnitudes reach
+                    # 1e10 — below double accumulation noise. Re-check
+                    # per cell: float cells pass on (6dp-absolute OR
+                    # rel<=FLOAT_RTOL), everything else strict. A row
+                    # passes the sweep iff the gate says so — no hand
+                    # adjudication; the worst divergence is recorded
+                    # for the artifact either way.
                     rec.update(_adjudicate(sdf, odf))
                 ok = (
                     rec["rows_match"]
                     and rec["schema_match"]
-                    and rec["hash_match"]
+                    and (rec["hash_match"] or rec.get("float_gate_pass", False))
                 )
             else:
                 # rows-only (no oracle): the driver's weaker check —

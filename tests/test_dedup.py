@@ -215,3 +215,25 @@ def test_incremental_dedup_flags_known_documents(spark, oracle_sf_dir):
     for r in rows:
         assert r.doc_id >= INC_SPLIT and r.dup_of < INC_SPLIT
         assert r.best_jaccard >= JACCARD_THRESHOLD
+
+
+def test_ngram_sampled_twin_matches_oracle(spark, oracle_sf_dir, duck):
+    """The scale-feasible sweep twin (md5-selected ~10% doc subset)
+    must match its own oracle AND be a genuine subset run: nonzero
+    sampled docs, strictly fewer than the corpus."""
+    from guagua_spark.operators.dedup import (
+        SWEEP_SAMPLED,
+        dedup_ngram_jaccard_sampled,
+    )
+
+    fn, sql, rule = SWEEP_SAMPLED["dedup_ngram_jaccard"]
+    assert fn is dedup_ngram_jaccard_sampled and "ngsamp" in rule
+    assert_matches_oracle(fn(spark, oracle_sf_dir), duck, sql)
+    # sampling sanity: the subset rule keeps a nonempty strict subset
+    n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    n_kept = duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE CAST(('0x' ||"
+        " substr(md5('ngsamp|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT) < 429496729"
+    ).fetchone()[0]
+    assert 0 < n_kept < n_docs
