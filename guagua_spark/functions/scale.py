@@ -236,6 +236,31 @@ def merge_rollup(
     )
 
 
+def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
+    """saveAsTable(mode=overwrite) refuses a managed-table LOCATION
+    left behind by a previous session whose catalog entry is gone
+    (fresh metastore + persistent warehouse dir —
+    LOCATION_ALREADY_EXISTS). Overwriting an EXISTING table goes
+    through the catalog and is fine; only a location with no catalog
+    entry is cleared here, so this can never delete live table data."""
+    if spark.catalog.tableExists(table):
+        return
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, table.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def save_table(df: DataFrame, table: str) -> None:
+    """Overwrite-persist a managed table, robust to orphaned warehouse
+    locations from prior sessions (see _clear_orphaned_location)."""
+    _clear_orphaned_location(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -246,6 +271,7 @@ def write_bucketed(
     """Persist as a bucketed (optionally sorted) managed table — the
     one-time shuffle that makes every later join/agg on ``bucket_cols``
     exchange-free."""
+    _clear_orphaned_location(df.sparkSession, table)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

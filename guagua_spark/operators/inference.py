@@ -148,9 +148,14 @@ def save_lr_model(spark: SparkSession, name: str, sf_dir: str) -> None:
     — the same overwrite-as-reindex semantics as save_lsh_index /
     save_ivf_index)."""
     w = trained_lr_weights(spark, sf_dir)
-    spark.createDataFrame(
-        list(enumerate(w)), "idx int, weight double"
-    ).write.mode("overwrite").saveAsTable(name)
+    from guagua_spark.functions.scale import save_table
+
+    save_table(
+        spark.createDataFrame(
+            list(enumerate(w)), "idx int, weight double"
+        ),
+        name,
+    )
 
 
 def load_lr_model(
@@ -179,9 +184,14 @@ def save_nn_model(spark: SparkSession, name: str, sf_dir: str) -> None:
                 rows.append((layer, "W", i, j, float(w[i, j])))
         for j in range(b.shape[0]):
             rows.append((layer, "b", 0, j, float(b[j])))
-    spark.createDataFrame(
-        rows, "layer int, kind string, i int, j int, value double"
-    ).write.mode("overwrite").saveAsTable(name)
+    from guagua_spark.functions.scale import save_table
+
+    save_table(
+        spark.createDataFrame(
+            rows, "layer int, kind string, i int, j int, value double"
+        ),
+        name,
+    )
 
 
 def load_nn_model(spark: SparkSession, name: str):

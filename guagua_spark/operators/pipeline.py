@@ -258,6 +258,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tm_hash bigint",
         lambda: temperature_cert_df(spark, sf_dir),
     )
+    # skw_*/bud_* (round 9): pre-flight skew report + token-budget
+    # selection certificate (skew_budget_cert_df) — driver-certifies
+    # pipeline_source_skew and pipeline_select_within_budget inside
+    # this same green row
+    sb_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "skew_budget",
+        ("documents",),
+        "skw_rows bigint, skw_n_sum bigint, skw_share_e6 bigint, "
+        "skw_hash bigint, bud_rows bigint, bud_tok_sum bigint, "
+        "bud_id_wsum bigint, bud_score_e6 bigint",
+        lambda: skew_budget_cert_df(spark, sf_dir),
+    )
     strat = stratified_keep()
     mix = _u32("mix", F.col("doc_id").cast("string")) < (
         F.col("rate") * float(2**32)
@@ -278,7 +292,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_chars"
             ),
         )
-        .select("*", *tcert_cols, *dif_cols, *tm_cols)
+        .select("*", *tcert_cols, *dif_cols, *tm_cols, *sb_cols)
         .orderBy("lang", "source")
     )
 
@@ -345,7 +359,8 @@ tcert AS (
   FROM seqs
 ),
 {_diff_cert_ctes()},
-{_temperature_cert_ctes()}
+{_temperature_cert_ctes()},
+{_skew_budget_cert_ctes()}
 SELECT lang, cl.source, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -360,13 +375,17 @@ SELECT lang, cl.source, COUNT(*) AS n_docs,
        ts_n_seqs, ts_tokens, ts_checksum,
        dif_added, dif_removed, dif_changed, dif_id_wsum,
        rch_chunks, rch_tok_sum, rch_checksum,
-       tm_sources, tm_kept, tm_rate_e6, tm_hash
+       tm_sources, tm_kept, tm_rate_e6, tm_hash,
+       skw_rows, skw_n_sum, skw_share_e6, skw_hash,
+       bud_rows, bud_tok_sum, bud_id_wsum, bud_score_e6
 FROM clean cl JOIN rates r ON cl.source = r.source, tcert, dcert, rcert,
-     tmcert
+     tmcert, skwcert, budcert
 GROUP BY lang, cl.source, ts_n_seqs, ts_tokens, ts_checksum,
          dif_added, dif_removed, dif_changed, dif_id_wsum,
          rch_chunks, rch_tok_sum, rch_checksum,
-         tm_sources, tm_kept, tm_rate_e6, tm_hash
+         tm_sources, tm_kept, tm_rate_e6, tm_hash,
+         skw_rows, skw_n_sum, skw_share_e6, skw_hash,
+         bud_rows, bud_tok_sum, bud_id_wsum, bud_score_e6
 ORDER BY lang, cl.source
 """.strip()
 
@@ -644,10 +663,12 @@ GROUP BY d.source ORDER BY d.source
 """.strip()
 
 
-#: token budget for the quality-ranked corpus selection
+#: token-budget floor for the quality-ranked corpus selection; the
+#: effective budget scales with the corpus (GREATEST(floor,
+#: SELECT_TOKEN_FRAC·total tokens)) so the kept fraction never
+#: vanishes as sf grows (round-8 advice)
 SELECT_TOKEN_BUDGET = 50_000
-#: fixed score-range buckets for the skew-safe global cumsum
-SELECT_BUCKETS = 20
+SELECT_TOKEN_FRAC = 0.1
 
 
 def pipeline_select_within_budget(
@@ -656,20 +677,28 @@ def pipeline_select_within_budget(
     """Token-budget corpus selection: rank documents by quality (alpha
     ratio — the same cross-engine-exact expression the clean-corpus
     filter uses) and keep the greedy prefix whose cumulative token
-    count fits SELECT_TOKEN_BUDGET — "spend the token budget on the
-    best data", the data-selection step after cleaning/dedup.
+    count fits the budget — "spend the token budget on the best data",
+    the data-selection step after cleaning/dedup. The budget is
+    GREATEST(SELECT_TOKEN_BUDGET, floor(SELECT_TOKEN_FRAC·Σ n_toks)),
+    so it tracks corpus size (both engines compute double(T)·0.1 → the
+    FLOOR boundary is IEEE-identical).
 
     Skew-safe global cumsum: a running sum over a global ORDER BY is a
     SinglePartition window (one task sorts the corpus). Instead the
-    score axis is cut into SELECT_BUCKETS fixed ranges (bucket =
-    floor(score·B), monotone in score, so cross-bucket order IS score
-    order and equal scores can never straddle buckets): per-bucket
-    token totals (map-side partial agg) → prefix offsets over the
-    ≤B-row bucket relation (the only single-partition window, bounded
-    domain) → within-bucket running sum partitioned by bucket. Output
-    (doc_id, score, n_toks, cum_toks) equals the single-window form
-    for any data; cum_toks binds the full selection ORDER, so the SQL
-    oracle (plain global window) checks the decomposition exactly."""
+    score axis is bucketed at the score's own 6dp resolution
+    (bucket = round(score·10⁶) — monotone in score, so cross-bucket
+    order IS score order and EQUAL scores can never straddle buckets):
+    per-bucket token totals (map-side partial agg) → prefix offsets
+    over the bucket relation (the only single-partition window —
+    bounded by the score DOMAIN at ≤10⁶+1 rows regardless of corpus
+    size, never corpus-proportional) → within-bucket running sum
+    partitioned by bucket. A near-corpus-sized bucket now requires
+    most documents to share one exact 6dp quality score (fixed
+    20-range bucketing put 99.6% of real docs in ONE bucket — round-8
+    advice). Output (doc_id, score, n_toks, cum_toks) equals the
+    single-window form for any data; cum_toks binds the full selection
+    ORDER, so the SQL oracle (plain global window) checks the
+    decomposition exactly."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
@@ -682,12 +711,17 @@ def pipeline_select_within_budget(
         score.alias("score"),
         F.size(F.split(F.col("text"), " ")).alias("n_toks"),
     )
+    budget = s.agg(
+        F.greatest(
+            F.lit(SELECT_TOKEN_BUDGET).cast("bigint"),
+            F.floor(
+                F.sum("n_toks").cast("double")
+                * F.lit(SELECT_TOKEN_FRAC)
+            ),
+        ).alias("__budget")
+    )
     b = s.withColumn(
-        "__b",
-        F.least(
-            F.floor(F.col("score") * SELECT_BUCKETS),
-            F.lit(SELECT_BUCKETS - 1),
-        ).cast("int"),
+        "__b", F.round(F.col("score") * 1e6).cast("bigint")
     )
     totals = b.groupBy("__b").agg(F.sum("n_toks").alias("__btot"))
     from pyspark.sql.window import Window
@@ -712,7 +746,8 @@ def pipeline_select_within_budget(
         .withColumn(
             "cum_toks", F.col("__off") + F.sum("n_toks").over(w_in)
         )
-        .filter(F.col("cum_toks") <= SELECT_TOKEN_BUDGET)
+        .join(F.broadcast(budget))
+        .filter(F.col("cum_toks") <= F.col("__budget"))
         .select(
             "doc_id",
             F.round("score", 6).alias("score"),
@@ -732,6 +767,12 @@ WITH s AS (
          len(string_split(text, ' ')) AS n_toks
   FROM documents WHERE LENGTH(text) > 0
 ),
+budget AS (
+  SELECT GREATEST({SELECT_TOKEN_BUDGET},
+                  FLOOR(CAST(SUM(n_toks) AS DOUBLE)
+                        * {SELECT_TOKEN_FRAC!r})) AS b
+  FROM s
+),
 c AS (
   SELECT doc_id, score, n_toks,
          SUM(n_toks) OVER (ORDER BY score DESC, doc_id
@@ -741,7 +782,7 @@ c AS (
 SELECT doc_id, ROUND(score, 6) AS score,
        CAST(n_toks AS BIGINT) AS n_toks,
        CAST(cum_toks AS BIGINT) AS cum_toks
-FROM c WHERE cum_toks <= {SELECT_TOKEN_BUDGET}
+FROM c, budget WHERE cum_toks <= b
 ORDER BY score DESC, doc_id
 """.strip()
 
@@ -1070,6 +1111,103 @@ tmcert AS (
          CAST(SUM(ROUND(rate * 1e6)) AS BIGINT) AS tm_rate_e6,
          CAST(SUM({u32_row}) AS BIGINT) AS tm_hash
   FROM tm_rows
+)"""
+
+
+def skew_budget_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding pipeline_source_skew AND
+    pipeline_select_within_budget into the clean-corpus contract row
+    (column-merge pattern, SURVEY.md §7). Runs the REAL operators, not
+    re-derivations, so the oracle's independent replay certifies both
+    pipelines end-to-end: ``skw_hash`` u32-binds every hot key's
+    (source, recommendation) pair — a flipped salting decision or a
+    missed heavy hitter flips an integer; ``bud_id_wsum`` binds the
+    full selection ORDER through cum_toks; ``skw_share_e6`` /
+    ``bud_score_e6`` sum per-row 6dp-rounded integers (cents pattern —
+    exact at any sf, never a rounded multi-row float SUM)."""
+    from guagua_spark.functions.scale import u32_hash
+
+    skw = pipeline_source_skew(spark, sf_dir)
+    skw_binder = u32_hash(
+        "skw",
+        F.concat_ws("|", F.col("source"), F.col("recommendation")),
+    )
+    skw_row = skw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("skw_rows"),
+        F.sum("n").cast("bigint").alias("skw_n_sum"),
+        F.sum(F.round(F.col("share") * 1e6))
+        .cast("bigint")
+        .alias("skw_share_e6"),
+        F.sum(skw_binder).cast("bigint").alias("skw_hash"),
+    )
+    bud = pipeline_select_within_budget(spark, sf_dir)
+    bud_row = bud.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bud_rows"),
+        F.sum("n_toks").cast("bigint").alias("bud_tok_sum"),
+        F.sum(F.col("doc_id") * F.col("cum_toks"))
+        .cast("bigint")
+        .alias("bud_id_wsum"),
+        F.sum(F.round(F.col("score") * 1e6))
+        .cast("bigint")
+        .alias("bud_score_e6"),
+    )
+    return skw_row.crossJoin(bud_row)
+
+
+def _skew_budget_cert_ctes() -> str:
+    """``skw_*`` → ``skwcert`` + ``bud_*`` → ``budcert`` 1-row CTE
+    blocks replaying skew_budget_cert_df — spliced into the
+    pipeline_clean_corpus oracle."""
+    u32_row = (
+        "CAST(('0x' || substr(md5('skw|' || source || '|' ||"
+        " recommendation), 1, 8)) AS UBIGINT)"
+    )
+    return f"""skw_vals AS (
+  SELECT source AS v FROM documents WHERE source IS NOT NULL
+),
+skw_tot AS (SELECT COUNT(*) AS n FROM skw_vals),
+skw_hot AS (
+  SELECT v AS source, COUNT(*) AS n,
+         ROUND(COUNT(*) / CAST(skw_tot.n AS DOUBLE), 6) AS share,
+         CASE WHEN COUNT(*) / CAST(skw_tot.n AS DOUBLE)
+                   >= 0.5 / {SKEW_PARTS}
+              THEN 'salt' ELSE 'none' END AS recommendation
+  FROM skw_vals, skw_tot GROUP BY v, skw_tot.n
+  HAVING COUNT(*) > CAST(skw_tot.n AS DOUBLE) / {SKEW_COUNTERS + 1}
+),
+skwcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS skw_rows,
+         CAST(SUM(n) AS BIGINT) AS skw_n_sum,
+         CAST(SUM(ROUND(share * 1e6)) AS BIGINT) AS skw_share_e6,
+         CAST(SUM({u32_row}) AS BIGINT) AS skw_hash
+  FROM skw_hot
+),
+bud_s AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS DOUBLE) / LENGTH(text) AS score,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents WHERE LENGTH(text) > 0
+),
+bud_budget AS (
+  SELECT GREATEST({SELECT_TOKEN_BUDGET},
+                  FLOOR(CAST(SUM(n_toks) AS DOUBLE)
+                        * {SELECT_TOKEN_FRAC!r})) AS b
+  FROM bud_s
+),
+bud_c AS (
+  SELECT doc_id, score, n_toks,
+         SUM(n_toks) OVER (ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_toks
+  FROM bud_s
+),
+budcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bud_rows,
+         CAST(SUM(n_toks) AS BIGINT) AS bud_tok_sum,
+         CAST(SUM(doc_id * cum_toks) AS BIGINT) AS bud_id_wsum,
+         CAST(SUM(ROUND(ROUND(score, 6) * 1e6)) AS BIGINT)
+           AS bud_score_e6
+  FROM bud_c, bud_budget WHERE cum_toks <= b
 )"""
 
 

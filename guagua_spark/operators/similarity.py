@@ -262,6 +262,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and attached as typed literal columns — driver-certifies the PQ
     family inside this green row against the oracle's full SQL replay
     of codebook training, encoding, ADC, and rescore.
+
+    ``apq_*`` (round 9): the ANN ingest certificate (pq_append_cert_df
+    — stored index grown by append_to_pq_index, probed over the grown
+    corpus) rides the same row, certifying the frozen-model append
+    contract against the oracle's id-shifted grown-probe replay.
     """
     from guagua_spark.operators.certmemo import cached_cert_cols
 
@@ -280,9 +285,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_code_sum bigint",
         lambda: pq_cert_df(spark, sf_dir),
     )
+    apq_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "pq_append",
+        ("embeddings",),
+        "apq_rows bigint, apq_wsum bigint, apq_cos_e6 bigint, "
+        "apq_code_sum bigint",
+        lambda: pq_append_cert_df(spark, sf_dir),
+    )
     return exact_rescore_topk(
         lsh_candidates(spark, sf_dir), emb, q
-    ).select("*", *pq_cols)
+    ).select("*", *pq_cols, *apq_cols)
 
 
 QUANT_SAMPLE = 4096  # quantizer training sample cap (driver-side rows)
@@ -591,7 +605,7 @@ def save_ivf_index(
       (cell, centroid array): tiny, collected by probers at plan time.
 
     Overwrites any previous index of the same name (corpus re-index)."""
-    from guagua_spark.functions.scale import write_bucketed
+    from guagua_spark.functions.scale import save_table, write_bucketed
 
     centroids = _quantizer_centroids(spark, sf_dir)
     write_bucketed(
@@ -601,7 +615,7 @@ def save_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
-    cen_df.write.mode("overwrite").saveAsTable(f"{name}_centroids")
+    save_table(cen_df, f"{name}_centroids")
 
 
 def ann_ivf_topk_from_index(
@@ -670,13 +684,15 @@ cand AS (
   WHERE q.vec_id < {NUM_QUERIES}
 )"""
     final = f"""SELECT r.query_id, r.neighbor_id, r.rank, r.cosine,
-       p.pq_rows, p.pq_wsum, p.pq_cos_e6, p.pq_code_sum
-FROM ranked r, pqcert p WHERE r.rank <= {TOP_K}
+       p.pq_rows, p.pq_wsum, p.pq_cos_e6, p.pq_code_sum,
+       a.apq_rows, a.apq_wsum, a.apq_cos_e6, a.apq_code_sum
+FROM ranked r, pqcert p, apqcert a WHERE r.rank <= {TOP_K}
 ORDER BY r.query_id, r.rank"""
     return (
         "WITH RECURSIVE " + planes + ",\n" + RESCORE_CTES + ",\n"
+        + _quantizer_asg_ctes() + ",\n"
         + _pq_codebook_ctes() + ",\n" + _pq_pipeline_ctes() + ",\n"
-        + _pq_cert_cte() + "\n" + final
+        + _pq_cert_cte() + ",\n" + _apq_cert_ctes() + "\n" + final
     )
 
 
@@ -1335,7 +1351,7 @@ def save_pq_index(
       to the memo path.
 
     Overwrites any previous index of the same name (corpus re-index)."""
-    from guagua_spark.functions.scale import write_bucketed
+    from guagua_spark.functions.scale import save_table, write_bucketed
 
     centroids = _quantizer_centroids(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
@@ -1347,7 +1363,7 @@ def save_pq_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
-    cen_df.write.mode("overwrite").saveAsTable(f"{name}_centroids")
+    save_table(cen_df, f"{name}_centroids")
     bk_df = spark.createDataFrame(
         [
             (j, t, [float(x) for x in books[j, t]])
@@ -1356,7 +1372,7 @@ def save_pq_index(
         ],
         "j int, tag int, centroid array<double>",
     )
-    bk_df.write.mode("overwrite").saveAsTable(f"{name}_books")
+    save_table(bk_df, f"{name}_books")
 
 
 def _load_pq_models(
@@ -1696,6 +1712,144 @@ def pq_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pq_cos_e6"),
     )
     return top.crossJoin(code_sum)
+
+
+#: appended-batch size for the apq_* ingest certificate — the batch is
+#: shifted-id EXACT DUPLICATES of vec_id < APQ_APPEND_N, so the SQL
+#: replay derives the grown code/cell tables by shifting the original
+#: replayed relations (frozen models ⇒ identical encode is exactly the
+#: append contract being certified), and cosine-1.0 ties force the new
+#: ids into the top-k (they must actually surface to match).
+APQ_APPEND_N = 50
+APQ_INDEX_NAME = "apqcert_pqidx"
+
+
+def pq_append_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding the ANN ingest loop into the
+    hash-checked LSH contract row: save_pq_index → append_to_pq_index
+    (a shifted-id duplicate batch) → ann_ivfpq_topk_from_index over
+    the GROWN corpus, condensed to (row count,
+    Σ (query_id·1000+rank)·neighbor_id, Σ round(cosine·10⁶)) plus the
+    grown stored-code checksum. A drifted frozen model, a mis-encoded
+    appended vector, a dropped insert, or a probe that can't see the
+    new rows each flip an integer; the oracle replays the grown probe
+    end-to-end (_apq_cert_ctes)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # bounded scalar fetch (1 row) — the id offset for the new batch
+    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    save_pq_index(spark, sf_dir, APQ_INDEX_NAME)
+    batch = emb.filter(F.col("vec_id") < APQ_APPEND_N).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+    append_to_pq_index(batch, APQ_INDEX_NAME)
+    grown = emb.unionByName(batch)
+    top = ann_ivfpq_topk_from_index(
+        spark, sf_dir, APQ_INDEX_NAME, emb=grown
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("apq_rows"),
+        F.sum(
+            (F.col("query_id") * 1000 + F.col("rank"))
+            * F.col("neighbor_id")
+        )
+        .cast("bigint")
+        .alias("apq_wsum"),
+        F.sum(F.round(F.col("cosine") * 1e6))
+        .cast("bigint")
+        .alias("apq_cos_e6"),
+    )
+    code_sum = (
+        spark.table(f"{APQ_INDEX_NAME}_codes")
+        .select("vec_id", F.posexplode("codes").alias("j", "c"))
+        .agg(
+            F.sum(
+                (F.col("vec_id") + 1) * (F.col("j") + 1) * F.col("c")
+            )
+            .cast("bigint")
+            .alias("apq_code_sum")
+        )
+    )
+    return top.crossJoin(code_sum)
+
+
+def _apq_cert_ctes() -> str:
+    """Grown-corpus IVF-PQ probe replay → ``apqcert`` 1-row CTE: the
+    grown embedding/code/cell relations derive from the already-
+    replayed originals by id-shifting the duplicate batch (frozen
+    models ⇒ identical encode — the append contract), then the probe →
+    ADC → candidate cut → exact rescore runs over them. Requires
+    _quantizer_asg_ctes (cf/asg) and _pq_codebook_ctes + pqcodes in
+    scope."""
+    _, book_joins, adist = _pq_books_sql()
+    cos = sql_cosine("c.embedding", "q.embedding", DIM)
+    code_cols = ", ".join(f"c{j}" for j in range(PQ_M))
+    shift_cols = ", ".join(f"p.c{j}" for j in range(PQ_M))
+    code_wsum = " + ".join(f"({j + 1}) * c{j}" for j in range(PQ_M))
+    return f"""apq_off AS (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+apq_emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + o AS vec_id, embedding FROM embeddings, apq_off
+  WHERE vec_id < {APQ_APPEND_N}
+),
+apq_codes AS (
+  SELECT vec_id, {code_cols} FROM pqcodes
+  UNION ALL
+  SELECT p.vec_id + o AS vec_id, {shift_cols} FROM pqcodes p, apq_off
+  WHERE p.vec_id < {APQ_APPEND_N}
+),
+apq_asg AS (
+  SELECT vec_id, cell FROM asg
+  UNION ALL
+  SELECT a.vec_id + o AS vec_id, a.cell FROM asg a, apq_off
+  WHERE a.vec_id < {APQ_APPEND_N}
+),
+apq_probes AS (
+  SELECT query_id, pcell FROM (
+    SELECT q.vec_id AS query_id, cf.tag AS pcell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ({_sql_dist('q.embedding', 'cf')}), cf.tag) AS rn
+    FROM embeddings q, cf WHERE q.vec_id < {NUM_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+apq_adc AS (
+  SELECT p.query_id, v.vec_id, ({adist}) AS adist
+  FROM apq_probes p
+  JOIN apq_asg a ON a.cell = p.pcell AND a.vec_id <> p.query_id
+  JOIN apq_codes v ON v.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  {book_joins}
+),
+apq_cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rn
+    FROM apq_adc
+  ) WHERE rn <= {PQ_CAND}
+),
+apq_scored AS (
+  SELECT apq_cand.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM apq_cand
+  JOIN apq_emb c ON c.vec_id = apq_cand.vec_id
+  JOIN embeddings q ON q.vec_id = apq_cand.query_id
+),
+apq_ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM apq_scored
+),
+apqcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS apq_rows,
+         CAST(SUM((query_id * 1000 + rank) * neighbor_id) AS BIGINT)
+           AS apq_wsum,
+         CAST(SUM(ROUND(cosine * 1e6)) AS BIGINT) AS apq_cos_e6,
+         (SELECT CAST(SUM((vec_id + 1) * ({code_wsum})) AS BIGINT)
+          FROM apq_codes) AS apq_code_sum
+  FROM apq_ranked WHERE rank <= {TOP_K}
+)"""
 
 
 LOCAL_QUERIES = {

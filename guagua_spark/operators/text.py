@@ -416,6 +416,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm_rows bigint, bm_score_e6 bigint, bm_doc_wsum bigint",
         lambda: bm25_cert_df(spark, sf_dir),
     )
+    # fi_* (round 9): the bounded-memory heavy-hitters certificate
+    # (frequent_tokens_cert_df) — driver-certifies the
+    # text_frequent_tokens LOCAL operator (Misra-Gries candidates +
+    # exact recount) inside this green row; the oracle replays the
+    # plain GROUP BY/HAVING the construction provably equals
+    fi_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "freq_tokens",
+        ("documents",),
+        "fi_rows bigint, fi_occ_sum bigint, fi_hash bigint",
+        lambda: frequent_tokens_cert_df(spark, sf_dir),
+    )
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(_tokens()).alias("term")
@@ -442,7 +455,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
-        .select("doc_id", "rnk", "term", "tfidf", *bm_cols)
+        .select("doc_id", "rnk", "term", "tfidf", *bm_cols, *fi_cols)
         .orderBy("doc_id", "rnk")
     )
 
@@ -706,7 +719,7 @@ def save_text_index(docs: DataFrame, name: str, n_buckets: int = 16) -> None:
     probe terms), the stored index carries EVERY term — it serves
     arbitrary future queries; that is what makes it the write-once
     form. Overwrites any previous index of the same name."""
-    from guagua_spark.functions.scale import write_bucketed
+    from guagua_spark.functions.scale import save_table, write_bucketed
 
     base = docs.select(
         "doc_id", F.size(_tokens()).cast("double").alias("dl"), "text"
@@ -720,10 +733,13 @@ def save_text_index(docs: DataFrame, name: str, n_buckets: int = 16) -> None:
     write_bucketed(
         base.select("doc_id", "dl"), f"{name}_lengths", ["doc_id"], n_buckets
     )
-    base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ).write.mode("overwrite").saveAsTable(f"{name}_stats")
+    save_table(
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ),
+        f"{name}_stats",
+    )
 
 
 def bm25_topk_from_index(
@@ -1178,14 +1194,17 @@ bmcert AS (
          CAST(SUM((query_id * 1000 + rnk) * doc_id) AS BIGINT)
            AS bm_doc_wsum
   FROM bmtop WHERE rnk <= {BM25_TOP_K}
-)
-SELECT doc_id, r.rnk, term, tfidf, bm_rows, bm_score_e6, bm_doc_wsum
-FROM ranked r, bmcert WHERE r.rnk <= {TFIDF_TOP_K}
+),
+{_fi_cert_ctes()}
+SELECT doc_id, r.rnk, term, tfidf, bm_rows, bm_score_e6, bm_doc_wsum,
+       fi_rows, fi_occ_sum, fi_hash
+FROM ranked r, bmcert, ficert WHERE r.rnk <= {TFIDF_TOP_K}
 ORDER BY doc_id, r.rnk
 """.strip()
 
 
-ORACLE_SQL["text_tfidf_top_terms"] = _tfidf_oracle()
+# text_tfidf_top_terms's oracle is assigned below the frequent-tokens
+# section (its fi_* CTE splice needs FREQ_COUNTERS)
 ORACLE_SQL["text_token_counts"] = _token_counts_oracle()
 
 
@@ -1600,6 +1619,55 @@ GROUP BY tok, tot.n
 HAVING COUNT(*) > CAST(tot.n AS DOUBLE) / {FREQ_COUNTERS + 1}
 ORDER BY n_occurrences DESC, tok
 """.strip()
+
+
+def frequent_tokens_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding text_frequent_tokens into the
+    hash-checked tfidf contract row (column-merge pattern, SURVEY.md
+    §7). Runs the REAL two-pass operator; ``fi_hash`` u32-binds every
+    heavy hitter's (token, exact count) pair, so a missed candidate, a
+    phantom item, or a wrong recount each flip an integer."""
+    from guagua_spark.functions.scale import u32_hash
+
+    ft = text_frequent_tokens(spark, sf_dir)
+    binder = u32_hash(
+        "fi",
+        F.concat_ws(
+            "|", F.col("tok"), F.col("n_occurrences").cast("string")
+        ),
+    )
+    return ft.agg(
+        F.count(F.lit(1)).cast("bigint").alias("fi_rows"),
+        F.sum("n_occurrences").cast("bigint").alias("fi_occ_sum"),
+        F.sum(binder).cast("bigint").alias("fi_hash"),
+    )
+
+
+def _fi_cert_ctes() -> str:
+    """``fitoks`` → ``ficert`` 1-row CTE block replaying
+    frequent_tokens_cert_df — spliced into the tfidf oracle."""
+    u32_row = (
+        "CAST(('0x' || substr(md5('fi|' || tok || '|' ||"
+        " CAST(n_occurrences AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    )
+    return f"""fitoks AS (
+  SELECT unnest({_sql_tokens()}) AS tok FROM documents
+),
+fitot AS (SELECT COUNT(*) AS n FROM fitoks),
+fihot AS (
+  SELECT tok, COUNT(*) AS n_occurrences
+  FROM fitoks, fitot GROUP BY tok, fitot.n
+  HAVING COUNT(*) > CAST(fitot.n AS DOUBLE) / {FREQ_COUNTERS + 1}
+),
+ficert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS fi_rows,
+         CAST(SUM(n_occurrences) AS BIGINT) AS fi_occ_sum,
+         CAST(SUM({u32_row}) AS BIGINT) AS fi_hash
+  FROM fihot
+)"""
+
+
+ORACLE_SQL["text_tfidf_top_terms"] = _tfidf_oracle()
 
 
 #: standalone building-block queries kept oracle-tested locally

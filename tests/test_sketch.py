@@ -130,6 +130,7 @@ def test_select_within_budget_matches_oracle_and_is_greedy(
         LOCAL_ORACLE_SQL,
         LOCAL_QUERIES,
         SELECT_TOKEN_BUDGET,
+        SELECT_TOKEN_FRAC,
     )
 
     from oracle import assert_matches_oracle
@@ -143,7 +144,13 @@ def test_select_within_budget_matches_oracle_and_is_greedy(
     rows = df.collect()
     assert 0 < len(rows)
     total = max(r.cum_toks for r in rows)
-    assert total <= SELECT_TOKEN_BUDGET
+    corpus_toks = duck.execute(
+        "SELECT SUM(len(string_split(text, ' '))) FROM documents"
+        " WHERE LENGTH(text) > 0"
+    ).fetchone()[0]
+    assert total <= max(
+        SELECT_TOKEN_BUDGET, int(corpus_toks * SELECT_TOKEN_FRAC)
+    )
     # the selection order is the quality order and cum_toks is its
     # running total
     scores = [(-r.score, r.doc_id) for r in rows]
