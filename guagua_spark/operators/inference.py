@@ -470,7 +470,11 @@ def trained_nn_model(spark: SparkSession, sf_dir: str):
     return weights
 
 
-def nn_score_col(weights, feature_cols=("f1", "f2", "f3", "f4")):
+def nn_score_col(
+    weights,
+    feature_cols=("f1", "f2", "f3", "f4"),
+    activation: str = "sigmoid",
+):
     """The NN forward pass (algorithms/nn.py:forward — sigmoid
     throughout, Encog default; NNWorker.java:111-135 parity) UNROLLED
     into a Catalyst expression tree: every weight becomes a plan
@@ -479,10 +483,24 @@ def nn_score_col(weights, feature_cols=("f1", "f2", "f3", "f4")):
     41 doubles) this keeps batch scoring inside WholeStageCodegen with
     no UDF and no broadcast at all — the model IS the plan. Wider nets
     graduate to an Arrow-batched matmul UDF; this is the
-    small-model fast path."""
+    small-model fast path.
 
-    def sig(z):
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ``activation="rational"`` swaps every sigmoid for the libm-free
+    σ̃(z) = 0.5 + 0.5·z/(1+|z|) — same range, same 0.5 threshold at
+    z=0, monotone, pure IEEE +−×÷/abs so it is bit-exact across
+    engines. Used ONLY by the nnf_* certificate (the forward-pass
+    PLUMBING is identical; production scoring keeps the real
+    sigmoid)."""
+
+    if activation == "rational":
+
+        def sig(z):
+            return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+    else:
+
+        def sig(z):
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
     (w1, b1), (w2, b2) = weights
     hidden = []
@@ -561,10 +579,13 @@ def nnf_fixed_weights():
     return [(w1, b1), (w2, b2)]
 
 
-def _emb_score_col():
+def _emb_score_col(activation: str = "sigmoid"):
     """Per-row 6dp logistic score over the embedding column — shared
     by the standalone query and the emb_* certificate (SQL twin:
-    lr_sql.emb_score_sql)."""
+    lr_sql.emb_score_sql). The certificate passes
+    ``activation="rational"`` (σ̃(z) = 0.5 + 0.5·z/(1+|z|), libm-free
+    — see nn_score_col) so its integers are bit-exact by construction;
+    the standalone query keeps the real sigmoid + its rtol oracle."""
     w = F.array(*[F.lit(x) for x in EMB_WEIGHTS])
     dot = F.aggregate(
         F.zip_with(
@@ -575,9 +596,12 @@ def _emb_score_col():
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(EMB_BIAS) + dot))), 6
-    )
+    z = F.lit(EMB_BIAS) + dot
+    if activation == "rational":
+        score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    else:
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.round(score, 6)
 
 
 def infer_embedding_scores(
@@ -652,7 +676,7 @@ def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .select(_emb_score_col().alias("score"))
+        .select(_emb_score_col(activation="rational").alias("score"))
         .agg(
             F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
                 "emb_flagged"
@@ -664,7 +688,14 @@ def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nnf = (
         _nn_features(spark, sf_dir)
-        .select(F.round(nn_score_col(nnf_fixed_weights()), 6).alias("score"))
+        .select(
+            F.round(
+                nn_score_col(
+                    nnf_fixed_weights(), activation="rational"
+                ),
+                6,
+            ).alias("score")
+        )
         .agg(
             F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
                 "nnf_flagged"

@@ -132,32 +132,43 @@ NN_FEATURE_SQL = (
 )
 
 
+def _rational_sigmoid_sql(z: str) -> str:
+    """σ̃(z) = 0.5 + 0.5·z/(1+|z|) — the libm-free logistic surrogate
+    (same range, same 0.5 threshold at z=0, monotone). Pure IEEE
+    +−×÷/abs, so both engines produce the SAME double bit-for-bit at
+    any scale; the parenthesization mirrors the Catalyst tree
+    (0.5 + ((0.5·z)/(1+abs(z))))."""
+    return f"(0.5 + (0.5*({z}))/(1.0 + ABS({z})))"
+
+
 def emb_score_sql() -> str:
-    """Per-row 6dp logistic score over the embeddings table — the SQL
-    twin of inference._emb_score_col (list_dot_product folds
-    left-to-right like F.aggregate)."""
+    """Per-row 6dp rational-logistic score over the embeddings table —
+    the SQL twin of inference._emb_score_col(activation="rational")
+    (list_dot_product folds left-to-right like F.aggregate)."""
     lits = ", ".join(repr(x) for x in EMB_WEIGHTS)
-    return (
-        f"ROUND(1.0/(1.0 + EXP(-({EMB_BIAS!r} + list_dot_product("
-        f"CAST(embedding AS DOUBLE[]), [{lits}])))), 6)"
+    z = (
+        f"{EMB_BIAS!r} + list_dot_product("
+        f"CAST(embedding AS DOUBLE[]), [{lits}])"
     )
+    return f"ROUND({_rational_sigmoid_sql(z)}, 6)"
 
 
 def nnf_score_sql() -> str:
     """Per-row 6dp forward-pass score of the fixed [4,8,1] net over
-    lineitem — the SQL twin of nn_score_col(nnf_fixed_weights()):
-    every weight a literal, each hidden unit one sigmoid-of-affine,
-    rendered from the SAME Python lists the Catalyst side uses."""
+    lineitem — the SQL twin of nn_score_col(nnf_fixed_weights(),
+    activation="rational"): every weight a literal, each hidden unit
+    one rational-sigmoid-of-affine, rendered from the SAME Python
+    lists the Catalyst side uses."""
     hs = []
     for j in range(8):
         z = f"{NNF_B1[j]!r}" + "".join(
             f" + {NNF_W1[i][j]!r}*({NN_FEATURE_SQL[i]})" for i in range(4)
         )
-        hs.append(f"(1.0/(1.0 + EXP(-({z}))))")
+        hs.append(_rational_sigmoid_sql(z))
     out = f"{NNF_B2!r}" + "".join(
         f" + {NNF_W2[j]!r}*{hs[j]}" for j in range(8)
     )
-    return f"ROUND(1.0/(1.0 + EXP(-({out}))), 6)"
+    return f"ROUND({_rational_sigmoid_sql(out)}, 6)"
 
 
 def sql_inference_cert_ctes() -> str:
@@ -171,16 +182,18 @@ def sql_inference_cert_ctes() -> str:
     integer on both engines) plus their 0.5-threshold counts. Spliced
     into lr_train's contract oracle.
 
-    libm boundary-flip bound (round-8 advice): emb_score_e6 /
-    nnf_score_e6 (and text.py's bm_score_e6) sum EXP/LN-based per-row
-    scores rounded at 6dp. IEEE +-*/ are bit-exact across engines, but
-    libm exp/ln may differ in the last ulp; a flip needs a per-row
-    score whose pre-rounding value sits within ~1 ulp (~1e-16 of a
-    O(1) score) of a 0.5e-6 rounding boundary - P ~ 2e-10 per row, so
-    ~ N*2e-10 per certificate (~4e-6 at sf1's ~2e4 rows). The qnt_*
-    certificate avoids libm entirely; these three accept the bound in
-    exchange for certifying the real sigmoid/BM25 math, and every
-    sweep at sf0.001-0.1 has confirmed it empirically."""
+    Round 9: emb_score_e6/nnf_score_e6 (and text.py's bm_score_e6)
+    score with the RATIONAL surrogate σ̃ (see _rational_sigmoid_sql) —
+    libm-free, so the N-row Σ round(score·1e6) certificates are
+    bit-exact by construction at ANY scale (the former exp/ln last-ulp
+    exposure grew as ~N·2e-10 flips per sweep). The real-sigmoid
+    operators keep their own rtol oracles. Residual libm: the
+    trained-LR ``sc`` relation (inf_auc/inf_flagged/inf_dec_nwsum)
+    still uses EXP behind the 6dp-rounding defense — its exposure does
+    NOT grow with N the way the Σ-certs' did (a flip needs a score
+    within ~1 ulp of a rounding boundary; the AUC/decile rollups are
+    additionally rank-buffered), and the training replay itself (3
+    weights, 5 iterations) is magnitude-bounded."""
     qs = ", ".join(str(q) for q in DECILE_QS)
     return f"""{auc_rank_ctes("ic")},
 icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),

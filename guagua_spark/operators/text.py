@@ -477,7 +477,9 @@ BM25_QUERIES = (
 )
 
 
-def _bm25_score_agg(joined: DataFrame, queries=BM25_QUERIES) -> DataFrame:
+def _bm25_score_agg(
+    joined: DataFrame, queries=BM25_QUERIES, idf_form: str = "ln"
+) -> DataFrame:
     """(query_id, doc_id, score) rollup over a joined per-(query,
     term, doc) relation carrying tf/df/dl/n_docs/avgdl — the ONE
     definition of the BM25 formula, shared by the on-the-fly and
@@ -492,11 +494,20 @@ def _bm25_score_agg(joined: DataFrame, queries=BM25_QUERIES) -> DataFrame:
     single value — exact), and the per-term partials add in fixed
     lexicographic term order as a plain expression. No float
     reduction ever depends on row order; the SQL twin renders the
-    identical conditional sums in the identical order."""
+    identical conditional sums in the identical order.
+
+    ``idf_form``: "ln" is Robertson-Spärck BM25 (the production
+    scorer); "rational" replaces ln(1+x) with the libm-free monotone
+    surrogate x/(1+x) — used ONLY by the bm_* certificate so its
+    integers are bit-exact by construction at any scale (IEEE +−×÷
+    agree across engines; libm ln may differ in the last ulp, a
+    per-row 6dp boundary-flip exposure that grows linearly with N).
+    The surrogate certifies the identical plumbing: df counting, tf
+    normalization, fixed-order sums, rank window, tie-break."""
     all_terms = sorted({t for _, ts in queries for t in ts})
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    x = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    idf = x / (F.lit(1.0) + x) if idf_form == "rational" else F.log(
+        F.lit(1.0) + x
     )
     tf_part = (
         F.col("tf")
@@ -541,8 +552,22 @@ _BM25_CONTRIB = (
     f" * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl))"
 )
 
+#: the bm_* certificate's libm-free twin: ln(1+x) → x/(1+x), with the
+#: parenthesization mirroring the Catalyst tree EXACTLY
+#: (idf · (tf·(k1+1) / denom) — IEEE × is not associative, so the
+#: grouping is part of the bit-exactness contract)
+_BM25_X = "(n_docs - df + 0.5) / (df + 0.5)"
+_BM25_CONTRIB_RATIONAL = (
+    f"(({_BM25_X}) / (1.0 + ({_BM25_X})))"
+    f" * ((tf * ({BM25_K1!r} + 1.0))"
+    f" / (tf + {BM25_K1!r}"
+    f" * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl)))"
+)
 
-def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _bm25_scores_df(
+    spark: SparkSession, sf_dir: str, idf_form: str = "ln"
+) -> DataFrame:
     """Unordered (query_id, doc_id, score) Okapi BM25 scores — shared
     by the standalone top-k query and the bm_* certificate.
 
@@ -595,7 +620,7 @@ def _bm25_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(q), "term")
     )
-    return _bm25_score_agg(joined)
+    return _bm25_score_agg(joined, idf_form=idf_form)
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,12 +644,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row integer certificate of the whole retrieval stack: top-k
     row count, Σ round(score·1e6), and a (query·1000 + rank)-weighted
-    doc-id sum binding WHICH doc lands at WHICH rank of WHICH query."""
+    doc-id sum binding WHICH doc lands at WHICH rank of WHICH query.
+
+    Scored with the RATIONAL idf surrogate (idf_form="rational" —
+    libm-free, see _bm25_score_agg), so every integer is bit-exact by
+    construction at any sf; the real-ln scorer keeps its own rtol
+    oracle (text_bm25_topk, tests/test_text_ops.py)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     topk = (
-        _bm25_scores_df(spark, sf_dir)
+        _bm25_scores_df(spark, sf_dir, idf_form="rational")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= BM25_TOP_K)
     )
@@ -781,10 +811,11 @@ def bm25_topk_from_index(
     )
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(contrib: str = _BM25_CONTRIB) -> str:
     """``bmq`` → … → ``bmtop`` CTE block replaying the BM25 stack —
-    shared by the standalone oracle and the bm_* certificate splice in
-    the tfidf contract oracle."""
+    the standalone oracle uses the default (real-ln) contribution; the
+    bm_* certificate splice passes _BM25_CONTRIB_RATIONAL (libm-free
+    twin)."""
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
     )
@@ -811,7 +842,7 @@ bmsc AS (
   -- fixed-order conditional sums, one per probe term (each reduces a
   -- single row): _bm25_score_agg's determinism discipline, rendered
   -- in the identical term order
-  SELECT query_id, doc_id, ROUND({_bm25_score_sum_sql(_BM25_CONTRIB)}, 6)
+  SELECT query_id, doc_id, ROUND({_bm25_score_sum_sql(contrib)}, 6)
            AS score
   FROM (
     SELECT q.query_id, t.doc_id, t.term, t.tf, d.df, l.dl,
@@ -1186,7 +1217,7 @@ ranked AS (
                                ORDER BY tfidf DESC, term) AS rnk
   FROM scored
 ),
-{_bm25_ctes()},
+{_bm25_ctes(_BM25_CONTRIB_RATIONAL)},
 bmcert AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS bm_rows,
          CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS BIGINT)
