@@ -177,18 +177,42 @@ def main() -> None:
             prev_plans = prev.get("plans", {})
     except (OSError, ValueError):
         pass
-    regressions = {
-        name: {"prev": prev_plans[name], "now": m}
-        for name, m in plans.items()
-        if name in prev_plans
-        and any(m[k] > prev_plans[name].get(k, 0) for k in m)
-    }
+    # A REGRESSION is a shuffle or sort count increase — the two node
+    # kinds that cost at scale. Scans (and broadcasts) going UP while
+    # shuffles hold or go DOWN is the durable store WORKING: stored
+    # index/certificate tables replace rebuilt subtrees, adding `Scan
+    # parquet` nodes while removing exchanges (the round-8 lane flagged
+    # 3 such false positives). Scan/broadcast deltas are reported
+    # informationally so a genuine extra-pass regression stays visible,
+    # but they never trip the REGRESSIONS banner.
+    regressions = {}
+    info_deltas = {}
+    for name, m in plans.items():
+        prev_m = prev_plans.get(name)
+        if not prev_m:
+            continue
+        if any(m[k] > prev_m.get(k, 0) for k in ("shuffles", "sorts")):
+            regressions[name] = {"prev": prev_m, "now": m}
+        delta = {
+            k: [prev_m.get(k, 0), m[k]]
+            for k in ("scans", "broadcasts")
+            if m[k] != prev_m.get(k, 0)
+        }
+        if delta:
+            info_deltas[name] = delta
     result["plans"] = plans
     result["plan_regressions"] = regressions
+    result["plan_info_deltas"] = info_deltas
     if regressions:
         print(
             f"PLAN REGRESSIONS ({len(regressions)}): "
             + json.dumps(regressions),
+            file=sys.stderr,
+        )
+    if info_deltas:
+        print(
+            f"plan info deltas, not regressions ({len(info_deltas)}): "
+            + json.dumps(info_deltas),
             file=sys.stderr,
         )
     try:

@@ -69,14 +69,18 @@ def is_halt(result: Any) -> bool:
 class MasterContext:
     """Driver-side per-iteration context (reference master/MasterContext.java).
 
-    ``worker_results`` is the list of (possibly pre-combined) worker
-    results for this iteration; with a Combinable result and executor-side
-    reduction it holds a single element.
+    ``worker_results`` is the iterable of (possibly pre-combined)
+    worker results for this iteration; with a Combinable result and
+    executor-side reduction it holds a single element. Usually a list;
+    on the non-combinable path above the engine's result-size budget it
+    is a ONE-SHOT lazy stream (reference lazy master consumption,
+    AbstractMasterCoordinator.java:243-310) — iterate once, or buffer
+    with ``list(...)`` if the master needs two passes.
     """
 
     current_iteration: int
     total_iteration: int
-    worker_results: list[Any]
+    worker_results: Iterable[Any]
     master_result: Any = None  # previous iteration's result
     props: dict[str, Any] = field(default_factory=dict)
     attachment: Any = None

@@ -338,6 +338,47 @@ def _make_prepared_iter_fn(
     return fn
 
 
+#: non-combinable master path: above this estimated total result size
+#: (first partition's pickled bytes × partitions, probed once per run)
+#: the driver streams partials through toLocalIterator instead of
+#: collecting all P at once — the reference's lazy master-side
+#: consumption with disk spill (AbstractMasterCoordinator.java:243-310,
+#: NettyMasterCoordinator.java:252-268). Below it, the direct collect
+#: stays (one job per iteration; streaming costs one job per PARTITION
+#: per iteration, only worth it when the collect would blow the driver).
+DEFAULT_RESULT_BYTES_BUDGET = 256 * 1024 * 1024
+
+
+class _LazyWorkerResults:
+    """One-shot lazy iterable of worker results for the non-combinable
+    master path above the result-size budget: the master consumes
+    partials one at a time while the driver holds O(one partition) of
+    results — the reference's streamed-master semantics. Halt votes
+    fold as the stream is consumed; they are definitive only when the
+    master drained the whole stream (a master that stops early leaves
+    the remaining votes unknown — treated as not-all-halted)."""
+
+    __slots__ = ("_iter", "all_halt", "count", "started")
+
+    def __init__(self, partials) -> None:
+        self._iter = partials
+        self.all_halt = True
+        self.count = 0
+        self.started = False
+
+    def __iter__(self):
+        if self.started:
+            raise RuntimeError(
+                "worker_results is a one-shot stream in lazy mode; "
+                "buffer it explicitly (list(...)) to iterate twice"
+            )
+        self.started = True
+        for p in self._iter:
+            self.all_halt = self.all_halt and p.all_halt
+            self.count += 1
+            yield p.result
+
+
 class IterativeEngine:
     """Run (master, worker) computables to convergence over a DataFrame.
 
@@ -537,6 +578,7 @@ class IterativeEngine:
         persist: bool = True,
         min_workers_ratio: float = 1.0,
         min_workers_timeout: float = 60.0,
+        result_bytes_budget: int = DEFAULT_RESULT_BYTES_BUDGET,
     ) -> Any:
         """Iterate to convergence; return the final master result.
 
@@ -558,6 +600,15 @@ class IterativeEngine:
         straggler drops its whole batch (≈ partitions/64 workers). The
         extra scheduling cost keeps it opt-in; the default path is a
         single job per iteration.
+
+        ``result_bytes_budget`` bounds DRIVER memory on the
+        non-combinable path: partition 0's pickled result size is
+        probed once per run (one extra partition compute); when
+        size×partitions exceeds the budget, every iteration streams
+        partials through ``toLocalIterator`` into a one-shot lazy
+        ``worker_results`` instead of collecting all P at once — the
+        reference's lazy master-side consumption
+        (AbstractMasterCoordinator.java:243-310).
         """
         sc = self.spark.sparkContext
         from guagua_spark.shipping import ensure_shipped
@@ -655,6 +706,7 @@ class IterativeEngine:
             icpt.pre_application(mctx)
 
         bc = None
+        lazy_mode: bool | None = None  # decided once, first iteration
         try:
             for iteration in range(start_iteration, total_iteration + 1):
                 t0 = time.monotonic()
@@ -741,23 +793,126 @@ class IterativeEngine:
                             worker_interceptors, run_id, marker_rdd,
                             ensure_df, df, num_partitions,
                         )
-                    elif prepared_mode:
-                        collected = [
-                            _unwrap_partial(b) for b in out_rdd.collect()
-                        ]
+                        results = [p.result for p in collected]
+                        all_halt = bool(collected) and all(
+                            p.all_halt for p in collected
+                        )
+                        mctx.arrived_workers = num_partitions
                     else:
-                        collected = [
-                            _unwrap_partial(r.result) for r in out.collect()
-                        ]
-                    results = [p.result for p in collected]
-                    all_halt = bool(collected) and all(
-                        p.all_halt for p in collected
-                    )
-                    mctx.arrived_workers = num_partitions
+                        raw_rdd = (
+                            out_rdd
+                            if prepared_mode
+                            else out.rdd.map(
+                                lambda row: bytes(row.result)
+                            )
+                        )
+                        if lazy_mode is None:
+                            # one-time probe: partition 0's pickled
+                            # RESULT sizes the full collect. Fetching
+                            # the bytes (not just a length) makes the
+                            # probe partition 0's one and only
+                            # execution this iteration — no duplicated
+                            # worker side effects — and the rest of
+                            # iteration 1 runs over partitions 1..P-1.
+                            # Later iterations skip the probe entirely.
+                            (p0_raw,) = sc.runJob(
+                                raw_rdd, lambda it: [list(it)], [0]
+                            )
+                            p0_bytes = sum(len(b) for b in p0_raw)
+                            lazy_mode = (
+                                p0_bytes * num_partitions
+                                > result_bytes_budget
+                            )
+                            if lazy_mode:
+                                log.info(
+                                    "non-combinable results estimated at"
+                                    " %d bytes (> budget %d): streaming"
+                                    " partials via toLocalIterator",
+                                    p0_bytes * num_partitions,
+                                    result_bytes_budget,
+                                )
+                            rest = list(range(1, num_partitions))
+                            if lazy_mode:
+
+                                def _first_iter_partials(
+                                    head=p0_raw, pids=rest, rdd=raw_rdd
+                                ):
+                                    for b in head:
+                                        yield _unwrap_partial(b)
+                                    for pid in pids:
+                                        (chunk,) = sc.runJob(
+                                            rdd,
+                                            lambda it: [list(it)],
+                                            [pid],
+                                        )
+                                        for b in chunk:
+                                            yield _unwrap_partial(b)
+
+                                results = _LazyWorkerResults(
+                                    _first_iter_partials()
+                                )
+                                all_halt = False
+                            else:
+                                raws = list(p0_raw)
+                                if rest:
+                                    for chunk in sc.runJob(
+                                        raw_rdd,
+                                        lambda it: [list(it)],
+                                        rest,
+                                    ):
+                                        raws.extend(chunk)
+                                collected = [
+                                    _unwrap_partial(b) for b in raws
+                                ]
+                                results = [p.result for p in collected]
+                                all_halt = bool(collected) and all(
+                                    p.all_halt for p in collected
+                                )
+                            mctx.arrived_workers = num_partitions
+                        elif lazy_mode:
+                            results = _LazyWorkerResults(
+                                _unwrap_partial(b)
+                                for b in raw_rdd.toLocalIterator(
+                                    prefetchPartitions=True
+                                )
+                            )
+                            # halt votes fold as the master drains the
+                            # stream — evaluated post-compute below
+                            all_halt = False
+                            mctx.arrived_workers = num_partitions
+                        else:
+                            # steady-state eager path: DataFrame-level
+                            # collect (skips the df.rdd conversion's
+                            # extra serializer stage — the ~25% noted
+                            # above); raw_rdd is only ever EXECUTED by
+                            # the probe and lazy paths
+                            if prepared_mode:
+                                collected = [
+                                    _unwrap_partial(b)
+                                    for b in out_rdd.collect()
+                                ]
+                            else:
+                                collected = [
+                                    _unwrap_partial(r.result)
+                                    for r in out.collect()
+                                ]
+                            results = [p.result for p in collected]
+                            all_halt = bool(collected) and all(
+                                p.all_halt for p in collected
+                            )
+                            mctx.arrived_workers = num_partitions
 
                 mctx.worker_results = results
                 mctx.all_workers_halted = worker_halt_enable and all_halt
                 master_result = master.compute(mctx)
+                if worker_halt_enable and isinstance(
+                    results, _LazyWorkerResults
+                ):
+                    mctx.all_workers_halted = (
+                        results.count == num_partitions
+                        and results.count > 0
+                        and results.all_halt
+                    )
                 if worker_halt_enable and mctx.all_workers_halted:
                     _force_halt(master_result)
                 mctx.master_result = master_result
@@ -808,6 +963,8 @@ class IterativeEngine:
 def _unwrap_partial(raw: bytes) -> _Partial:
     result, halt = pickle.loads(bytes(raw))
     return _Partial(result, halt)
+
+
 
 
 class _Acc(list):
