@@ -51,11 +51,14 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger("guagua_spark.durable")
 
 #: bump when changing any durable builder's semantics in place (same
 #: schema, different math) — see the invalidation contract above.
@@ -313,7 +316,12 @@ def store_frame(
         # errors). The module contract is that a failed CACHE write
         # degrades to a rebuild next session, never an abort of the
         # caller's query — the result df is already built at this
-        # point (round-8 advice).
+        # point (round-8 advice). Logged at WARNING so a persistent
+        # store regression (e.g. a driver-side bug in _evict_frames)
+        # is observable instead of silently re-building every session
+        # (round-9 advice).
+        log.warning("durable store_frame(%s) failed; degrading to"
+                    " rebuild next session", name, exc_info=True)
         shutil.rmtree(tmp, ignore_errors=True)
         return False
     return True

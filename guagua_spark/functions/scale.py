@@ -30,17 +30,25 @@ def _warn_if_unpinned_shuffle_input(df: DataFrame, fn_name: str) -> None:
     ``pin=True`` now gets a runtime warning instead of a latent
     task-retry hazard. Checks the prepared physical plan (planning
     only, no job — ``sparkPlan()`` would miss: exchanges are inserted
-    by the EnsureRequirements preparation); ``\\bExchange\\b`` excludes
-    BroadcastExchange — a broadcast build side never reorders the
-    streamed rows."""
+    by the EnsureRequirements preparation). The pattern matches plain
+    ``Exchange``, AQE's ``ShuffleQueryStage``, and ``ReusedExchange``
+    (a reused shuffle output is still shuffle-ordered) while excluding
+    Broadcast* — a broadcast build side never reorders the streamed
+    rows (round-9 advice). The check pays full physical planning per
+    unpinned call and exists only to emit the warning —
+    ``GUAGUA_SALT_PLAN_CHECK=0`` disables it for hot production loops
+    that have already audited their inputs."""
+    import os
     import re
     import warnings
 
+    if os.environ.get("GUAGUA_SALT_PLAN_CHECK", "1") == "0":
+        return
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return
-    if re.search(r"\bExchange\b", plan):
+    if re.search(r"\b(Exchange|ShuffleQueryStage|ReusedExchange)\b", plan):
         warnings.warn(
             f"{fn_name}: input plan is shuffle-rooted; the record-index"
             " salt may differ on task retry. Pass pin=True to"

@@ -385,6 +385,31 @@ def _ivf_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quant_sample(emb: DataFrame) -> np.ndarray:
+    """Driver-side quantizer training sample (vec_id < QUANT_SAMPLE, in
+    vec_id order) with the DENSITY assertion every SQL Lloyd replay
+    relies on: the numpy init strides POSITIONALLY (sample[::m]) while
+    the oracle strides by VALUE (vec_id % m = 0) — identical only when
+    the sampled ids are exactly 0..n-1 (round-9 advice). A corpus whose
+    ids start elsewhere or have gaps fails loudly at build time instead
+    of flipping a hash-certified contract row."""
+    rows = (
+        emb.filter(F.col("vec_id") < QUANT_SAMPLE)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    for i, r in enumerate(rows):
+        if r.vec_id != i:
+            raise ValueError(
+                "quantizer sample ids must be dense 0..n-1 (got"
+                f" vec_id={r.vec_id} at position {i}): the SQL oracle's"
+                " value-strided init (vec_id % m = 0) would diverge"
+                " from the positional numpy init (sample[::m])"
+            )
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
 def _sample_kmeans(
     sample: np.ndarray, k: int, iters: int = QUANT_ITERS
 ) -> np.ndarray:
@@ -514,15 +539,7 @@ def _quantizer_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"
             )
-            sample = np.array(
-                [
-                    r.embedding
-                    for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
-                    .orderBy("vec_id")
-                    .collect()
-                ],
-                dtype=np.float64,
-            )
+            sample = _quant_sample(emb)
             return _sample_kmeans(sample, IVF_CELLS)
 
         centroids = durable.durable_model(
@@ -1061,15 +1078,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"
             )
-            sample = np.array(
-                [
-                    r.embedding
-                    for r in emb.filter(F.col("vec_id") < QUANT_SAMPLE)
-                    .orderBy("vec_id")
-                    .collect()
-                ],
-                dtype=np.float64,
-            )
+            sample = _quant_sample(emb)
             dsub = DIM // PQ_M
             return np.stack(
                 [

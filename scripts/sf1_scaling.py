@@ -66,7 +66,12 @@ def generate() -> None:
             (mx,) = con.execute(
                 f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
             ).fetchone()
-            if not mx < off:  # hard raise: asserts vanish under -O
+            if mx is None:  # empty source table: MAX() is NULL
+                raise ValueError(
+                    f"{table} is empty at {SRC} — regenerate the source"
+                    " scale dir before synthesizing replicas"
+                )
+            if mx >= off:  # hard raise: asserts vanish under -O
                 raise ValueError(
                     f"{table}.{col} max {mx} >= replica offset {off}:"
                     " replicas would collide — raise the offset and"

@@ -336,3 +336,24 @@ def test_ivfpq_topk_matches_sql_oracle(spark, oracle_sf_dir, duck):
         duck,
         LOCAL_ORACLE_SQL["ann_ivfpq_topk"],
     )
+
+
+def test_quant_sample_requires_dense_ids(spark):
+    """The quantizer sample's positional numpy init and the oracle's
+    value-strided SQL init coincide only on dense 0..n-1 ids — a gapped
+    corpus must fail at build time, not flip a contract row."""
+    import pytest as _pytest
+
+    from guagua_spark.operators.similarity import _quant_sample
+
+    dense = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    assert _quant_sample(dense).shape == (10, 4)
+    gapped = spark.createDataFrame(
+        [(i * 2, [float(i)] * 4) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="dense 0..n-1"):
+        _quant_sample(gapped)
