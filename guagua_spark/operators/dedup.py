@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from guagua_spark.functions.supersteps import dataframe_supersteps
 from guagua_spark.sources.tables import load_table
 
 SHINGLE_WIDTH = 3
@@ -618,33 +619,33 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = None
-    converged = False
-    for _ in range(max_rounds):
+    def step(labels: DataFrame, _i: int) -> DataFrame:
         prop = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            # lazy: the convergence-sum job below materializes the
-            # checkpoint in the SAME Spark job — an eager checkpoint
-            # would cost a second full job per round (each Python-task
-            # job carries ~0.2 s fixed scheduling latency, measured)
-            .localCheckpoint(eager=False)
+        return labels.join(prop, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+
+    mem = {"prev_sum": None}
+
+    def converged_fn(_prev: DataFrame, nxt: DataFrame, _i: int) -> bool:
+        # 1-row collect per round (O(1) driver traffic); this action
+        # also materializes the helper's lazy per-round checkpoint
+        cur_sum = nxt.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == mem["prev_sum"]:
+            return True
+        mem["prev_sum"] = cur_sum
+        return False
+
+    labels, _, converged = dataframe_supersteps(
+        labels, step, max_rounds, converged_fn
+    )
     edges.unpersist()
     if not converged:
         # Auto-escalate instead of failing: the graph's diameter
@@ -689,7 +690,6 @@ def star_components(
         .localCheckpoint()
     )
     prev_cnt = und.count()
-    rounds = 0
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(
@@ -710,9 +710,7 @@ def star_components(
         ).filter(F.col("a") != F.col("b"))
         return out.distinct() if dedupe else out
 
-    converged = False
-    for _ in range(max_rounds):
-        rounds += 1
+    def step(und: DataFrame, _i: int) -> DataFrame:
         # large-star: for each edge (u,v), v > u, emit (v, m(u)).
         # No distinct on this INTERMEDIATE set: each input edge emits
         # exactly one output edge (v joins a single m(u)), so the
@@ -735,28 +733,38 @@ def star_components(
                 .select(F.col("v").alias("x"), F.col("m").alias("y")),
                 dedupe=False,
             )
+            # mid-step lazy checkpoint: the convergence count()
+            # materializes both stars in one job
         ).localCheckpoint(eager=False)
         # small-star: for each u emit (u, m(u)) and (v, m(u)) ∀ v < u
         sym2 = _sym(large)
         mins2 = _mins(sym2)
-        small = _canon(
+        return _canon(
             sym2.filter(F.col("v") < F.col("u"))
             .join(mins2, "u")
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .unionByName(
                 mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
             )
-            # both stars checkpoint lazily: the count() materializes
-            # them in one job (see the propagation-loop note)
-        ).localCheckpoint(eager=False)
-        cnt = small.count()
-        if cnt == prev_cnt and small.join(
-            und, ["a", "b"], "left_anti"
+        )
+
+    mem = {"prev_cnt": prev_cnt}
+
+    def converged_fn(prev: DataFrame, nxt: DataFrame, _i: int) -> bool:
+        # EXACT convergence: count equality + empty anti-join, never a
+        # fingerprint; the count also materializes the round's
+        # checkpointed edge set
+        cnt = nxt.count()
+        if cnt == mem["prev_cnt"] and nxt.join(
+            prev, ["a", "b"], "left_anti"
         ).isEmpty():
-            und = small
-            converged = True
-            break
-        und, prev_cnt = small, cnt
+            return True
+        mem["prev_cnt"] = cnt
+        return False
+
+    und, rounds, converged = dataframe_supersteps(
+        und, step, max_rounds, converged_fn
+    )
     if not converged:
         # same contract as the propagation path: never return labels
         # from a partially-contracted edge set

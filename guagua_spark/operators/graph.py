@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from guagua_spark.functions.supersteps import dataframe_supersteps
 from guagua_spark.sources.tables import load_table
 
 PR_DAMPING = 0.85
@@ -83,15 +84,15 @@ def pagerank(
             [], "node string, rank double"
         )
     base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(iterations):
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
         contribs = (
             w.join(ranks, w["__src"] == ranks["node"])
             .groupBy("__dst")
             .agg(F.sum(F.col("rank") * F.col("__wt")).alias("__in"))
         )
         # left join: a node with no in-edges keeps the base term
-        ranks = nodes.join(
+        return nodes.join(
             contribs, nodes["node"] == contribs["__dst"], "left"
         ).select(
             "node",
@@ -100,8 +101,13 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+
+    ranks, _, _ = dataframe_supersteps(
+        nodes.withColumn("rank", F.lit(1.0 / n)),
+        step,
+        iterations,
+        checkpoint_every=checkpoint_every,
+    )
     if _return_lazy:
         # plan-inspection hook (tests/test_plans.py): return the raw
         # superstep plan; the edge/node caches stay pinned — callers of
