@@ -967,14 +967,19 @@ def ngram_jaccard_pairs_for(raw_docs: DataFrame, par: int) -> DataFrame:
     )
 
 
-#: Keep fraction for the SCALE-FEASIBLE ngram oracle: the exact PPJoin
-#: DuckDB replay is O(n²) list_intersect and exceeds any sane watchdog
-#: at sf1's 50k docs, so above that the sweep certifies the operator on
-#: a deterministic md5-selected ~10% doc subset (~5k docs at sf1 —
-#: still ~12.5M candidate pairs for the oracle, a real exactness
-#: exercise). u32(md5('ngsamp|doc_id')) < rate·2³² is the repo's
+#: Subset TARGETS for the SCALE-FEASIBLE oracle twins: the exact
+#: all-pairs DuckDB replays are O(n²) and exceed any sane watchdog
+#: past sf1, so above that the sweep certifies the operators on a
+#: deterministic md5-selected subset sized at a fixed TARGET (not a
+#: fixed fraction — a fraction re-explodes every decade: 10% of sf10's
+#: 500k docs is 50k, right back where the full oracle died). rate =
+#: min(1, target/count) is IEEE-identical on both engines (one double
+#: division, one LEAST), and u32(md5(tag|id)) < rate·2³² is the repo's
 #: standard engine-portable Bernoulli rule (functions/scale.py:53).
-NGRAM_SAMPLE_RATE = 0.1
+#: ~5k docs ≈ 12.5M candidate pairs, ~10k vectors ≈ 5·10⁷ cosines —
+#: real exactness exercises that finish in minutes at ANY sf.
+NGRAM_SAMPLE_TARGET = 5_000
+EMB_SAMPLE_TARGET = 10_000
 
 
 def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,13 +989,13 @@ def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/value_sweep.py when the full O(n²) oracle times out."""
     from guagua_spark.functions.scale import u32_hash
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(
-            u32_hash("ngsamp", F.col("doc_id").cast("string"))
-            < int(NGRAM_SAMPLE_RATE * 4294967296)
-        )
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    rate = min(1.0, NGRAM_SAMPLE_TARGET / max(docs_all.count(), 1))
+    docs = docs_all.filter(
+        u32_hash("ngsamp", F.col("doc_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
     )
     return ngram_jaccard_pairs_for(
         docs, spark.sparkContext.defaultParallelism
@@ -1000,10 +1005,15 @@ def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_oracle_sampled() -> str:
     keep = (
         "CAST(('0x' || substr(md5('ngsamp|' || CAST(doc_id AS VARCHAR)),"
-        f" 1, 8)) AS UBIGINT) < {int(NGRAM_SAMPLE_RATE * 4294967296)}"
+        " 1, 8)) AS UBIGINT) < rate * 4294967296.0"
     )
     return f"""
-WITH docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents
+WITH ngrate AS (
+  SELECT LEAST(1.0, {float(NGRAM_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM documents
+),
+docs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents, ngrate
               WHERE {keep})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1013,6 +1023,62 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
       >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
+""".strip()
+
+
+def dedup_embedding_pairs_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_embedding_pairs restricted to the deterministic md5 vector
+    subset — the sweep's scale-feasible twin (same block-tiled matmul
+    prefilter + exact rescore interior). The full all-pairs oracle is
+    ~523 s at sf1's 20k vectors and quadratic beyond."""
+    from guagua_spark.functions.scale import u32_hash
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_all = emb.count()
+    rate = min(1.0, EMB_SAMPLE_TARGET / max(n_all, 1))
+    sub = emb.filter(
+        u32_hash("embsamp", F.col("vec_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
+    )
+    # block sizing only affects task memory, never results — the exact
+    # expected subset size avoids an extra count() job
+    return embedding_pairs_for(sub, n_rows=max(1, int(n_all * rate)))
+
+
+def _embedding_oracle_sampled() -> str:
+    dim = 64
+    dot = " + ".join(
+        f"(CAST(a.embedding[{i+1}] AS DOUBLE) * CAST(b.embedding[{i+1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    na = " + ".join(
+        f"(CAST(a.embedding[{i+1}] AS DOUBLE) * CAST(a.embedding[{i+1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    nb = " + ".join(
+        f"(CAST(b.embedding[{i+1}] AS DOUBLE) * CAST(b.embedding[{i+1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    keep = (
+        "CAST(('0x' || substr(md5('embsamp|' || CAST(vec_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < rate * 4294967296.0"
+    )
+    return f"""
+WITH erate AS (
+  SELECT LEAST(1.0, {float(EMB_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM embeddings
+),
+es AS (SELECT vec_id, embedding FROM embeddings, erate WHERE {keep})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ({dot}) / SQRT(({na}) * ({nb})) AS cosine
+FROM es a JOIN es b ON a.vec_id < b.vec_id
+WHERE ({dot}) / SQRT(({na}) * ({nb})) >= 0.95
+ORDER BY id_a, id_b
 """.strip()
 
 
@@ -1412,7 +1478,14 @@ SWEEP_SAMPLED = {
     "dedup_ngram_jaccard": (
         dedup_ngram_jaccard_sampled,
         _ngram_oracle_sampled(),
-        f"u32(md5('ngsamp|doc_id')) < {NGRAM_SAMPLE_RATE}*2^32",
+        "u32(md5('ngsamp|doc_id')) <"
+        f" min(1, {NGRAM_SAMPLE_TARGET}/n_docs)*2^32",
+    ),
+    "dedup_embedding_pairs": (
+        dedup_embedding_pairs_sampled,
+        _embedding_oracle_sampled(),
+        "u32(md5('embsamp|vec_id')) <"
+        f" min(1, {EMB_SAMPLE_TARGET}/n_vecs)*2^32",
     ),
 }
 

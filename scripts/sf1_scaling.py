@@ -1,17 +1,27 @@
-"""One-shot sf0.1 → sf1 scaling measurement for the heaviest queries.
+"""Synthesize larger scale dirs (sf1, sf10) and measure heavy-query
+scaling exponents.
 
-The driver provides sf{0.001,0.01,0.1} only, so sf1 is synthesized
-here (under the repo, gitignored) by 10x replication of sf0.1 with
-shifted keys — and, for documents, a per-replica deterministic word
-mutation (every third word position gets a replica suffix) so replicas
-share almost no shingles: without it every replica pair would be a
-near-duplicate and the dedup family would measure a fabricated 100x
-pair explosion instead of 10x more data. Distributions (lengths,
+The driver provides sf{0.001,0.01,0.1} only, so larger scales are
+synthesized here (under the repo, gitignored) by key-shifted
+replication of sf0.1 — and, for documents, a per-replica deterministic
+word mutation (every third word position gets a replica suffix) so
+replicas share almost no shingles: without it every replica pair would
+be a near-duplicate and the dedup family would measure a fabricated
+pair explosion instead of more data. Distributions (lengths,
 vocabulary shape, dup structure WITHIN a replica) carry over from the
 driver's generator.
 
-Usage: python scripts/sf1_scaling.py   (writes BENCH_SF1.json; run
-findings are summarized in BENCH_NOTES.md)
+Modes:
+    python scripts/sf1_scaling.py          # sf1 = 10x, BENCH_SF1.json
+    python scripts/sf1_scaling.py --sf10   # sf10 = 100x, BENCH_SF10.json
+                                           # (exponents vs the sf1 dir,
+                                           # which must exist already)
+
+The sf10 probe exists because magnitude-driven defect classes surface
+one decade at a time: the gs_rev_wsum float-rounding bug was invisible
+below sf1 (round 8); whatever is next is invisible below sf10. Run the
+value sweep (scripts/value_sweep.py, rtol-gated since round 9) against
+the generated dir for the correctness half of the probe.
 """
 
 from __future__ import annotations
@@ -26,8 +36,6 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(_REPO, "testdata_sf1")
-REPLICAS = 10
 QUERIES = [
     "dedup_ngram_jaccard",
     "lr_train",
@@ -47,16 +55,16 @@ OFFSETS = {
     "events": [("event_id", 100000), ("user_id", 2000)],
 }
 
-#: dimension tables copied UNREPLICATED (facts scale 10x, dims fixed —
+#: dimension tables copied UNREPLICATED (facts scale Nx, dims fixed —
 #: the TPC-H-style scaling mode; lineitem keeps its part/supp keys and
 #: orders its custkeys, so FK joins stay consistent)
 DIM_COPIES = ("region", "nation", "customer", "supplier", "part")
 
 
-def generate() -> None:
+def generate(dst: str, replicas: int) -> None:
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     # guard the hardcoded offsets against a regenerated sf0.1 with
     # larger cardinalities: a collision would silently corrupt the
@@ -75,12 +83,12 @@ def generate() -> None:
                 raise ValueError(
                     f"{table}.{col} max {mx} >= replica offset {off}:"
                     " replicas would collide — raise the offset and"
-                    " delete stale testdata_sf1 outputs"
+                    f" delete stale {dst} outputs"
                 )
-    con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS k")
+    con.execute(f"CREATE VIEW r AS SELECT unnest(range({replicas})) AS k")
 
     def write(name: str, sql: str) -> None:
-        path = os.path.join(DST, f"{name}.parquet")
+        path = os.path.join(dst, f"{name}.parquet")
         if os.path.exists(path):
             return
         con.execute(
@@ -95,10 +103,18 @@ def generate() -> None:
                l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM read_parquet('{SRC}/lineitem.parquet'), r""",
     )
-    # replica suffix is ALPHABETIC ('q' + letter): a '~<digit>' suffix
-    # would sink every mutated doc below the clean-corpus alpha-ratio
-    # filter (observed: empty clean corpus at sf1); n_chars is
-    # recomputed so the metadata matches the mutated payload
+    # replica suffix is ALPHABETIC ('q' + letter(s)): a '~<digit>'
+    # suffix would sink every mutated doc below the clean-corpus
+    # alpha-ratio filter (observed: empty clean corpus at sf1); past
+    # k=25 a second letter keeps it alphabetic (chr(97+k) would leave
+    # ASCII). The k<=25 form is unchanged so an existing sf1 dir stays
+    # reproducible. n_chars is recomputed to match the mutated payload.
+    suffix = (
+        "'q' || chr(97 + CAST(k AS INT))"
+        if replicas <= 26
+        else "'q' || chr(97 + CAST(k % 26 AS INT))"
+        " || chr(97 + CAST(k // 26 AS INT))"
+    )
     write(
         "documents",
         f"""SELECT doc_id + k * 5000 AS doc_id, text,
@@ -107,7 +123,7 @@ def generate() -> None:
           SELECT doc_id, k,
                  array_to_string(list_transform(string_split(text, ' '),
                    (w, i) -> CASE WHEN (i * 2654435761 + k) % 3 = 0
-                             THEN w || 'q' || chr(97 + CAST(k AS INT))
+                             THEN w || {suffix}
                              ELSE w END), ' ') AS text,
                  lang, source
           FROM read_parquet('{SRC}/documents.parquet'), r
@@ -119,11 +135,12 @@ def generate() -> None:
         FROM read_parquet('{SRC}/embeddings.parquet'), r""",
     )
     # the remaining fact tables + dim copies (round 8) let the FULL
-    # 50-query contract run at sf1, not just the 5-query timing set:
-    # orders replicates on the same orderkey offset as lineitem so the
-    # l_orderkey = o_orderkey join stays consistent; events shifts both
-    # event and user ids so per-user session/retention structure is
-    # preserved per replica (10x users, not 10x-longer histories)
+    # 50-query contract run at the synthesized scale, not just the
+    # 5-query timing set: orders replicates on the same orderkey offset
+    # as lineitem so the l_orderkey = o_orderkey join stays consistent;
+    # events shifts both event and user ids so per-user
+    # session/retention structure is preserved per replica (Nx users,
+    # not Nx-longer histories)
     write(
         "orders",
         f"""SELECT o_orderkey + k * 200000 AS o_orderkey, o_custkey,
@@ -143,7 +160,9 @@ def generate() -> None:
         )
 
 
-def run() -> None:
+def run(dirs: list[tuple[str, str]], out_name: str, replicas: int) -> None:
+    """Time QUERIES at each (dir, tag) and write exponents between the
+    LAST two tags (log10 of the wall ratio per 10x data)."""
     os.environ["GUAGUA_DURABLE_CACHE"] = "0"  # measure real builds
     from guagua_spark.metrics import drain_index_builds
     from guagua_spark.session import get_spark
@@ -151,12 +170,12 @@ def run() -> None:
     import __spark_entry__ as entry
 
     spark = get_spark(
-        app_name="sf1_scaling", extra_conf={"spark.ui.enabled": "false"}
+        app_name="sf_scaling", extra_conf={"spark.ui.enabled": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    out: dict = {"replicas": REPLICAS, "runs": {}}
-    for sf_dir, tag in ((SRC, "sf0.1"), (DST, "sf1")):
+    out: dict = {"replicas": replicas, "runs": {}}
+    for sf_dir, tag in dirs:
         drain_index_builds()
         rec: dict = {}
         for name in QUERIES:
@@ -169,32 +188,33 @@ def run() -> None:
                 "rows": n,
                 "index": {k: round(v, 3) for k, v in idx.items()},
             }
-            print(tag, name, rec[name])
+            print(tag, name, rec[name], flush=True)
         out["runs"][tag] = rec
     import math
 
+    lo, hi = dirs[-2][1], dirs[-1][1]
+
+    def total(tag: str, q: str) -> float:
+        r = out["runs"][tag][q]
+        return r["secs"] + sum(r["index"].values())
+
     out["exponents"] = {
-        q: round(
-            math.log10(
-                (
-                    out["runs"]["sf1"][q]["secs"]
-                    + sum(out["runs"]["sf1"][q]["index"].values())
-                )
-                / (
-                    out["runs"]["sf0.1"][q]["secs"]
-                    + sum(out["runs"]["sf0.1"][q]["index"].values())
-                )
-            ),
-            3,
-        )
+        q: round(math.log10(total(hi, q) / total(lo, q)), 3)
         for q in QUERIES
     }
-    with open(os.path.join(_REPO, "BENCH_SF1.json"), "w") as f:
+    with open(os.path.join(_REPO, out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["exponents"]))
     spark.stop()
 
 
 if __name__ == "__main__":
-    generate()
-    run()
+    sf1_dst = os.path.join(_REPO, "testdata_sf1")
+    if "--sf10" in sys.argv:
+        sf10_dst = os.path.join(_REPO, "testdata_sf10")
+        generate(sf1_dst, 10)  # baseline dir must exist for exponents
+        generate(sf10_dst, 100)
+        run([(sf1_dst, "sf1"), (sf10_dst, "sf10")], "BENCH_SF10.json", 100)
+    else:
+        generate(sf1_dst, 10)
+        run([(SRC, "sf0.1"), (sf1_dst, "sf1")], "BENCH_SF1.json", 10)

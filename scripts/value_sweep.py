@@ -130,6 +130,14 @@ def main() -> None:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--skip", default=None, help="comma-separated query names")
     ap.add_argument(
+        "--sampled",
+        default=None,
+        help="comma-separated query names to run DIRECTLY on their"
+        " SWEEP_SAMPLED twin, skipping the full spark+oracle attempt —"
+        " for scales where even the full Spark side is"
+        " all-pairs-infeasible (e.g. dedup_embedding_pairs at sf10)",
+    )
+    ap.add_argument(
         "--oracle-timeout",
         type=float,
         default=900.0,
@@ -174,6 +182,10 @@ def main() -> None:
     sampled = entry.sweep_sampled() if hasattr(entry, "sweep_sampled") else {}
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
+    direct = set(args.sampled.split(",")) if args.sampled else set()
+    unknown_direct = direct - set(sampled)
+    if unknown_direct:
+        raise SystemExit(f"--sampled names without a twin: {unknown_direct}")
     results: dict = {}
     n_pass = n_fail = n_err = 0
     out = args.out or os.path.join(_REPO, "SWEEP.json")
@@ -189,17 +201,23 @@ def main() -> None:
         if (only and name not in only) or name in skip:
             continue
         rec: dict = {}
+        use_fn, use_sql = fn, oracles.get(name)
+        if name in direct:
+            use_fn, use_sql, rule = sampled[name]
+            rec["oracle_sampled"] = True
+            rec["sampled_direct"] = True
+            rec["sample_rule"] = rule
         try:
             t0 = time.monotonic()
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = use_fn(spark, sf_dir).toPandas()
             rec["spark_secs"] = round(time.monotonic() - t0, 2)
             t0 = time.monotonic()
-            if name in oracles:
+            if use_sql is not None:
                 try:
-                    odf = run_oracle(oracles[name])
+                    odf = run_oracle(use_sql)
                 except duckdb.InterruptException:
-                    if name not in sampled:
-                        raise
+                    if name not in sampled or name in direct:
+                        raise  # no twin, or the twin itself timed out
                     # the full replay is infeasible at this sf (e.g.
                     # the O(n²) PPJoin validator at 50k docs) — certify
                     # the SAME operator interior on the deterministic

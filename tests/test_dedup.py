@@ -217,23 +217,41 @@ def test_incremental_dedup_flags_known_documents(spark, oracle_sf_dir):
         assert r.best_jaccard >= JACCARD_THRESHOLD
 
 
-def test_ngram_sampled_twin_matches_oracle(spark, oracle_sf_dir, duck):
-    """The scale-feasible sweep twin (md5-selected ~10% doc subset)
-    must match its own oracle AND be a genuine subset run: nonzero
-    sampled docs, strictly fewer than the corpus."""
-    from guagua_spark.operators.dedup import (
-        SWEEP_SAMPLED,
-        dedup_ngram_jaccard_sampled,
-    )
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard", "dedup_embedding_pairs"]
+)
+def test_sampled_sweep_twins_match_their_oracles(
+    spark, oracle_sf_dir, duck, name
+):
+    """The scale-feasible sweep twins (fixed-TARGET md5-selected
+    subsets) must match their own oracles. At the small test sf the
+    rate saturates at 1.0 (twin == full run); the subset arithmetic is
+    pinned separately below."""
+    from guagua_spark.operators.dedup import SWEEP_SAMPLED
 
-    fn, sql, rule = SWEEP_SAMPLED["dedup_ngram_jaccard"]
-    assert fn is dedup_ngram_jaccard_sampled and "ngsamp" in rule
+    fn, sql, rule = SWEEP_SAMPLED[name]
+    assert "samp" in rule
     assert_matches_oracle(fn(spark, oracle_sf_dir), duck, sql)
-    # sampling sanity: the subset rule keeps a nonempty strict subset
-    n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+
+
+def test_sampled_twin_rate_rule_is_engine_identical(duck):
+    """rate = min(1, target/count): the Python double and the DuckDB
+    LEAST/division must agree bit-for-bit, and the u32 threshold rule
+    must keep a nonempty strict subset once count > target."""
+    from guagua_spark.operators.dedup import NGRAM_SAMPLE_TARGET
+
+    for n in (499, 5_000, 50_000, 500_000, 7_777_777):
+        py_rate = min(1.0, NGRAM_SAMPLE_TARGET / max(n, 1))
+        (sql_rate,) = duck.execute(
+            f"SELECT LEAST(1.0, {float(NGRAM_SAMPLE_TARGET)!r}"
+            f" / GREATEST({n}, 1))"
+        ).fetchone()
+        assert py_rate == sql_rate, (n, py_rate, sql_rate)
+    # strict-subset behavior at a corpus larger than the target
     n_kept = duck.execute(
-        "SELECT COUNT(*) FROM documents WHERE CAST(('0x' ||"
-        " substr(md5('ngsamp|' || CAST(doc_id AS VARCHAR)), 1, 8))"
-        " AS UBIGINT) < 429496729"
+        "SELECT COUNT(*) FROM (SELECT unnest(range(50000)) AS doc_id)"
+        " WHERE CAST(('0x' || substr(md5('ngsamp' || '|' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+        f" < 0.1 * 4294967296.0"
     ).fetchone()[0]
-    assert 0 < n_kept < n_docs
+    assert 0 < n_kept < 50000 and abs(n_kept - 5000) < 500
