@@ -153,3 +153,141 @@ def _frequent_with_total(
         .orderBy(F.col(out_col).desc(), col)
     )
     return result, int(n_total)
+
+
+# -- HyperLogLog distinct-count sketch (engine-exact registers) -------------
+
+#: register count 2^HLL_B; standard error 1.04/√m ≈ 3.3% at b=10
+HLL_B = 10
+HLL_M = 1 << HLL_B
+#: bias correction α_m for m ≥ 128 (Flajolet et al., AofA'07)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: 2⁰ .. 2⁻³³ as exact double literals — register weights resolved by
+#: ARRAY LOOKUP instead of POWER() so both engines read the identical
+#: bit pattern (element_at here, list indexing in the SQL twin)
+HLL_WEIGHTS = [2.0 ** (-r) for r in range(34)]
+
+
+def hll_rank_col(value_col) -> F.Column:
+    """HLL rank of a value: 1 + leading-zero count of the 32-bit
+    deterministic hash u32(md5('hllr|'·v)) — a pure integer
+    comparison ladder (first WHEN that fires wins), no log2/libm, so
+    the SQL twin (hll_rank_sql) produces the identical integer for
+    every input on any engine."""
+    from guagua_spark.functions.scale import u32_hash
+
+    u = u32_hash("hllr", value_col)
+    w = F.when(u >= F.lit(1 << 31), 1)
+    for r in range(2, 33):
+        w = w.when(u >= F.lit(1 << (32 - r)), r)
+    return w.otherwise(33)
+
+
+def hll_rank_sql(value_expr: str) -> str:
+    """SQL twin of hll_rank_col over a VARCHAR expression."""
+    u = (
+        f"CAST(('0x' || substr(md5('hllr|' || {value_expr}), 1, 8))"
+        " AS UBIGINT)"
+    )
+    whens = " ".join(
+        f"WHEN {u} >= {1 << (32 - r)} THEN {r}" for r in range(1, 33)
+    )
+    return f"(CASE {whens} ELSE 33 END)"
+
+
+def hll_bucket_col(value_col) -> F.Column:
+    from guagua_spark.functions.scale import u32_hash
+
+    return u32_hash("hllb", value_col) % HLL_M
+
+
+def hll_bucket_sql(value_expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('hllb|' || {value_expr}), 1, 8))"
+        f" AS UBIGINT) % {HLL_M})"
+    )
+
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(group..., bucket, reg) register table — MAX of ranks per
+    bucket. The 100 TB shape: the groupBy key space is (groups × m)
+    regardless of cardinality, and MAX is map-side combinable, so the
+    exchange carries ≤ m rows per partition per group — a distinct
+    count with a CONSTANT-size shuffle where COUNT(DISTINCT) shuffles
+    the entire distinct set. Registers are deterministic integers
+    (md5-derived), replayed exactly by the SQL oracle; the same
+    monotone MAX makes the streaming twin a plain incremental agg."""
+    v = F.col(col).cast("string")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols,
+        hll_bucket_col(v).alias("bucket"),
+        hll_rank_col(v).alias("rank"),
+    )
+    return base.groupBy(*group_cols, "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+
+
+def hll_estimate_cols() -> list:
+    """Aggregate columns over a register relation (bucket, reg) →
+    (hll_used, hll_reg_checksum, hll_est_raw, hll_est). The inverse
+    power sum Σ 2^-reg + zeros·2⁰ is EXACTLY representable (every
+    term is a multiple of 2⁻³³, the total < 2¹⁰ — 43 mantissa bits
+    < 53), so it is order-independent and bit-identical cross-engine;
+    the raw estimate αm²/sum is then one exact-input float expression.
+    ``hll_est`` applies the standard small-range correction (linear
+    counting, m·ln(m/zeros) when est_raw ≤ 2.5m and zero registers
+    exist — Flajolet et al.); ln() is libm, hence the 6dp rounding
+    defense, while used/checksum/est_raw stay integer-or-exact at any
+    scale."""
+    used = F.count(F.lit(1)).cast("bigint").alias("hll_used")
+    checksum = (
+        F.sum((F.col("bucket") + 1) * F.col("reg"))
+        .cast("bigint")
+        .alias("hll_reg_checksum")
+    )
+    zeros = (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+    inv_sum = (
+        F.sum(
+            F.element_at(
+                F.array(*[F.lit(x) for x in HLL_WEIGHTS]),
+                F.col("reg") + 1,
+            )
+        )
+        + zeros
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / inv_sum
+    est_raw = F.round(raw, 6).alias("hll_est_raw")
+    est = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+        ).otherwise(raw),
+        6,
+    ).alias("hll_est")
+    return [used, checksum, est_raw, est]
+
+
+def hll_estimate_sql() -> str:
+    """SQL twin of hll_estimate_cols over a (bucket, reg) relation —
+    a select-list fragment (used, checksum, est_raw, est)."""
+    lits = ", ".join(repr(x) for x in HLL_WEIGHTS)
+    inv = (
+        f"(SUM(([{lits}])[reg + 1])"
+        f" + CAST({HLL_M} - COUNT(*) AS DOUBLE))"
+    )
+    raw = f"({HLL_ALPHA * HLL_M * HLL_M!r} / {inv})"
+    zeros = f"CAST({HLL_M} - COUNT(*) AS DOUBLE)"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {zeros} > 0"
+        f" THEN {float(HLL_M)!r} * LN({float(HLL_M)!r} / {zeros})"
+        f" ELSE {raw} END"
+    )
+    return (
+        "CAST(COUNT(*) AS BIGINT) AS hll_used, "
+        "CAST(SUM((bucket + 1) * reg) AS BIGINT) AS hll_reg_checksum, "
+        f"ROUND({raw}, 6) AS hll_est_raw, "
+        f"ROUND({est}, 6) AS hll_est"
+    )

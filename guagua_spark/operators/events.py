@@ -640,3 +640,81 @@ QUERIES = {
     "events_histogram": events_histogram,
     "events_retention": events_retention,
 }
+
+
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by HyperLogLog next to the exact
+    truth — the GROUPED distinct-count sketch (functions/sketch.py):
+    per (event_type, bucket) register MAX is map-side combinable, so
+    the exchange carries ≤ types·1024 rows at any event volume, where
+    COUNT(DISTINCT user_id) shuffles every distinct (type, user) pair.
+    The cardinalities here sit in linear-counting range (n ≪ m), so
+    hll_est exercises the small-range branch; hll_est_raw and the
+    register checksum stay integer-exact."""
+    from guagua_spark.functions.sketch import (
+        hll_estimate_cols,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    est = (
+        hll_registers(ev, "uid", group_cols=("event_type",))
+        .groupBy("event_type")
+        .agg(*hll_estimate_cols())
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("uid").cast("bigint").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "*",
+            F.round(
+                (F.col("hll_est") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _distinct_users_hll_oracle() -> str:
+    from guagua_spark.functions.sketch import (
+        hll_bucket_sql,
+        hll_estimate_sql,
+        hll_rank_sql,
+    )
+
+    return f"""
+WITH hev AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+),
+hregs AS (
+  SELECT event_type, {hll_bucket_sql('uid')} AS bucket,
+         MAX({hll_rank_sql('uid')}) AS reg
+  FROM hev WHERE uid IS NOT NULL GROUP BY 1, 2
+),
+hest AS (SELECT event_type, {hll_estimate_sql()}
+         FROM hregs GROUP BY event_type),
+hex AS (SELECT event_type,
+               CAST(COUNT(DISTINCT uid) AS BIGINT) AS exact_users
+        FROM hev GROUP BY 1)
+SELECT hest.event_type, hll_used, hll_reg_checksum, hll_est_raw,
+       hll_est, exact_users,
+       ROUND((hll_est - exact_users) / exact_users, 6) AS rel_err
+FROM hest JOIN hex ON hest.event_type = hex.event_type
+ORDER BY hest.event_type
+""".strip()
+
+
+#: oracle-tested locally (tests/test_sketch.py); outside the 50-slot
+#: driver contract
+LOCAL_QUERIES = {
+    "events_distinct_users_hll": events_distinct_users_hll,
+}
+LOCAL_ORACLE_SQL = {
+    "events_distinct_users_hll": _distinct_users_hll_oracle(),
+}

@@ -1733,3 +1733,60 @@ LOCAL_ORACLE_SQL = {
     "text_decontaminate": _decontaminate_oracle(),
     "text_bm25_topk": _bm25_oracle(),
 }
+
+
+def text_distinct_tokens_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary size by HyperLogLog next to its exact truth —
+    the bounded-memory DISTINCT-COUNT sketch (functions/sketch.py HLL:
+    deterministic md5 registers, libm-free rank ladder, exact-by-
+    construction inverse-power sum). At 100 TB the register build
+    shuffles ≤ m=1024 rows per partition where COUNT(DISTINCT token)
+    shuffles the whole vocabulary; the exact count rides along here as
+    the validator column (same contract as the Misra-Gries recount:
+    the sketch is certified against plain SQL, not trusted)."""
+    from guagua_spark.functions.sketch import (
+        hll_estimate_cols,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok"))
+    est = hll_registers(toks, "tok").agg(*hll_estimate_cols())
+    exact = toks.agg(
+        F.count_distinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "*",
+        F.round(
+            (F.col("hll_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _distinct_tokens_hll_oracle() -> str:
+    from guagua_spark.functions.sketch import (
+        hll_bucket_sql,
+        hll_estimate_sql,
+        hll_rank_sql,
+    )
+
+    return f"""
+WITH htoks AS (SELECT unnest({_sql_tokens()}) AS tok FROM documents),
+hregs AS (
+  SELECT {hll_bucket_sql('tok')} AS bucket,
+         MAX({hll_rank_sql('tok')}) AS reg
+  FROM htoks WHERE tok IS NOT NULL GROUP BY 1
+),
+hest AS (SELECT {hll_estimate_sql()} FROM hregs),
+hex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+        FROM htoks)
+SELECT hll_used, hll_reg_checksum, hll_est_raw, hll_est, exact_distinct,
+       ROUND((hll_est - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM hest, hex
+""".strip()
+
+
+LOCAL_QUERIES["text_distinct_tokens_hll"] = text_distinct_tokens_hll
+LOCAL_ORACLE_SQL["text_distinct_tokens_hll"] = _distinct_tokens_hll_oracle()

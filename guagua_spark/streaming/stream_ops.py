@@ -669,3 +669,33 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def streaming_distinct_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming HLL distinct-users sketch: the register MAX is
+    monotone, so a plain complete-mode groupBy MAX maintains the
+    sketch incrementally — the streaming twin of
+    operators/events.events_distinct_users_hll's register build (the
+    estimate projection is read-time arithmetic over the registers).
+    No watermark: a lifetime distinct count never evicts, and the
+    state is bounded at types × 1024 registers BY CONSTRUCTION —
+    exactly why the sketch (not COUNT DISTINCT, whose state is the
+    distinct set itself) is the streaming-safe form of this query."""
+    from guagua_spark.functions.sketch import (
+        hll_bucket_col,
+        hll_rank_col,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    uid = F.col("user_id").cast("string")
+    return (
+        ev.select(
+            "event_type",
+            hll_bucket_col(uid).alias("bucket"),
+            hll_rank_col(uid).alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )

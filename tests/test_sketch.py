@@ -164,3 +164,47 @@ def test_select_within_budget_matches_oracle_and_is_greedy(
     # every Window over the big relation must carry the bucket key
     wins = re.findall(r"Window .*", plan)
     assert any("__b" in w for w in wins)
+
+
+@pytest.mark.parametrize(
+    "mod,name,exact_col",
+    [
+        ("text", "text_distinct_tokens_hll", "exact_distinct"),
+        ("events", "events_distinct_users_hll", "exact_users"),
+    ],
+)
+def test_hll_matches_oracle_and_is_accurate(
+    spark, oracle_sf_dir, duck, mod, name, exact_col
+):
+    """HLL distinct count: the register table, raw estimate, and
+    corrected estimate must replay exactly in SQL, and the corrected
+    estimate must sit within the sketch's error envelope (linear
+    counting is near-exact at n << m; the generic bound is
+    ~3*1.04/sqrt(m) ~ 10%)."""
+    import importlib
+
+    m = importlib.import_module(f"guagua_spark.operators.{mod}")
+
+    from oracle import assert_matches_oracle
+
+    df = m.LOCAL_QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, m.LOCAL_ORACLE_SQL[name])
+    for r in df.collect():
+        assert r[exact_col] > 0
+        assert abs(r["rel_err"]) < 0.1, (r[exact_col], r["hll_est"])
+
+
+def test_hll_registers_shuffle_is_bounded(spark):
+    """The register relation is capped at m rows however many distinct
+    values stream in, and MAX-of-rank is deterministic md5 math."""
+    from guagua_spark.functions.sketch import HLL_M, hll_registers
+
+    df = spark.range(50_000).select(
+        F.col("id").cast("string").alias("v")
+    )
+    regs = hll_registers(df, "v").collect()
+    assert 0 < len(regs) <= HLL_M
+    again = hll_registers(df, "v").collect()
+    assert sorted((r.bucket, r.reg) for r in regs) == sorted(
+        (r.bucket, r.reg) for r in again
+    )

@@ -362,3 +362,21 @@ def test_streaming_temperature_mix_matches_batch(spark, sf_dir):
     )
     got_nonzero = [t for t in rolled if t[1] > 0]
     assert got_nonzero == want and len(want) > 0
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir):
+    """The streamed register table must equal the batch build exactly
+    (MAX is monotone and order-insensitive), so the read-time estimate
+    is identical too."""
+    from guagua_spark.functions.sketch import hll_registers
+    from guagua_spark.streaming import streaming_distinct_users_hll
+
+    got = run_available_now(
+        streaming_distinct_users_hll(spark, sf_dir), "s_hll", "complete"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    want = hll_registers(ev, "uid", group_cols=("event_type",))
+    cols = ("event_type", "bucket", "reg")
+    assert _rows(got, *cols) == _rows(want, *cols)
