@@ -39,7 +39,24 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.window`` would give the same buckets; date_trunc keeps the
     output schema flat (one sortable timestamp column) and matches the
     ANSI oracle exactly.
+
+    ``hll_*`` (round 9): the HyperLogLog distinct-count certificate
+    (hll_cert_df — per-type register checksums + estimates + exact
+    validators), memoized per events fingerprint and attached as typed
+    literal columns — driver-certifies the events_distinct_users_hll
+    LOCAL operator inside this green row.
     """
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    hll_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "hll_users",
+        ("events",),
+        "hll_types bigint, hll_reg_sum bigint, hll_est_e6 bigint, "
+        "hll_exact_sum bigint",
+        lambda: hll_cert_df(spark, sf_dir),
+    )
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -51,6 +68,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
+        .select("*", *hll_cols)
         .orderBy("hour", "event_type")
     )
 
@@ -469,15 +487,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- oracle SQL --------------------------------------------------------------
 
 ORACLE_SQL = {
-    "events_windowed_agg": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value,
-       ROUND(AVG(value), 6) AS avg_value
-FROM events
-GROUP BY 1, 2
-ORDER BY 1, 2
-""".strip(),
+    # events_windowed_agg's oracle is assigned below the HLL section
+    # (its hll_* certificate splice needs the sketch CTE builders)
     "events_sessionize": f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -681,15 +692,17 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _distinct_users_hll_oracle() -> str:
+def _hll_rows_ctes() -> str:
+    """``hev`` → ``hrows`` CTE block replaying
+    events_distinct_users_hll — shared by its standalone oracle and
+    the hll_* certificate splice in the windowed-agg contract oracle."""
     from guagua_spark.functions.sketch import (
         hll_bucket_sql,
         hll_estimate_sql,
         hll_rank_sql,
     )
 
-    return f"""
-WITH hev AS (
+    return f"""hev AS (
   SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
 ),
 hregs AS (
@@ -701,13 +714,63 @@ hest AS (SELECT event_type, {hll_estimate_sql()}
          FROM hregs GROUP BY event_type),
 hex AS (SELECT event_type,
                CAST(COUNT(DISTINCT uid) AS BIGINT) AS exact_users
-        FROM hev GROUP BY 1)
-SELECT hest.event_type, hll_used, hll_reg_checksum, hll_est_raw,
-       hll_est, exact_users,
-       ROUND((hll_est - exact_users) / exact_users, 6) AS rel_err
-FROM hest JOIN hex ON hest.event_type = hex.event_type
-ORDER BY hest.event_type
+        FROM hev GROUP BY 1),
+hrows AS (
+  SELECT hest.event_type, hll_used, hll_reg_checksum, hll_est_raw,
+         hll_est, exact_users,
+         ROUND((hll_est - exact_users) / exact_users, 6) AS rel_err
+  FROM hest JOIN hex ON hest.event_type = hex.event_type
+)"""
+
+
+def _distinct_users_hll_oracle() -> str:
+    return f"""
+WITH {_hll_rows_ctes()}
+SELECT * FROM hrows ORDER BY event_type
 """.strip()
+
+
+def hll_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding events_distinct_users_hll into the
+    hash-checked windowed-agg contract row (column-merge pattern,
+    SURVEY.md §7): type count, Σ register checksums (binds every
+    register of every type's sketch), Σ round(est·10⁶) over the
+    6dp-rounded per-type estimates (cents pattern — exact at any sf),
+    and Σ exact distinct users. A flipped register, a drifted
+    estimate, or a wrong exact count each flip an integer."""
+    h = events_distinct_users_hll(spark, sf_dir)
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("hll_types"),
+        F.sum("hll_reg_checksum").cast("bigint").alias("hll_reg_sum"),
+        F.sum(F.round(F.col("hll_est") * 1e6))
+        .cast("bigint")
+        .alias("hll_est_e6"),
+        F.sum("exact_users").cast("bigint").alias("hll_exact_sum"),
+    )
+
+
+def _windowed_agg_oracle() -> str:
+    return f"""
+WITH {_hll_rows_ctes()},
+hllcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hll_types,
+         CAST(SUM(hll_reg_checksum) AS BIGINT) AS hll_reg_sum,
+         CAST(SUM(ROUND(hll_est * 1e6)) AS BIGINT) AS hll_est_e6,
+         CAST(SUM(exact_users) AS BIGINT) AS hll_exact_sum
+  FROM hrows
+)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       hll_types, hll_reg_sum, hll_est_e6, hll_exact_sum
+FROM events, hllcert
+GROUP BY 1, 2, hll_types, hll_reg_sum, hll_est_e6, hll_exact_sum
+ORDER BY 1, 2
+""".strip()
+
+
+ORACLE_SQL["events_windowed_agg"] = _windowed_agg_oracle()
 
 
 #: oracle-tested locally (tests/test_sketch.py); outside the 50-slot
