@@ -291,3 +291,22 @@ def hll_estimate_sql() -> str:
         f"ROUND({raw}, 6) AS hll_est_raw, "
         f"ROUND({est}, 6) AS hll_est"
     )
+
+
+def hll_merge(
+    *reg_dfs: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union of sketches = element-wise MAX of registers — the
+    mergeability that makes HLL the incremental distinct count: each
+    batch (a day's events, a crawl shard) builds its own register
+    table with hll_registers, and merging is a bounded groupBy MAX
+    over register rows — raw data is never revisited (the same ingest
+    contract as append_to_pq_index: grow derived state in O(batch)).
+    Exactly equals rebuilding on the unioned input, because
+    MAX(MAX(A), MAX(B)) = MAX(A ∪ B) — asserted in tests."""
+    out = reg_dfs[0]
+    for r in reg_dfs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("reg").alias("reg")
+    )

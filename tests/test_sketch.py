@@ -208,3 +208,23 @@ def test_hll_registers_shuffle_is_bounded(spark):
     assert sorted((r.bucket, r.reg) for r in regs) == sorted(
         (r.bucket, r.reg) for r in again
     )
+
+
+def test_hll_merge_equals_rebuild_on_union(spark):
+    """Sketch mergeability: MAX-merge of per-shard registers must be
+    row-identical to rebuilding the sketch over the unioned data."""
+    from guagua_spark.functions.sketch import hll_merge, hll_registers
+
+    full = spark.range(20_000).select(
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    a = hll_registers(full.filter("shard = 0"), "v")
+    b = hll_registers(full.filter("shard = 1"), "v")
+    merged = sorted(
+        (r.bucket, r.reg) for r in hll_merge(a, b).collect()
+    )
+    rebuilt = sorted(
+        (r.bucket, r.reg) for r in hll_registers(full, "v").collect()
+    )
+    assert merged == rebuilt
