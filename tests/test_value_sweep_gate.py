@@ -98,3 +98,47 @@ def test_rtol_boundary_passes_below(rel):
 def test_rtol_boundary_fails_above(rel):
     s, o = _frames([1.0e10, 2.0], [1.0e10 * (1 + rel), 2.0])
     assert not _adjudicate(s, o)["float_gate_pass"]
+
+
+def test_boundary_tie_single_quantum_passes():
+    # the true value sits exactly on the 5e-7 rounding boundary: the
+    # two engines' accumulation noise splits it into adjacent 6dp
+    # values — one full quantum apart, information-theoretically
+    # undecidable from rounded output (observed on avg_value at sf10).
+    s, o = _frames([40.054688, 2.0], [40.054687, 2.0])
+    rec = _adjudicate(s, o)
+    assert rec["float_gate_pass"]
+    assert rec["boundary_tie_cells"] == 1
+
+
+def test_two_quantum_shift_fails():
+    s, o = _frames([40.054689, 2.0], [40.054687, 2.0])
+    rec = _adjudicate(s, o)
+    assert not rec["float_gate_pass"]
+
+
+def test_systematic_one_quantum_defect_fails_via_cap():
+    # >2% of a column's rows shifted by one quantum is a defect
+    # signature, not boundary physics
+    import pandas as pd
+
+    n = 100
+    base = [round(10.0 + i * 0.001, 6) for i in range(n)]
+    shifted = [round(v + 1e-6, 6) for v in base[:5]] + base[5:]
+    s = pd.DataFrame({"k": list(range(n)), "v": shifted})
+    o = pd.DataFrame({"k": list(range(n)), "v": base})
+    rec = _adjudicate(s, o)
+    assert not rec["float_gate_pass"]
+    assert rec["float_gate_fail_cells"] == 5
+
+
+def test_row_alignment_sorts_non_float_keys_first():
+    # two rows whose float column differs in the last ulp must pair by
+    # their non-float key, not by float sort order (which would swap
+    # them on one side and fabricate large cell differences)
+    import pandas as pd
+
+    s = pd.DataFrame({"k": ["a", "b"], "v": [1.0000000001, 1.0]})
+    o = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 1.0000000002]})
+    rec = _adjudicate(s, o)
+    assert rec["float_gate_pass"]  # each pair differs by ~1e-10 rel
