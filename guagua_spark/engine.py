@@ -806,6 +806,8 @@ class IterativeEngine:
                                 lambda row: bytes(row.result)
                             )
                         )
+                        if lazy_mode is None and num_partitions == 0:
+                            lazy_mode = False  # nothing to probe
                         if lazy_mode is None:
                             # one-time probe: partition 0's pickled
                             # RESULT sizes the full collect. Fetching
