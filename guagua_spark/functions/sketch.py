@@ -310,3 +310,82 @@ def hll_merge(
     return out.groupBy(*group_cols, "bucket").agg(
         F.max("reg").alias("reg")
     )
+
+
+# -- Count-Min frequency sketch (engine-exact counters) ----------------------
+
+#: depth × width: 4 independent md5 hash rows × 256 buckets = a 1024-row
+#: counter table whatever the corpus size; overestimate ≤ 2N/w per row
+#: with probability 1 − 2⁻ᵈ (Cormode & Muthukrishnan, J.Alg'05)
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def cm_bucket_col(j: int, value_col) -> F.Column:
+    from guagua_spark.functions.scale import u32_hash
+
+    return u32_hash(f"cm{j}", value_col) % CM_WIDTH
+
+
+def cm_bucket_sql(j: int, value_expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('cm{j}|' || {value_expr}), 1, 8))"
+        f" AS UBIGINT) % {CM_WIDTH})"
+    )
+
+
+def cm_counters(df: DataFrame, col: str) -> DataFrame:
+    """(j, bucket, n) Count-Min counter table. The 100 TB shape: each
+    value fans out map-side into CM_DEPTH (j, bucket) rows whose
+    groupBy domain is d·w = 1024 whatever the cardinality, so map-side
+    combine collapses every partition's contribution to ≤ 1024 rows
+    before the exchange — a frequency table with a CONSTANT-size
+    shuffle. Counters are exact integers over deterministic md5
+    buckets, so the SQL twin replays them bit-for-bit, and two
+    corpora's counter tables merge by ADDITION (linear sketch)."""
+    v = F.col(col).cast("string")
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cm_bucket_col(j, v).alias("bucket"),
+                )
+                for j in range(CM_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.filter(v.isNotNull())
+        .select(fan)
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimates(counters: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Point-frequency estimates for a probe relation: est(x) =
+    MIN over the d rows of counter[j, bucket_j(x)] — NEVER an
+    underestimate (every counter that x hashes into counts all of x's
+    occurrences plus non-negative collisions; property-tested). The
+    probe fan-out is |probes|·d rows joining a ≤1024-row broadcast."""
+    v = F.col(col).cast("string")
+    fan = probes.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cm_bucket_col(j, v).alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+    return (
+        fan.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_est"))
+    )

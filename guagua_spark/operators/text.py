@@ -429,6 +429,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fi_rows bigint, fi_occ_sum bigint, fi_hash bigint",
         lambda: frequent_tokens_cert_df(spark, sf_dir),
     )
+    # cm_* (round 9): the Count-Min certificate (cm_cert_df) —
+    # driver-certifies text_probe_freq_cm inside this green row
+    cm_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "cm_probes",
+        ("documents",),
+        "cm_rows bigint, cm_est_sum bigint, cm_exact_sum bigint, "
+        "cm_hash bigint",
+        lambda: cm_cert_df(spark, sf_dir),
+    )
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(_tokens()).alias("term")
@@ -455,7 +466,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
-        .select("doc_id", "rnk", "term", "tfidf", *bm_cols, *fi_cols)
+        .select("doc_id", "rnk", "term", "tfidf", *bm_cols, *fi_cols, *cm_cols)
         .orderBy("doc_id", "rnk")
     )
 
@@ -1226,10 +1237,12 @@ bmcert AS (
            AS bm_doc_wsum
   FROM bmtop WHERE rnk <= {BM25_TOP_K}
 ),
-{_fi_cert_ctes()}
+{_fi_cert_ctes()},
+{_cm_cert_ctes()}
 SELECT doc_id, r.rnk, term, tfidf, bm_rows, bm_score_e6, bm_doc_wsum,
-       fi_rows, fi_occ_sum, fi_hash
-FROM ranked r, bmcert, ficert WHERE r.rnk <= {TFIDF_TOP_K}
+       fi_rows, fi_occ_sum, fi_hash, cm_rows, cm_est_sum, cm_exact_sum,
+       cm_hash
+FROM ranked r, bmcert, ficert, cmcert WHERE r.rnk <= {TFIDF_TOP_K}
 ORDER BY doc_id, r.rnk
 """.strip()
 
@@ -1698,7 +1711,8 @@ ficert AS (
 )"""
 
 
-ORACLE_SQL["text_tfidf_top_terms"] = _tfidf_oracle()
+# (tfidf oracle assignment moved to end of file — its cm_* splice
+# needs _cm_cert_ctes)
 
 
 #: standalone building-block queries kept oracle-tested locally
@@ -1790,3 +1804,160 @@ FROM hest, hex
 
 LOCAL_QUERIES["text_distinct_tokens_hll"] = text_distinct_tokens_hll
 LOCAL_ORACLE_SQL["text_distinct_tokens_hll"] = _distinct_tokens_hll_oracle()
+
+
+def text_probe_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the fixed BM25 probe
+    terms, next to their exact counts — the third sketch family
+    (functions/sketch.cm_counters: d·w = 1024 exact integer counters
+    over deterministic md5 buckets, constant-size shuffle at any
+    corpus, mergeable by addition). ``overcount = cm_est − exact_n``
+    is provably ≥ 0 (CM never underestimates); the SQL oracle replays
+    counters, probe minima, and exact counts bit-for-bit."""
+    from guagua_spark.functions.sketch import cm_counters, cm_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok"))
+    counters = cm_counters(toks, "tok")
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    probes = spark.createDataFrame([(t,) for t in all_terms], "tok string")
+    est = cm_estimates(counters, probes, "tok")
+    exact = (
+        toks.filter(F.col("tok").isin(all_terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    ex = F.coalesce(F.col("exact_n"), F.lit(0))
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok",
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+            ex.cast("bigint").alias("exact_n"),
+            (F.col("cm_est") - ex).cast("bigint").alias("overcount"),
+        )
+        .orderBy("tok")
+    )
+
+
+def _probe_freq_cm_oracle() -> str:
+    from guagua_spark.functions.sketch import CM_DEPTH, cm_bucket_sql
+
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    probe_vals = ", ".join(f"({t!r})" for t in all_terms)
+    in_list = ", ".join(repr(t) for t in all_terms)
+    fan = "\n  UNION ALL\n  ".join(
+        f"SELECT {j} AS j, {cm_bucket_sql(j, 'tok')} AS bucket FROM cmt"
+        for j in range(CM_DEPTH)
+    )
+    pfan = "\n  UNION ALL\n  ".join(
+        f"SELECT tok, {j} AS j, {cm_bucket_sql(j, 'tok')} AS bucket FROM cmp"
+        for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH cmt AS (SELECT unnest({_sql_tokens()}) AS tok FROM documents),
+cmfan AS (
+  {fan}
+),
+cmc AS (SELECT j, bucket, COUNT(*) AS n FROM cmfan GROUP BY 1, 2),
+cmp(tok) AS (VALUES {probe_vals}),
+cmpf AS (
+  {pfan}
+),
+cme AS (
+  SELECT tok, MIN(COALESCE(n, 0)) AS cm_est
+  FROM cmpf LEFT JOIN cmc USING (j, bucket) GROUP BY tok
+),
+cmx AS (
+  SELECT tok, COUNT(*) AS exact_n FROM cmt
+  WHERE tok IN ({in_list}) GROUP BY 1
+)
+SELECT cme.tok, CAST(cm_est AS BIGINT) AS cm_est,
+       CAST(COALESCE(exact_n, 0) AS BIGINT) AS exact_n,
+       CAST(cm_est - COALESCE(exact_n, 0) AS BIGINT) AS overcount
+FROM cme LEFT JOIN cmx ON cme.tok = cmx.tok
+ORDER BY cme.tok
+""".strip()
+
+
+LOCAL_QUERIES["text_probe_freq_cm"] = text_probe_freq_cm
+LOCAL_ORACLE_SQL["text_probe_freq_cm"] = _probe_freq_cm_oracle()
+
+
+def cm_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding text_probe_freq_cm into the tfidf
+    contract row: probe count, Σ estimates, Σ exact counts, and a u32
+    binder over every (tok, est, exact) triple — a drifted counter, a
+    wrong minimum, or a broken probe join each flip an integer."""
+    from guagua_spark.functions.scale import u32_hash
+
+    cm = text_probe_freq_cm(spark, sf_dir)
+    binder = u32_hash(
+        "cmv",
+        F.concat_ws(
+            "|",
+            F.col("tok"),
+            F.col("cm_est").cast("string"),
+            F.col("exact_n").cast("string"),
+        ),
+    )
+    return cm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cm_rows"),
+        F.sum("cm_est").cast("bigint").alias("cm_est_sum"),
+        F.sum("exact_n").cast("bigint").alias("cm_exact_sum"),
+        F.sum(binder).cast("bigint").alias("cm_hash"),
+    )
+
+
+def _cm_cert_ctes() -> str:
+    """The probe-freq-cm oracle body as CTEs ending in a 1-row
+    ``cmcert`` — spliced into the tfidf contract oracle."""
+    from guagua_spark.functions.sketch import CM_DEPTH, cm_bucket_sql
+
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    probe_vals = ", ".join(f"({t!r})" for t in all_terms)
+    in_list = ", ".join(repr(t) for t in all_terms)
+    fan = "\n  UNION ALL\n  ".join(
+        f"SELECT {j} AS j, {cm_bucket_sql(j, 'tok')} AS bucket FROM cmt"
+        for j in range(CM_DEPTH)
+    )
+    pfan = "\n  UNION ALL\n  ".join(
+        f"SELECT tok, {j} AS j, {cm_bucket_sql(j, 'tok')} AS bucket FROM cmp"
+        for j in range(CM_DEPTH)
+    )
+    u32_row = (
+        "CAST(('0x' || substr(md5('cmv|' || tok || '|' ||"
+        " CAST(cm_est AS VARCHAR) || '|' ||"
+        " CAST(exact_n AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    )
+    return f"""cmt AS (SELECT unnest({_sql_tokens()}) AS tok FROM documents),
+cmfan AS (
+  {fan}
+),
+cmc AS (SELECT j, bucket, COUNT(*) AS n FROM cmfan GROUP BY 1, 2),
+cmp(tok) AS (VALUES {probe_vals}),
+cmpf AS (
+  {pfan}
+),
+cme AS (
+  SELECT tok, MIN(COALESCE(n, 0)) AS cm_est
+  FROM cmpf LEFT JOIN cmc USING (j, bucket) GROUP BY tok
+),
+cmx AS (
+  SELECT tok, COUNT(*) AS exact_n FROM cmt
+  WHERE tok IN ({in_list}) GROUP BY 1
+),
+cmrows AS (
+  SELECT cme.tok, cm_est, COALESCE(exact_n, 0) AS exact_n
+  FROM cme LEFT JOIN cmx ON cme.tok = cmx.tok
+),
+cmcert AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cm_rows,
+         CAST(SUM(cm_est) AS BIGINT) AS cm_est_sum,
+         CAST(SUM(exact_n) AS BIGINT) AS cm_exact_sum,
+         CAST(SUM({u32_row}) AS BIGINT) AS cm_hash
+  FROM cmrows
+)"""
+
+
+ORACLE_SQL["text_tfidf_top_terms"] = _tfidf_oracle()

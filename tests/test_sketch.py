@@ -228,3 +228,67 @@ def test_hll_merge_equals_rebuild_on_union(spark):
         (r.bucket, r.reg) for r in hll_registers(full, "v").collect()
     )
     assert merged == rebuilt
+
+
+def test_cm_probe_freq_matches_oracle_and_never_underestimates(
+    spark, oracle_sf_dir, duck
+):
+    from guagua_spark.operators.text import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    df = LOCAL_QUERIES["text_probe_freq_cm"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["text_probe_freq_cm"])
+    rows = df.collect()
+    assert rows and any(r.exact_n > 0 for r in rows)
+    assert all(r.overcount >= 0 for r in rows)  # CM's one-sided error
+
+
+def test_cm_never_underestimates_property(spark):
+    """Dense adversarial input (many distinct values forcing
+    collisions): every estimate must still dominate the exact count,
+    and the counter table stays <= d*w rows."""
+    from guagua_spark.functions.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_counters,
+        cm_estimates,
+    )
+
+    df = spark.range(0, 30_000, 1, 8).select(
+        (F.col("id") % 700).cast("string").alias("v")
+    )
+    counters = cm_counters(df, "v")
+    assert counters.count() <= CM_DEPTH * CM_WIDTH
+    probes = spark.createDataFrame(
+        [(str(i),) for i in range(0, 700, 37)], "v string"
+    )
+    est = {r.v: r.cm_est for r in cm_estimates(counters, probes, "v").collect()}
+    exact = {
+        r.v: r.n
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[v] >= exact.get(v, 0) for v in est)
+
+
+def test_cm_merge_by_addition(spark):
+    """Linear sketch: counter tables of two shards SUM to the union's."""
+    from guagua_spark.functions.sketch import cm_counters
+
+    full = spark.range(10_000).select(
+        (F.col("id") % 300).cast("string").alias("v"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    a = cm_counters(full.filter("shard = 0"), "v")
+    b = cm_counters(full.filter("shard = 1"), "v")
+    merged = (
+        a.unionByName(b)
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    want = sorted(tuple(r) for r in cm_counters(full, "v").collect())
+    got = sorted(tuple(r) for r in merged.collect())
+    assert got == want
