@@ -781,3 +781,82 @@ LOCAL_QUERIES = {
 LOCAL_ORACLE_SQL = {
     "events_distinct_users_hll": _distinct_users_hll_oracle(),
 }
+
+
+def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup of purchasers' events, computed through a BLOOM
+    semi-join reduction: the purchase-side user ids build a ≤4096-int
+    bit set (functions/sketch.bloom_bits) applied MAP-SIDE to the big
+    event stream before the exact semi join — the engine-portable,
+    SQL-certifiable analogue of Spark's runtime bloom-join filters.
+    No false negatives ⇒ the rollup EQUALS the plain semi join (the
+    oracle and tests assert exactly that); ``blm_bits``/``blm_pass``
+    bind the bit set and the pruning predicate bit-for-bit."""
+    from guagua_spark.functions.sketch import bloom_bits, bloom_keep_col
+
+    ev = load_table(spark, sf_dir, "events")
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"))
+        .distinct()
+    )
+    bits = frozenset(
+        r.bit
+        for r in bloom_bits(
+            buyers.select(F.col("buyer_id").cast("string").alias("k")), "k"
+        ).collect()
+    )  # bounded driver fetch: ≤ BLOOM_M ints
+    pruned = ev.filter(
+        bloom_keep_col(F.col("user_id").cast("string"), bits)
+    )
+    n_pass = pruned.count()  # bounded scalar, binds the predicate
+    return (
+        pruned.join(
+            buyers, pruned["user_id"] == buyers["buyer_id"], "left_semi"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_buyers"),
+        )
+        .select(
+            "*",
+            F.lit(len(bits)).cast("bigint").alias("blm_bits"),
+            F.lit(n_pass).cast("bigint").alias("blm_pass"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _bloom_semijoin_oracle() -> str:
+    from guagua_spark.functions.sketch import BLOOM_K, bloom_bit_sql
+
+    bits_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {bloom_bit_sql(i, 'k')} AS bit FROM bku"
+        for i in range(BLOOM_K)
+    )
+    uid = "CAST(user_id AS VARCHAR)"
+    keep = " AND ".join(
+        f"{bloom_bit_sql(i, uid)} IN (SELECT bit FROM bbits)"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bku AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE event_type = 'purchase'
+),
+bbits AS (SELECT DISTINCT bit FROM ({bits_union})),
+bprune AS (SELECT * FROM events WHERE {keep}),
+bsemi AS (
+  SELECT * FROM bprune WHERE {uid} IN (SELECT k FROM bku)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bbits) AS blm_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bprune) AS blm_pass
+FROM bsemi GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+LOCAL_QUERIES["events_bloom_semijoin"] = events_bloom_semijoin
+LOCAL_ORACLE_SQL["events_bloom_semijoin"] = _bloom_semijoin_oracle()

@@ -292,3 +292,68 @@ def test_cm_merge_by_addition(spark):
     want = sorted(tuple(r) for r in cm_counters(full, "v").collect())
     got = sorted(tuple(r) for r in merged.collect())
     assert got == want
+
+
+def test_bloom_semijoin_matches_oracle_and_is_transparent(
+    spark, oracle_sf_dir, duck
+):
+    """The bloom-pruned semi join must equal the PLAIN semi join (no
+    false negatives), and the bit-set/predicate stats must replay in
+    SQL bit-for-bit."""
+    from guagua_spark.operators.events import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    from oracle import assert_matches_oracle
+
+    df = LOCAL_QUERIES["events_bloom_semijoin"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["events_bloom_semijoin"])
+    ev = load_table(spark, oracle_sf_dir, "events")
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b"))
+        .distinct()
+    )
+    plain = {
+        (r.event_type, r.n, r.u)
+        for r in ev.join(buyers, ev["user_id"] == buyers["b"], "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("u"),
+        )
+        .collect()
+    }
+    got = {(r.event_type, r.n_events, r.n_buyers) for r in df.collect()}
+    assert got == plain
+
+
+def test_bloom_never_drops_members_and_prunes_nonmembers(spark):
+    """Property: every member passes (no false negatives); with a
+    small member set against a large key universe the predicate prunes
+    most non-members (FPR within ~4x of theory)."""
+    import math
+
+    from guagua_spark.functions.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_keep_col,
+    )
+
+    members = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("k")
+    )
+    bits = frozenset(r.bit for r in bloom_bits(members, "k").collect())
+    big = spark.range(0, 20_000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    kept = {
+        r.k for r in big.filter(bloom_keep_col(F.col("k"), bits)).collect()
+    }
+    assert {str(i) for i in range(200)} <= kept  # no false negatives
+    fpr = (len(kept) - 200) / (20_000 - 200)
+    theory = (1 - math.exp(-BLOOM_K * 200 / BLOOM_M)) ** BLOOM_K
+    assert fpr <= 4 * theory + 0.01, (fpr, theory)
