@@ -356,7 +356,13 @@ class _LazyWorkerResults:
     results — the reference's streamed-master semantics. Halt votes
     fold as the stream is consumed; they are definitive only when the
     master drained the whole stream (a master that stops early leaves
-    the remaining votes unknown — treated as not-all-halted)."""
+    the remaining votes unknown — treated as not-all-halted). Lazy
+    semantics to know: partitions COMPUTE as the stream is consumed
+    (toLocalIterator runs one job per partition on demand), so a
+    master that ignores part of the stream skips those partitions'
+    worker compute for that round — harmless for the stateless-task
+    model (no cross-round worker state exists), but worker-interceptor
+    side effects on skipped partitions are skipped with it."""
 
     __slots__ = ("_iter", "all_halt", "count", "started")
 

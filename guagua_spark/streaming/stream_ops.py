@@ -699,3 +699,46 @@ def streaming_distinct_users_hll(
         .groupBy("event_type", "bucket")
         .agg(F.max("rank").alias("reg"))
     )
+
+
+def streaming_token_freq_cm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Count-Min counters over the document stream: CM is a
+    LINEAR sketch, so the incremental form is a plain complete-mode
+    SUM per (j, bucket) — the streaming twin of
+    functions/sketch.cm_counters (probe estimates are read-time MINs
+    over the drained table). State is bounded at d·w = 1024 cells BY
+    CONSTRUCTION whatever the token volume — the same argument as the
+    streaming HLL twin, for frequencies instead of cardinality."""
+    from guagua_spark.functions.sketch import CM_DEPTH, cm_bucket_col
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    v = F.col("tok").cast("string")
+    fan = toks.filter(v.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cm_bucket_col(j, v).alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        fan.groupBy(
+            F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -380,3 +380,19 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir):
     want = hll_registers(ev, "uid", group_cols=("event_type",))
     cols = ("event_type", "bucket", "reg")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_cm_counters_match_batch(spark, sf_dir):
+    """CM is linear: the streamed counter table must equal the batch
+    build exactly (SUM is order-insensitive on integers)."""
+    from guagua_spark.functions.sketch import cm_counters
+    from guagua_spark.streaming import streaming_token_freq_cm
+
+    got = run_available_now(
+        streaming_token_freq_cm(spark, sf_dir), "s_cm", "complete"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    want = cm_counters(toks, "tok")
+    cols = ("j", "bucket", "n")
+    assert _rows(got, *cols) == _rows(want, *cols)
