@@ -31,12 +31,13 @@ data, and tolerated by the tests' 1e-9 rtol everywhere it could matter.
 100 TB notes, per operator:
 - scoring: map-side only — broadcast-free (literals travel in the plan),
   fuses into whatever scan feeds it.
-- AUC: exact tie-averaged Mann-Whitney WITHOUT a SinglePartition window:
-  range-repartition by score + in-partition sort (the TeraSort shape,
-  fully parallel) + dense-id ranks (functions/scale.assign_dense_ids —
-  per-partition counts + driver prefix sum, no data shuffle), then a
-  per-score-group rollup. The 6dp rounding bounds distinct scores at
-  ~1e6, so the group-by stays small however large the input.
+- AUC: exact tie-averaged Mann-Whitney WITHOUT any corpus-sized
+  materialization: group-by-score partial agg (map-side combine), then
+  the tie-averaged ranks fall out of a running count over the GROUP
+  relation (cum − n + (n+1)/2) — the only window is over ≤10⁶+1 rows
+  (the 6dp score domain), never corpus-proportional. Replaced the
+  range-repartition + dense-id + localCheckpoint pin whose build was
+  super-linear under memory pressure (sf1→sf10 exponent 1.39).
 - deciles: boundaries via EXACT percentile — scale-safe for the same
   reason (the aggregation state is one count per distinct rounded
   score, ≤1e6 entries), then bucket assignment is a map-side CASE
@@ -49,7 +50,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from guagua_spark.functions.scale import assign_dense_ids
 from guagua_spark.operators.iterative import _cached_persisted
 from guagua_spark.operators.lr_sql import (
     DECILE_QS as _DECILE_QS,
@@ -66,18 +66,8 @@ from guagua_spark.sources.tables import load_table, table_fingerprint
 #: attributed via record_index_build like every other index memo.
 _MODEL_CACHE: dict = {}
 
-#: the pinned, dense-id-ranked scored relation behind infer_auc —
-#: memoized per (model weights, corpus fingerprint) so repeated AUC
-#: evaluation of one model version reuses ONE localCheckpoint instead
-#: of accumulating corpus-sized checkpoints per call (round-6 advice).
-#: One live entry: dropping the reference lets ContextCleaner GC the
-#: superseded checkpoint blocks.
-_RANKED_CACHE: dict = {}
-
-
 def clear_caches() -> None:
     _MODEL_CACHE.clear()
-    _RANKED_CACHE.clear()
 
 
 def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,61 +268,52 @@ FROM sc GROUP BY 1 ORDER BY 1
 """.strip()
 
 
-def _ranked_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pinned, globally-ranked (label, score, rid) relation behind
-    infer_auc, memoized per (model weights, corpus fingerprint).
+def _tie_ranked_groups(sc: DataFrame) -> DataFrame:
+    """(score, n, np, avg_rank) per distinct 6dp score — the
+    tie-averaged-rank relation every rank statistic needs, derived
+    WITHOUT materializing per-row ranks.
 
-    pin=True is REQUIRED: repartitionByRange's boundary sampling
-    depends on the child's row arrival order, which varies between the
-    two dense-id jobs (observed empirically: duplicate ids ~1 in 4
-    runs at sf0.01) — the localCheckpoint makes both jobs read one
-    materialized layout. The pin is CORPUS-sized ((label, score, __mid)
-    per row, ~24 B/row), which is exactly why it's memoized here:
-    evaluate-once-per-model-version is the code path now, not a
-    docstring exhortation — repeated AUC/decile laps over one model
-    reuse one checkpoint, and retraining (new weights or new corpus
-    fingerprint) evicts the old entry so ContextCleaner can GC its
-    blocks. Build cost self-reports as _index:inference_ranked."""
-    from guagua_spark.metrics import timed_index_build
+    avg_rank of a tie group = cum − n + (n+1)/2 where cum is the
+    running row count through the group in score order — the same
+    identity the oracle's ``o`` CTE uses (lr_sql.auc_rank_ctes), and
+    exactly equal to the old dense-id form (min_rid+max_rid)/2 + 1.
+    The only window is a running sum OVER the group-by-score relation,
+    which the 6dp rounding bounds by the score DOMAIN (≤10⁶+1 rows)
+    at any corpus size — the same prefix-sum decomposition proven in
+    pipeline_select_within_budget (pipeline.py). This replaced the
+    round-6..9 corpus-sized localCheckpoint rank pin, whose build was
+    the tree's only super-linear measurement (_index:inference_ranked
+    3.35 s → 82.1 s on sf1→sf10): no per-row ids, no checkpoint, no
+    range-partition nondeterminism to pin against."""
+    from pyspark.sql.window import Window
 
-    w = trained_lr_weights(spark, sf_dir)
-    key = (table_fingerprint(sf_dir, "lineitem"), w)
-    hit = _RANKED_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == key:
-        return hit[1]
-    # timed: may nest the features:lr build, and is itself nested
-    # inside the cert:inference build when lr_train hosts it
-    with timed_index_build("inference_ranked"):
-        n_part = spark.sparkContext.defaultParallelism
-        ranked = assign_dense_ids(
-            _scored(spark, sf_dir)
-            .repartitionByRange(n_part, "score")
-            .sortWithinPartitions("score"),
-            "rid",
-            pin=True,
-        )
-    _RANKED_CACHE.clear()  # one live checkpoint per session
-    _RANKED_CACHE[sf_dir] = (key, ranked)
-    return ranked
+    g = sc.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("bigint")).alias("np"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "score",
+        "n",
+        "np",
+        (
+            F.sum("n").over(w)
+            - F.col("n")
+            + (F.col("n") + F.lit(1)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
 
 
 def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-averaged AUC (Mann-Whitney U) at scale.
 
-    rank sum of positives → AUC = (Σr⁺ − P(P+1)/2) / (P·N). Global
-    ranks come from range-repartition + in-partition sort + dense ids
-    (no SinglePartition window; see module docstring), tie averaging
-    from the per-score group's (min_id + max_id)/2 — range partitioning
-    keeps equal scores in one partition, so a tie group's dense ids are
-    contiguous and their mean is exactly the tie-averaged rank."""
-    ranked = _ranked_scored(spark, sf_dir)
-    g = ranked.groupBy("score").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("label").cast("bigint")).alias("np"),
-        ((F.min("rid") + F.max("rid")) / F.lit(2.0) + F.lit(1.0)).alias(
-            "avg_rank"
-        ),
-    )
+    rank sum of positives → AUC = (Σr⁺ − P(P+1)/2) / (P·N), with the
+    tie-averaged ranks coming from the domain-bounded group-by-score
+    prefix sum (_tie_ranked_groups) — fully shuffle-parallel up to a
+    ≤10⁶-row window, zero corpus-sized materialization."""
+    g = _tie_ranked_groups(_scored(spark, sf_dir))
     t = g.agg(
         F.sum(F.col("np") * F.col("avg_rank")).alias("spr"),
         F.sum("np").alias("p"),

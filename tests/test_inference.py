@@ -130,22 +130,58 @@ def test_auc_stable_across_repeated_runs(spark, oracle_sf_dir):
     assert len(vals) == 1, vals
 
 
-def test_ranked_relation_memoized_per_model_version(spark, oracle_sf_dir):
-    """Round-7 amortization (round-6 advice): repeated AUC evaluation
-    of one model version must reuse ONE pinned ranked relation — the
-    second call returns the identical DataFrame object, so no new
-    repartitionByRange/localCheckpoint job can run."""
-    from guagua_spark.operators import inference as inf
+def test_tie_ranked_groups_equal_per_row_ranks(spark):
+    """Round-10 rank-pin removal: the group-by-score prefix-sum
+    avg_rank (cum − n + (n+1)/2) must equal the classical per-row
+    tie-averaged rank (numpy replay) for every tie group, including
+    all-tied and no-tie extremes."""
+    import numpy as np
 
-    r1 = inf._ranked_scored(spark, oracle_sf_dir)
-    r2 = inf._ranked_scored(spark, oracle_sf_dir)
-    assert r1 is r2
-    # a new model version (different weights in the key) must rebuild
-    fp, w = inf._RANKED_CACHE[oracle_sf_dir][0]
-    inf._RANKED_CACHE[oracle_sf_dir] = ((fp, (0.0, 0.0, 0.0)), r1)
-    r3 = inf._ranked_scored(spark, oracle_sf_dir)
-    assert r3 is not r1
-    assert inf._RANKED_CACHE[oracle_sf_dir][0] == (fp, w)
+    from guagua_spark.operators.inference import _tie_ranked_groups
+
+    scores = [0.1, 0.3, 0.3, 0.3, 0.7, 0.7, 0.9, 0.1, 0.5, 0.5]
+    labels = [0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        list(zip(labels, scores)), "label double, score double"
+    )
+    got = {
+        r["score"]: (r["n"], r["np"], r["avg_rank"])
+        for r in _tie_ranked_groups(df).collect()
+    }
+    a = np.asarray(scores)
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), dtype=np.float64)
+    sorted_a = a[order]
+    i = 0
+    while i < len(a):
+        j = i
+        while j < len(a) and sorted_a[j] == sorted_a[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        i = j
+    for s in set(scores):
+        idx = [k for k, v in enumerate(scores) if v == s]
+        n, np_, avg = got[s]
+        assert n == len(idx)
+        assert np_ == sum(labels[k] for k in idx)
+        assert avg == ranks[idx[0]]
+
+
+def test_auc_plan_has_no_corpus_materialization(spark, oracle_sf_dir):
+    """The round-10 AUC shape: no localCheckpoint scan (the old pin
+    showed up as Scan ExistingRDD) and no range repartition — the only
+    exchanges are the group-by-score shuffle and the domain-bounded
+    SinglePartition window above the AGGREGATED relation."""
+    from guagua_spark.operators.inference import infer_auc
+
+    plan = (
+        infer_auc(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" not in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_stored_nn_model_round_trip(spark, oracle_sf_dir):
