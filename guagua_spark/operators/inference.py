@@ -27,6 +27,11 @@ and decile ops depend on is identical across engines. libm ``exp`` may
 differ by 1 ulp between JVM and DuckDB; a 6dp rounding flips only if a
 score sits within ~1e-16 of a 0.0000005 boundary — measure-zero on real
 data, and tolerated by the tests' 1e-9 rtol everywhere it could matter.
+The HASH-certified path (the inf_* columns on lr_train) does not rely
+on that argument at all since round 10: it rescores the certified
+weights with the rational surrogate σ̃ (pure IEEE, bit-exact by
+construction at any scale) — see inference_cert_df and
+lr_sql.scored_rational_cte.
 
 100 TB notes, per operator:
 - scoring: map-side only — broadcast-free (literals travel in the plan),
@@ -205,27 +210,41 @@ def load_nn_model(spark: SparkSession, name: str):
     return out
 
 
-def lr_score_col(weights: tuple[float, float, float]):
+def lr_score_col(
+    weights: tuple[float, float, float], activation: str = "sigmoid"
+):
     """sigmoid(w·x) over (l_quantity, l_discount) with the weights
     inlined as plan literals, rounded to 6dp (see module docstring) —
     shared by the batch ops and the streaming twin so the two cannot
     drift. Works unchanged on bounded and unbounded relations: it is a
-    pure map-side expression."""
+    pure map-side expression.
+
+    ``activation="rational"`` swaps the sigmoid for the libm-free
+    σ̃(z) = 0.5 + 0.5·z/(1+|z|) (see nn_score_col) — used ONLY by the
+    inf_* certificate rescore (lr_sql.scored_rational_cte is its SQL
+    twin); production scoring keeps the real sigmoid."""
     w0, w1, w2 = weights
     z = (
         F.lit(w0)
         + F.lit(w1) * F.col("l_quantity")
         + F.lit(w2) * F.col("l_discount")
     )
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    if activation == "rational":
+        score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    else:
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.round(score, 6)
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored(
+    spark: SparkSession, sf_dir: str, activation: str = "sigmoid"
+) -> DataFrame:
     """(label double, score double): pure map-side codegen scoring of
-    the persisted feature projection."""
+    the persisted feature projection. activation="rational" is the
+    certificate rescore (bit-exact across engines by construction)."""
     w = trained_lr_weights(spark, sf_dir)
     return _lr_features(spark, sf_dir).select(
-        "label", lr_score_col(w).alias("score")
+        "label", lr_score_col(w, activation).alias("score")
     )
 
 
@@ -306,14 +325,12 @@ def _tie_ranked_groups(sc: DataFrame) -> DataFrame:
     )
 
 
-def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact tie-averaged AUC (Mann-Whitney U) at scale.
-
-    rank sum of positives → AUC = (Σr⁺ − P(P+1)/2) / (P·N), with the
-    tie-averaged ranks coming from the domain-bounded group-by-score
-    prefix sum (_tie_ranked_groups) — fully shuffle-parallel up to a
-    ≤10⁶-row window, zero corpus-sized materialization."""
-    g = _tie_ranked_groups(_scored(spark, sf_dir))
+def _auc_from_scored(sc: DataFrame) -> DataFrame:
+    """AUC/n_pos/n_neg rollup over any (label, score) relation —
+    shared by infer_auc (real-sigmoid scores) and the inf_auc
+    certificate (rational rescore) so the two aggregate one set of
+    math."""
+    g = _tie_ranked_groups(sc)
     t = g.agg(
         F.sum(F.col("np") * F.col("avg_rank")).alias("spr"),
         F.sum("np").alias("p"),
@@ -329,10 +346,20 @@ def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def infer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-averaged AUC (Mann-Whitney U) at scale.
+
+    rank sum of positives → AUC = (Σr⁺ − P(P+1)/2) / (P·N), with the
+    tie-averaged ranks coming from the domain-bounded group-by-score
+    prefix sum (_tie_ranked_groups) — fully shuffle-parallel up to a
+    ≤10⁶-row window, zero corpus-sized materialization."""
+    return _auc_from_scored(_scored(spark, sf_dir))
+
+
 def _auc_oracle() -> str:
     # avg rank of a tie group ending at cumulative count `cum` with `n`
-    # members = cum − n + (n+1)/2 — same value the Spark side derives
-    # from (min_id + max_id)/2 + 1; the rank CTEs and AUC expression
+    # members = cum − n + (n+1)/2 — the same identity the Spark side
+    # computes in _tie_ranked_groups; the rank CTEs and AUC expression
     # are lr_sql's, shared verbatim with the lr_train certificate
     from guagua_spark.operators.lr_sql import AUC_EXPR, auc_rank_ctes
 
@@ -358,7 +385,13 @@ def infer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value bit-exactly (g = 0 ⇒ no interpolation arithmetic) — so
     `score > boundary` partitions rows identically even if the two
     engines' interpolation expressions differ in the last ulp."""
-    sc = _scored(spark, sf_dir)
+    return _deciles_from_scored(_scored(spark, sf_dir))
+
+
+def _deciles_from_scored(sc: DataFrame) -> DataFrame:
+    """The gains-table body over any (label, score) relation — shared
+    by infer_deciles and the inf_dec_nwsum certificate (rational
+    rescore)."""
     qs = ", ".join(str(q) for q in _DECILE_QS)
     bounds = sc.select(
         F.expr(f"percentile(score, array({qs}))").alias("b")
@@ -639,18 +672,25 @@ def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups plus (round 7) the fixed-literal array-scoring and
     NN-forward certificates, each a per-row 6dp score summed at 1e-6
     resolution + a 0.5-threshold decision count (binds both the
-    score VALUES and the decision boundary)."""
+    score VALUES and the decision boundary).
+
+    Round 10: the trained-LR columns aggregate the RATIONAL rescore of
+    the certified 6dp weights (lr_sql.scored_rational_cte's Spark twin)
+    — pure IEEE per-row scores, so no libm call feeds any
+    hash-certified aggregate; the real-sigmoid operators keep their
+    rtol-gated local oracles (tests/test_inference.py)."""
     from guagua_spark.operators.iterative import _nn_features
 
-    auc = infer_auc(spark, sf_dir).select(
+    sc_cert = _scored(spark, sf_dir, activation="rational")
+    auc = _auc_from_scored(sc_cert).select(
         F.round("auc", 6).alias("inf_auc")
     )
-    flag = _scored(spark, sf_dir).agg(
+    flag = sc_cert.agg(
         F.sum((F.col("score") >= 0.5).cast("bigint")).alias(
             "inf_flagged"
         )
     )
-    dec = infer_deciles(spark, sf_dir).agg(
+    dec = _deciles_from_scored(sc_cert).agg(
         F.sum(F.col("decile").cast("bigint") * F.col("n")).alias(
             "inf_dec_nwsum"
         )

@@ -60,16 +60,17 @@ sc AS (
 )""".strip()
 
 
-def auc_rank_ctes(prefix: str = "") -> str:
-    """The tie-averaged rank CTEs over ``sc`` — {p}g (per-score
+def auc_rank_ctes(prefix: str = "", src: str = "sc") -> str:
+    """The tie-averaged rank CTEs over ``src`` — {p}g (per-score
     groups) → {p}o (running counts) → {p}t (rank-sum totals). ONE
-    definition shared by inference's standalone AUC oracle (prefix "")
-    and the lr_train certificate splice (prefix "ic"), so the two can
+    definition shared by inference's standalone AUC oracle (prefix "",
+    src "sc") and the lr_train certificate splice (prefix "ic", src
+    "sc_cert" — the libm-free rational rescore), so the two can
     never certify different math."""
     g, o, t = f"{prefix}g", f"{prefix}o", f"{prefix}t"
     return f"""{g} AS (
   SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
-  FROM sc GROUP BY score
+  FROM {src} GROUP BY score
 ),
 {o} AS (
   SELECT np, n, SUM(n) OVER (ORDER BY score) AS cum FROM {g}
@@ -141,6 +142,21 @@ def _rational_sigmoid_sql(z: str) -> str:
     return f"(0.5 + (0.5*({z}))/(1.0 + ABS({z})))"
 
 
+def scored_rational_cte() -> str:
+    """``sc_cert`` CTE (expects ``w`` in scope, i.e. spliced after
+    scored_ctes): the SAME 6dp-rounded trained weights rescored with
+    the rational surrogate σ̃ — pure IEEE +−×÷/abs, so every per-row
+    score is bit-exact across engines at any scale. This is the
+    relation the inf_* certificates aggregate; the real-sigmoid ``sc``
+    stays for the production operators and their rtol oracles."""
+    z = "(w0 + w1*l_quantity + w2*l_discount)"
+    return f"""sc_cert AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         ROUND({_rational_sigmoid_sql(z)}, 6) AS score
+  FROM lineitem, w
+)""".strip()
+
+
 def emb_score_sql() -> str:
     """Per-row 6dp rational-logistic score over the embeddings table —
     the SQL twin of inference._emb_score_col(activation="rational")
@@ -182,30 +198,33 @@ def sql_inference_cert_ctes() -> str:
     integer on both engines) plus their 0.5-threshold counts. Spliced
     into lr_train's contract oracle.
 
-    Round 9: emb_score_e6/nnf_score_e6 (and text.py's bm_score_e6)
-    score with the RATIONAL surrogate σ̃ (see _rational_sigmoid_sql) —
+    Round 9 moved emb_score_e6/nnf_score_e6 (and text.py's
+    bm_score_e6) to the RATIONAL surrogate σ̃ (_rational_sigmoid_sql) —
     libm-free, so the N-row Σ round(score·1e6) certificates are
     bit-exact by construction at ANY scale (the former exp/ln last-ulp
-    exposure grew as ~N·2e-10 flips per sweep). The real-sigmoid
-    operators keep their own rtol oracles. Residual libm: the
-    trained-LR ``sc`` relation (inf_auc/inf_flagged/inf_dec_nwsum)
-    still uses EXP behind the 6dp-rounding defense — its exposure does
-    NOT grow with N the way the Σ-certs' did (a flip needs a score
-    within ~1 ulp of a rounding boundary; the AUC/decile rollups are
-    additionally rank-buffered), and the training replay itself (3
-    weights, 5 iterations) is magnitude-bounded."""
+    exposure grew as ~N·2e-10 flips per sweep). Round 10 finished the
+    job: the trained-LR certificate columns (inf_auc / inf_flagged /
+    inf_dec_nwsum) now aggregate ``sc_cert`` — the SAME hash-certified
+    6dp weights rescored with σ̃ — so NO per-row libm call feeds any
+    hash-certified aggregate. The real-sigmoid ``sc`` operators keep
+    their own rtol-gated local oracles. The only remaining EXP is
+    inside the training replay itself, where the exposure is
+    aggregate-level (weights rounded to 6dp AFTER the Σ over rows),
+    not per-row — exactly the exposure lr_train has certified green
+    since round 2."""
     qs = ", ".join(str(q) for q in DECILE_QS)
-    return f"""{auc_rank_ctes("ic")},
-icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc),
+    return f"""{scored_rational_cte()},
+{auc_rank_ctes("ic", "sc_cert")},
+icq AS (SELECT quantile_cont(score, [{qs}]) AS q FROM sc_cert),
 emb_sc AS (SELECT {emb_score_sql()} AS score FROM embeddings),
 nnf_sc AS (SELECT {nnf_score_sql()} AS score FROM lineitem),
 inf_cert AS (
   SELECT (SELECT ROUND({AUC_EXPR}, 6)
           FROM ict) AS inf_auc,
          (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
-                      AS BIGINT) FROM sc) AS inf_flagged,
+                      AS BIGINT) FROM sc_cert) AS inf_flagged,
          (SELECT CAST(SUM({decile_bucket_sql("icq.q")}) AS BIGINT)
-          FROM sc, icq) AS inf_dec_nwsum,
+          FROM sc_cert, icq) AS inf_dec_nwsum,
          (SELECT CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
                       AS BIGINT) FROM emb_sc) AS emb_flagged,
          (SELECT CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS BIGINT)
