@@ -53,7 +53,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "hll_users",
         ("events",),
-        "hll_types bigint, hll_reg_sum bigint, hll_est_e6 bigint, "
+        "hll_types bigint, hll_reg_sum bigint, hll_raw_e6 bigint, "
         "hll_exact_sum bigint",
         lambda: hll_cert_df(spark, sf_dir),
     )
@@ -398,7 +398,13 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unique, so it determines the whole surviving row). All integer
     sums — exact cross-engine. Memoized per events fingerprint
     (certmemo); miss cost reports as _index:cert:latest_per_key. This
-    certifies the standalone LOCAL operator inside the 50-slot cap."""
+    certifies the standalone LOCAL operator inside the 50-slot cap.
+
+    ``blm_*`` (round 10): the Bloom semi-join certificate
+    (bloom_cert_df) — bit-set cardinality, map-side pass count, the
+    hash-weighted per-type post-join event counts, and Σ distinct
+    buyers, binding events_bloom_semijoin (the last sketch outside the
+    certification pattern) into this green row."""
     from guagua_spark.operators.certmemo import cached_cert_row
     from guagua_spark.operators.relational_ext import rx_latest_per_key
 
@@ -423,6 +429,15 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    bcert = cached_cert_row(
+        spark,
+        sf_dir,
+        "bloom_semijoin",
+        ("events",),
+        "blm_bits bigint, blm_pass bigint, blm_ev_wsum bigint, "
+        "blm_buyers bigint",
+        lambda: bloom_cert_df(spark, sf_dir),
+    )
     return (
         user_days.join(cohorts, "user_id")
         .select(
@@ -434,6 +449,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
         .crossJoin(cert)
+        .crossJoin(bcert)
         .orderBy("cohort_day", "day_offset")
     )
 
@@ -602,42 +618,9 @@ SELECT event_type, CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """.strip(),
-    # carries the latest-per-key certificate columns (see
-    # events_retention docstring): the lat CTE replays rx_latest_per_key
-    # as the window-based formulation and rolls it to the same 1-row
-    # integer certificate the Spark side computes with max_by
-    "events_retention": f"""
-WITH user_days AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
-),
-cohorts AS (
-  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
-),
-ranked AS (
-  SELECT user_id, event_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-),
-lat AS (
-  SELECT COUNT(*) AS lat_n_users,
-         CAST(SUM(event_id) AS BIGINT) AS lat_eid_sum,
-         CAST(SUM(user_id * event_id) AS BIGINT) AS lat_uid_wsum
-  FROM ranked WHERE rn = 1
-),
-ret AS (
-  SELECT c.cohort_day,
-         CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
-         COUNT(DISTINCT d.user_id) AS n_users
-  FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
-  WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
-  GROUP BY 1, 2
-)
-SELECT ret.cohort_day, ret.day_offset, ret.n_users,
-       lat.lat_n_users, lat.lat_eid_sum, lat.lat_uid_wsum
-FROM ret CROSS JOIN lat
-ORDER BY ret.cohort_day, ret.day_offset
-""".strip(),
+    # events_retention is assigned below (_retention_bloom_oracle):
+    # it splices the latest-per-key AND the round-10 Bloom certificate
+    # CTEs, which are defined later in the module
 }
 
 QUERIES = {
@@ -734,17 +717,23 @@ def hll_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row certificate binding events_distinct_users_hll into the
     hash-checked windowed-agg contract row (column-merge pattern,
     SURVEY.md §7): type count, Σ register checksums (binds every
-    register of every type's sketch), Σ round(est·10⁶) over the
-    6dp-rounded per-type estimates (cents pattern — exact at any sf),
-    and Σ exact distinct users. A flipped register, a drifted
-    estimate, or a wrong exact count each flip an integer."""
+    register of every type's sketch), Σ round(est_raw·10⁶) over the
+    6dp-rounded per-type RAW estimates (cents pattern), and Σ exact
+    distinct users. A flipped register, a drifted estimate, or a wrong
+    exact count each flip an integer. The certificate binds
+    ``hll_est_raw`` — exact by construction (the inverse power sum is
+    exactly representable; see hll_estimate_cols) — not ``hll_est``,
+    whose linear-counting branch is LN/libm and stays under the
+    rtol-gated LOCAL oracle only (round-9 advice: a last-ulp LN flip
+    per event type was the one remaining libm exposure in a
+    hash-certified row)."""
     h = events_distinct_users_hll(spark, sf_dir)
     return h.agg(
         F.count(F.lit(1)).cast("bigint").alias("hll_types"),
         F.sum("hll_reg_checksum").cast("bigint").alias("hll_reg_sum"),
-        F.sum(F.round(F.col("hll_est") * 1e6))
+        F.sum(F.round(F.col("hll_est_raw") * 1e6))
         .cast("bigint")
-        .alias("hll_est_e6"),
+        .alias("hll_raw_e6"),
         F.sum("exact_users").cast("bigint").alias("hll_exact_sum"),
     )
 
@@ -755,7 +744,7 @@ WITH {_hll_rows_ctes()},
 hllcert AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS hll_types,
          CAST(SUM(hll_reg_checksum) AS BIGINT) AS hll_reg_sum,
-         CAST(SUM(ROUND(hll_est * 1e6)) AS BIGINT) AS hll_est_e6,
+         CAST(SUM(ROUND(hll_est_raw * 1e6)) AS BIGINT) AS hll_raw_e6,
          CAST(SUM(exact_users) AS BIGINT) AS hll_exact_sum
   FROM hrows
 )
@@ -763,9 +752,9 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS sum_value,
        ROUND(AVG(value), 6) AS avg_value,
-       hll_types, hll_reg_sum, hll_est_e6, hll_exact_sum
+       hll_types, hll_reg_sum, hll_raw_e6, hll_exact_sum
 FROM events, hllcert
-GROUP BY 1, 2, hll_types, hll_reg_sum, hll_est_e6, hll_exact_sum
+GROUP BY 1, 2, hll_types, hll_reg_sum, hll_raw_e6, hll_exact_sum
 ORDER BY 1, 2
 """.strip()
 
@@ -828,7 +817,32 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_semijoin_oracle() -> str:
+def bloom_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding events_bloom_semijoin into the
+    hash-checked retention contract row (column-merge pattern): the
+    bit-set cardinality and the map-side pass count (constant columns
+    of the bloom relation — MIN picks the single value), a
+    hash-weighted Σ over per-type post-semi-join event counts (binds
+    WHICH count belongs to WHICH type; u32 % 1000003 keeps the sum far
+    from BIGINT range at any sf), and Σ distinct buyers. All integers
+    — exact cross-engine; a flipped bloom bit, a mis-pruned row, or a
+    drifted rollup each flip one."""
+    from guagua_spark.functions.scale import u32_hash
+
+    b = events_bloom_semijoin(spark, sf_dir)
+    w = u32_hash("blm", F.col("event_type")) % F.lit(1000003)
+    return b.agg(
+        F.min("blm_bits").cast("bigint").alias("blm_bits"),
+        F.min("blm_pass").cast("bigint").alias("blm_pass"),
+        F.sum(w * F.col("n_events")).cast("bigint").alias("blm_ev_wsum"),
+        F.sum("n_buyers").cast("bigint").alias("blm_buyers"),
+    )
+
+
+def _bloom_ctes() -> str:
+    """``bku`` → ``bbits`` → ``bprune`` → ``bsemi`` CTE block replaying
+    events_bloom_semijoin — shared by its standalone LOCAL oracle and
+    the blm_* certificate splice in the retention contract oracle."""
     from guagua_spark.functions.sketch import BLOOM_K, bloom_bit_sql
 
     bits_union = "\n  UNION ALL\n  ".join(
@@ -840,8 +854,7 @@ def _bloom_semijoin_oracle() -> str:
         f"{bloom_bit_sql(i, uid)} IN (SELECT bit FROM bbits)"
         for i in range(BLOOM_K)
     )
-    return f"""
-WITH bku AS (
+    return f"""bku AS (
   SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
   WHERE event_type = 'purchase'
 ),
@@ -849,7 +862,12 @@ bbits AS (SELECT DISTINCT bit FROM ({bits_union})),
 bprune AS (SELECT * FROM events WHERE {keep}),
 bsemi AS (
   SELECT * FROM bprune WHERE {uid} IN (SELECT k FROM bku)
-)
+)"""
+
+
+def _bloom_semijoin_oracle() -> str:
+    return f"""
+WITH {_bloom_ctes()}
 SELECT event_type, COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM bbits) AS blm_bits,
@@ -860,3 +878,64 @@ FROM bsemi GROUP BY 1 ORDER BY 1
 
 LOCAL_QUERIES["events_bloom_semijoin"] = events_bloom_semijoin
 LOCAL_ORACLE_SQL["events_bloom_semijoin"] = _bloom_semijoin_oracle()
+
+
+def _retention_bloom_oracle() -> str:
+    """The events_retention contract oracle with the blm_* Bloom
+    certificate spliced in (round-10: the Bloom family joins its three
+    sketch siblings inside a driver-hash-checked row). ``bwsum`` binds
+    the per-type assignment of post-semi-join counts (u32 % 1000003
+    keeps the weighted sum far from BIGINT range at any sf)."""
+    w = (
+        "CAST(CAST(('0x' || substr(md5('blm|' || event_type), 1, 8))"
+        " AS UBIGINT) % 1000003 AS BIGINT)"
+    )
+    return f"""
+WITH {_bloom_ctes()},
+bgrp AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+  FROM bsemi GROUP BY 1
+),
+blm AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bbits) AS blm_bits,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bprune) AS blm_pass,
+         CAST(SUM({w} * n_events) AS BIGINT) AS blm_ev_wsum,
+         CAST(SUM(n_buyers) AS BIGINT) AS blm_buyers
+  FROM bgrp
+),
+user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
+),
+ranked AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+lat AS (
+  SELECT COUNT(*) AS lat_n_users,
+         CAST(SUM(event_id) AS BIGINT) AS lat_eid_sum,
+         CAST(SUM(user_id * event_id) AS BIGINT) AS lat_uid_wsum
+  FROM ranked WHERE rn = 1
+),
+ret AS (
+  SELECT c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+         COUNT(DISTINCT d.user_id) AS n_users
+  FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
+  GROUP BY 1, 2
+)
+SELECT ret.cohort_day, ret.day_offset, ret.n_users,
+       lat.lat_n_users, lat.lat_eid_sum, lat.lat_uid_wsum,
+       blm.blm_bits, blm.blm_pass, blm.blm_ev_wsum, blm.blm_buyers
+FROM ret CROSS JOIN lat CROSS JOIN blm
+ORDER BY ret.cohort_day, ret.day_offset
+""".strip()
+
+
+ORACLE_SQL["events_retention"] = _retention_bloom_oracle()
