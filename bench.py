@@ -14,6 +14,39 @@ import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _plan_diff(
+    prev_plans: dict, plans: dict
+) -> tuple[dict, dict]:
+    """(regressions, info_deltas) between two per-query plan-metric
+    dicts ({name: {shuffles, sorts, scans, broadcasts}}).
+
+    A REGRESSION is a shuffle or sort count increase — the two node
+    kinds that cost at scale. Scans (and broadcasts) going UP while
+    shuffles hold or go DOWN is the durable store WORKING: stored
+    index/certificate tables replace rebuilt subtrees, adding `Scan
+    parquet` nodes while removing exchanges (the round-8 lane flagged
+    3 such false positives). Scan/broadcast deltas are reported
+    informationally so a genuine extra-pass regression stays visible,
+    but they never trip the REGRESSIONS banner. Unit-pinned by
+    tests/test_bench_plan_diff.py."""
+    regressions = {}
+    info_deltas = {}
+    for name, m in plans.items():
+        prev_m = prev_plans.get(name)
+        if not prev_m:
+            continue
+        if any(m[k] > prev_m.get(k, 0) for k in ("shuffles", "sorts")):
+            regressions[name] = {"prev": prev_m, "now": m}
+        delta = {
+            k: [prev_m.get(k, 0), m[k]]
+            for k in ("scans", "broadcasts")
+            if m[k] != prev_m.get(k, 0)
+        }
+        if delta:
+            info_deltas[name] = delta
+    return regressions, info_deltas
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
@@ -177,29 +210,7 @@ def main() -> None:
             prev_plans = prev.get("plans", {})
     except (OSError, ValueError):
         pass
-    # A REGRESSION is a shuffle or sort count increase — the two node
-    # kinds that cost at scale. Scans (and broadcasts) going UP while
-    # shuffles hold or go DOWN is the durable store WORKING: stored
-    # index/certificate tables replace rebuilt subtrees, adding `Scan
-    # parquet` nodes while removing exchanges (the round-8 lane flagged
-    # 3 such false positives). Scan/broadcast deltas are reported
-    # informationally so a genuine extra-pass regression stays visible,
-    # but they never trip the REGRESSIONS banner.
-    regressions = {}
-    info_deltas = {}
-    for name, m in plans.items():
-        prev_m = prev_plans.get(name)
-        if not prev_m:
-            continue
-        if any(m[k] > prev_m.get(k, 0) for k in ("shuffles", "sorts")):
-            regressions[name] = {"prev": prev_m, "now": m}
-        delta = {
-            k: [prev_m.get(k, 0), m[k]]
-            for k in ("scans", "broadcasts")
-            if m[k] != prev_m.get(k, 0)
-        }
-        if delta:
-            info_deltas[name] = delta
+    regressions, info_deltas = _plan_diff(prev_plans, plans)
     result["plans"] = plans
     result["plan_regressions"] = regressions
     result["plan_info_deltas"] = info_deltas
