@@ -73,9 +73,20 @@ class MasterContext:
     worker results for this iteration; with a Combinable result and
     executor-side reduction it holds a single element. Usually a list;
     on the non-combinable path above the engine's result-size budget it
-    is a ONE-SHOT lazy stream (reference lazy master consumption,
-    AbstractMasterCoordinator.java:243-310) — iterate once, or buffer
-    with ``list(...)`` if the master needs two passes.
+    is a lazy stream (reference lazy master consumption,
+    AbstractMasterCoordinator.java:243-310) that is RE-ITERABLE — like
+    the reference's disk-backed iterable, a second pass replays the
+    driver-local spill (engine._LazyWorkerResults), so list semantics
+    hold except that ``len()`` is defined only after a full pass.
+
+    Lazy-mode flag timing: in the streamed path the halt votes arrive
+    WITH the results, so ``all_workers_halted`` reads False during
+    ``master.compute`` and is recomputed from the drained votes after
+    compute returns (the engine still applies the halt to this
+    iteration's result). A master that must branch on the flag INSIDE
+    compute should force the drain first — ``list(ctx.worker_results)``
+    — after which the engine's post-compute value is what the eager
+    path would have shown pre-compute.
     """
 
     current_iteration: int

@@ -350,39 +350,97 @@ DEFAULT_RESULT_BYTES_BUDGET = 256 * 1024 * 1024
 
 
 class _LazyWorkerResults:
-    """One-shot lazy iterable of worker results for the non-combinable
-    master path above the result-size budget: the master consumes
-    partials one at a time while the driver holds O(one partition) of
-    results — the reference's streamed-master semantics. Halt votes
-    fold as the stream is consumed; they are definitive only when the
-    master drained the whole stream (a master that stops early leaves
-    the remaining votes unknown — treated as not-all-halted). Lazy
-    semantics to know: partitions COMPUTE as the stream is consumed
-    (toLocalIterator runs one job per partition on demand), so a
-    master that ignores part of the stream skips those partitions'
-    worker compute for that round — harmless for the stateless-task
-    model (no cross-round worker state exists), but worker-interceptor
-    side effects on skipped partitions are skipped with it."""
+    """Lazy, RE-ITERABLE iterable of worker results for the
+    non-combinable master path above the result-size budget: the master
+    consumes partials one at a time while the driver holds O(one
+    partition) of results in MEMORY — the reference's streamed-master
+    semantics. The reference's worker-results iterable is re-iterable
+    (AbstractMasterCoordinator.java hasNext resets the iterator so
+    masters can make two passes over the disk-spilled results); round
+    10 restored that contract here: every result drained from the
+    cluster is teed to a driver-local DISK spill (the MemoryDiskList
+    role, BytableMemoryDiskList.java), and a second ``iter()`` replays
+    the spilled prefix from disk before continuing the live stream —
+    so a master that double-iterates, ``len()``s after a full pass, or
+    abandons a pass and restarts behaves identically at any scale, at
+    disk-IO cost instead of a crash.
 
-    __slots__ = ("_iter", "all_halt", "count", "started")
+    Halt votes fold as the stream is consumed; they are definitive only
+    when SOME pass drained the whole stream (a master that always stops
+    early leaves the remaining votes unknown — treated as
+    not-all-halted). Lazy semantics to know: partitions COMPUTE as the
+    stream is first consumed (toLocalIterator runs one job per
+    partition on demand), so a master that never touches part of the
+    stream skips those partitions' worker compute for that round —
+    harmless for the stateless-task model (no cross-round worker state
+    exists), but worker-interceptor side effects on never-reached
+    partitions are skipped with it."""
+
+    __slots__ = (
+        "_iter",
+        "_spill",
+        "_offsets",
+        "_exhausted",
+        "all_halt",
+        "count",
+    )
 
     def __init__(self, partials) -> None:
-        self._iter = partials
+        import tempfile
+
+        self._iter = iter(partials)
+        self._spill = tempfile.TemporaryFile(prefix="guagua_results_")
+        self._offsets: list[tuple[int, int]] = []
+        self._exhausted = False
         self.all_halt = True
         self.count = 0
-        self.started = False
+
+    def _pull_next(self):
+        """Drain one partial from the live stream, tee it to the disk
+        spill, return its result. Raises StopIteration at end."""
+        p = next(self._iter)
+        self.all_halt = self.all_halt and p.all_halt
+        self.count += 1
+        b = pickle.dumps(p.result, protocol=pickle.HIGHEST_PROTOCOL)
+        self._spill.seek(0, os.SEEK_END)
+        off = self._spill.tell()
+        self._spill.write(b)
+        self._offsets.append((off, len(b)))
+        return p.result
+
+    def _read_spilled(self, i: int):
+        off, ln = self._offsets[i]
+        self._spill.seek(off)
+        return pickle.loads(self._spill.read(ln))
 
     def __iter__(self):
-        if self.started:
-            raise RuntimeError(
-                "worker_results is a one-shot stream in lazy mode; "
-                "buffer it explicitly (list(...)) to iterate twice"
+        i = 0
+        while True:
+            if i < len(self._offsets):
+                # replay what an earlier (or this) pass already drained
+                yield self._read_spilled(i)
+                i += 1
+            elif self._exhausted:
+                return
+            else:
+                try:
+                    r = self._pull_next()
+                except StopIteration:
+                    self._exhausted = True
+                    continue
+                i += 1
+                yield r
+
+    def __len__(self) -> int:
+        """Defined only once the stream has been fully drained (any
+        complete pass) — before that the answer would force a full
+        drain as a hidden side effect, so it raises instead."""
+        if not self._exhausted:
+            raise TypeError(
+                "len(worker_results) before a full pass in lazy mode; "
+                "iterate (or list(...)) first"
             )
-        self.started = True
-        for p in self._iter:
-            self.all_halt = self.all_halt and p.all_halt
-            self.count += 1
-            yield p.result
+        return self.count
 
 
 class IterativeEngine:
@@ -815,20 +873,40 @@ class IterativeEngine:
                         if lazy_mode is None and num_partitions == 0:
                             lazy_mode = False  # nothing to probe
                         if lazy_mode is None:
-                            # one-time probe: partition 0's pickled
-                            # RESULT sizes the full collect. Fetching
-                            # the bytes (not just a length) makes the
-                            # probe partition 0's one and only
-                            # execution this iteration — no duplicated
-                            # worker side effects — and the rest of
-                            # iteration 1 runs over partitions 1..P-1.
+                            # one-time probe: MAX pickled-RESULT size
+                            # over K spread sample partitions (first /
+                            # middle / last) sizes the full collect —
+                            # max-of-K so a skewed (tiny or huge) first
+                            # partition cannot misclassify the whole
+                            # run (round-9 advice: the old partition-0
+                            # probe did exactly that). Fetching the
+                            # bytes (not just a length) makes the probe
+                            # these partitions' one and only execution
+                            # this iteration — no duplicated worker
+                            # side effects — and the rest of iteration
+                            # 1 runs over the unprobed partitions.
                             # Later iterations skip the probe entirely.
-                            (p0_raw,) = sc.runJob(
-                                raw_rdd, lambda it: [list(it)], [0]
+                            probe_pids = sorted(
+                                {
+                                    0,
+                                    num_partitions // 2,
+                                    num_partitions - 1,
+                                }
                             )
-                            p0_bytes = sum(len(b) for b in p0_raw)
+                            probe_raw = sc.runJob(
+                                raw_rdd,
+                                lambda it: [list(it)],
+                                probe_pids,
+                            )
+                            probed_chunks = dict(
+                                zip(probe_pids, probe_raw)
+                            )
+                            max_bytes = max(
+                                sum(len(b) for b in chunk)
+                                for chunk in probe_raw
+                            )
                             lazy_mode = (
-                                p0_bytes * num_partitions
+                                max_bytes * num_partitions
                                 > result_bytes_budget
                             )
                             if lazy_mode:
@@ -836,23 +914,33 @@ class IterativeEngine:
                                     "non-combinable results estimated at"
                                     " %d bytes (> budget %d): streaming"
                                     " partials via toLocalIterator",
-                                    p0_bytes * num_partitions,
+                                    max_bytes * num_partitions,
                                     result_bytes_budget,
                                 )
-                            rest = list(range(1, num_partitions))
+                            rest = [
+                                p
+                                for p in range(num_partitions)
+                                if p not in probed_chunks
+                            ]
                             if lazy_mode:
+                                # walk pids IN ORDER, serving probed
+                                # partitions from the driver cache —
+                                # the stream order matches the eager
+                                # path's partition order exactly
 
                                 def _first_iter_partials(
-                                    head=p0_raw, pids=rest, rdd=raw_rdd
+                                    cached=probed_chunks,
+                                    n=num_partitions,
+                                    rdd=raw_rdd,
                                 ):
-                                    for b in head:
-                                        yield _unwrap_partial(b)
-                                    for pid in pids:
-                                        (chunk,) = sc.runJob(
-                                            rdd,
-                                            lambda it: [list(it)],
-                                            [pid],
-                                        )
+                                    for pid in range(n):
+                                        chunk = cached.pop(pid, None)
+                                        if chunk is None:
+                                            (chunk,) = sc.runJob(
+                                                rdd,
+                                                lambda it: [list(it)],
+                                                [pid],
+                                            )
                                         for b in chunk:
                                             yield _unwrap_partial(b)
 
@@ -861,14 +949,21 @@ class IterativeEngine:
                                 )
                                 all_halt = False
                             else:
-                                raws = list(p0_raw)
                                 if rest:
-                                    for chunk in sc.runJob(
-                                        raw_rdd,
-                                        lambda it: [list(it)],
+                                    for pid, chunk in zip(
                                         rest,
+                                        sc.runJob(
+                                            raw_rdd,
+                                            lambda it: [list(it)],
+                                            rest,
+                                        ),
                                     ):
-                                        raws.extend(chunk)
+                                        probed_chunks[pid] = chunk
+                                raws = [
+                                    b
+                                    for pid in range(num_partitions)
+                                    for b in probed_chunks[pid]
+                                ]
                                 collected = [
                                     _unwrap_partial(b) for b in raws
                                 ]
@@ -895,15 +990,37 @@ class IterativeEngine:
                             # above); raw_rdd is only ever EXECUTED by
                             # the probe and lazy paths
                             if prepared_mode:
-                                collected = [
-                                    _unwrap_partial(b)
-                                    for b in out_rdd.collect()
+                                raws = [
+                                    bytes(b) for b in out_rdd.collect()
                                 ]
                             else:
-                                collected = [
-                                    _unwrap_partial(r.result)
+                                raws = [
+                                    bytes(r.result)
                                     for r in out.collect()
                                 ]
+                            # results can GROW across iterations
+                            # (typical of training loops with growing
+                            # models) past the iteration-1 probe's
+                            # verdict — the growth is observable, and
+                            # a persistent breach flips to streaming
+                            # from the NEXT iteration (safe now that
+                            # _LazyWorkerResults is re-iterable, so the
+                            # master-facing contract doesn't change)
+                            observed = sum(len(b) for b in raws)
+                            if observed > result_bytes_budget:
+                                log.warning(
+                                    "eager-collected worker results"
+                                    " (%d bytes) exceeded the budget"
+                                    " (%d) at iteration %d; switching"
+                                    " to streamed master consumption",
+                                    observed,
+                                    result_bytes_budget,
+                                    iteration,
+                                )
+                                lazy_mode = True
+                            collected = [
+                                _unwrap_partial(b) for b in raws
+                            ]
                             results = [p.result for p in collected]
                             all_halt = bool(collected) and all(
                                 p.all_halt for p in collected
