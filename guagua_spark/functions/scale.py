@@ -250,14 +250,27 @@ def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
     (fresh metastore + persistent warehouse dir —
     LOCATION_ALREADY_EXISTS). Overwriting an EXISTING table goes
     through the catalog and is fine; only a location with no catalog
-    entry is cleared here, so this can never delete live table data."""
+    entry is cleared here, so this can never delete live table data.
+
+    Location resolution mirrors the metastore layout: an unqualified
+    name lives under the CURRENT database (<warehouse> for ``default``,
+    <warehouse>/<db>.db otherwise) and a qualified ``db.table`` under
+    <warehouse>/<db>.db/<table> — string-joining <warehouse>/<table>
+    silently no-op'd for both cases (round-9 advice) and saveAsTable
+    still failed with LOCATION_ALREADY_EXISTS."""
     if spark.catalog.tableExists(table):
         return
     import os
     import shutil
 
+    parts = table.lower().split(".")
+    if len(parts) == 2:
+        db, tbl = parts
+    else:
+        db, tbl = spark.catalog.currentDatabase().lower(), parts[-1]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = os.path.join(wh, table.lower())
+    base = wh if db == "default" else os.path.join(wh, f"{db}.db")
+    path = os.path.join(base, tbl)
     if os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
 

@@ -486,3 +486,37 @@ def test_salted_unpinned_shuffle_input_warns(spark):
         salted_topk(
             shuffled, ["key"], [F.col("v").desc()], 3, pin=True
         )
+
+
+def test_orphan_clear_handles_qualified_and_current_db(spark, tmp_path):
+    """Round-9 advice: the orphan guard must resolve db-qualified names
+    to <warehouse>/<db>.db/<table> (and unqualified names under the
+    CURRENT database), not <warehouse>/<table> — otherwise it silently
+    no-ops and saveAsTable fails with LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from guagua_spark.functions.scale import save_table
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_orphdb")
+    try:
+        # plant an orphaned location with NO catalog entry
+        orphan = os.path.join(wh, "t_orphdb.db", "t_orph")
+        os.makedirs(orphan, exist_ok=True)
+        open(os.path.join(orphan, "junk"), "w").write("x")
+        save_table(df, "t_orphdb.t_orph")  # must clear + succeed
+        assert spark.table("t_orphdb.t_orph").count() == 3
+        spark.sql("DROP TABLE t_orphdb.t_orph")
+
+        # unqualified name under a non-default CURRENT database
+        spark.catalog.setCurrentDatabase("t_orphdb")
+        orphan2 = os.path.join(wh, "t_orphdb.db", "t_orph2")
+        os.makedirs(orphan2, exist_ok=True)
+        open(os.path.join(orphan2, "junk"), "w").write("x")
+        save_table(df, "t_orph2")
+        assert spark.table("t_orph2").count() == 3
+        spark.sql("DROP TABLE t_orph2")
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE IF EXISTS t_orphdb CASCADE")
