@@ -338,6 +338,153 @@ def _make_prepared_iter_fn(
     return fn
 
 
+def _make_ipc_blob_fn() -> Callable:
+    """One Arrow-IPC blob per partition — the load-once form for
+    workers WITHOUT a prepare() override on the batched-barrier path:
+    the partition's record batches serialize once, and each inner
+    iteration re-opens the IPC stream (a near-memcpy read) instead of
+    re-running the scan."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sink = pa.BufferOutputStream()
+        writer = None
+        for b in batches:
+            if writer is None:
+                writer = pa.ipc.new_stream(sink, b.schema)
+            writer.write_batch(b)
+        if writer is not None:
+            writer.close()
+        blob = sink.getvalue().to_pybytes()
+        yield pa.record_batch([pa.array([blob], type=pa.binary())], names=["blob"])
+
+    return fn
+
+
+def _make_batched_barrier_fn(
+    master: MasterComputable,
+    worker: WorkerComputable,
+    start_it: int,
+    end_it: int,
+    total_iteration: int,
+    props: dict[str, Any],
+    initial_result: Any,
+    worker_interceptors: Sequence["WorkerInterceptor"],
+    worker_halt_enable: bool,
+    prepared_mode: bool,
+) -> Callable[[Iterator[bytes]], Iterator[bytes]]:
+    """One BARRIER task per partition running iterations
+    [start_it, end_it] in a single Spark job: per inner iteration each
+    task computes its partial, allGathers every partial (the in-job
+    AllReduce), and applies the MASTER REPLICA's update identically —
+    all replicas see the same partials in partition order, so every
+    task holds the identical model at every step and task 0's final
+    state IS the run state. This trades the reference's per-iteration
+    master/worker barrier round-trip (and this engine's ~0.2 s/job
+    scheduling floor) for one job per K iterations — the win is pure
+    latency; the gradient math, fold order (partition order, same as
+    the eager driver path), and halt semantics are unchanged."""
+    import base64
+
+    mpayload = pickle.dumps(master, protocol=pickle.HIGHEST_PROTOCOL)
+    rpayload = pickle.dumps(initial_result, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def fn(blobs: Iterator[bytes]) -> Iterator[bytes]:
+        from pyspark import BarrierTaskContext
+
+        tc = BarrierTaskContext.get()
+        pid = tc.partitionId()
+        n_workers = len(tc.getTaskInfos())
+        m = pickle.loads(mpayload)  # master replica, one per task
+        result = pickle.loads(rpayload)
+        raw = next(iter(blobs), None)
+        if prepared_mode:
+            data = (
+                pickle.loads(raw)
+                if raw is not None
+                else worker.prepare(iter(()))
+            )
+        else:
+            batches = (
+                list(pa.ipc.open_stream(raw)) if raw else []
+            )
+        wctx = WorkerContext(
+            current_iteration=start_it,
+            total_iteration=total_iteration,
+            last_master_result=result,
+            props=props,
+            partition_id=pid,
+        )
+        if start_it == 1:
+            for icpt in worker_interceptors:
+                icpt.pre_application(wctx)
+        worker.init(wctx)
+        mrep = MasterContext(
+            current_iteration=start_it,
+            total_iteration=total_iteration,
+            worker_results=[],
+            master_result=result,
+            props=props,
+            num_workers=n_workers,
+        )
+        halted = False
+        last_it = start_it
+        for it in range(start_it, end_it + 1):
+            last_it = it
+            wctx.current_iteration = it
+            wctx.last_master_result = result
+            for icpt in worker_interceptors:
+                icpt.pre_iteration(wctx)
+            if prepared_mode:
+                partial = worker.compute_prepared(wctx, data)
+            else:
+                partial = worker.compute(wctx, iter(batches))
+            for icpt in reversed(worker_interceptors):
+                icpt.post_iteration(wctx)
+            vote = bool(getattr(partial, "halt", False))
+            msg = base64.b64encode(
+                pickle.dumps(
+                    (pid, partial, vote),
+                    protocol=pickle.HIGHEST_PROTOCOL,
+                )
+            ).decode("ascii")
+            gathered = tc.allGather(msg)
+            triples = sorted(
+                (
+                    pickle.loads(base64.b64decode(g))
+                    for g in gathered
+                ),
+                key=lambda t: t[0],
+            )
+            mrep.current_iteration = it
+            mrep.worker_results = [t[1] for t in triples]
+            mrep.arrived_workers = len(triples)
+            all_halt = bool(triples) and all(t[2] for t in triples)
+            mrep.all_workers_halted = worker_halt_enable and all_halt
+            result = m.compute(mrep)
+            if worker_halt_enable and mrep.all_workers_halted:
+                _force_halt(result)
+            mrep.master_result = result
+            if is_halt(result):
+                halted = True
+                break
+        if last_it == total_iteration:
+            for icpt in reversed(worker_interceptors):
+                icpt.post_application(wctx)
+        if pid == 0:
+            yield pickle.dumps(
+                {
+                    "master": m,
+                    "result": result,
+                    "last_iteration": last_it,
+                    "halted": halted,
+                    "all_workers_halted": mrep.all_workers_halted,
+                },
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    return fn
+
+
 #: non-combinable master path: above this estimated total result size
 #: (first partition's pickled bytes × partitions, probed once per run)
 #: the driver streams partials through toLocalIterator instead of
@@ -628,6 +775,131 @@ class IterativeEngine:
                     time.sleep(0.02)
         return arrived
 
+    def _run_batched(
+        self,
+        master: MasterComputable,
+        worker: WorkerComputable,
+        df: DataFrame,
+        total_iteration: int,
+        interceptors: Sequence[MasterInterceptor],
+        worker_interceptors: Sequence["WorkerInterceptor"],
+        worker_halt_enable: bool,
+        storage_level: StorageLevel,
+        k: int,
+    ) -> Any:
+        """The iterations_per_job engine loop: ceil(total/K) barrier
+        jobs, each running K iterations with the AllReduce done by
+        ``BarrierTaskContext.allGather`` and the master update applied
+        by an identical replica in every task (see
+        _make_batched_barrier_fn). Load-once holds: prepared workers'
+        partitions persist as pickled blobs, plain workers' as Arrow
+        IPC blobs — either way each inner iteration re-reads from
+        process memory, never the scan. Task 0 returns the evolved
+        master + result, which the driver adopts between batches (so
+        checkpoints, interceptors, and a later resume see the same
+        state a K=1 run would have at batch boundaries)."""
+        sc = self.spark.sparkContext
+        from guagua_spark.shipping import ensure_shipped
+
+        ensure_shipped(sc)
+        master_result: Any = None
+        start_iteration = 1
+        ckpt = self._load_checkpoint()
+        if ckpt is not None:
+            start_iteration, master_result = ckpt[0] + 1, ckpt[1]
+            log.info(
+                "resuming from checkpoint at iteration %d", start_iteration
+            )
+        prepared_mode = (
+            type(worker).prepare is not WorkerComputable.prepare
+        )
+        if prepared_mode:
+            blob_rdd = (
+                df.mapInArrow(_make_prepare_fn(worker), "blob binary")
+                .rdd.map(lambda row: bytes(row.blob))
+                .persist(storage_level)
+            )
+        else:
+            blob_rdd = (
+                df.mapInArrow(_make_ipc_blob_fn(), "blob binary")
+                .rdd.map(lambda row: bytes(row.blob))
+                .persist(storage_level)
+            )
+        num_partitions = blob_rdd.getNumPartitions()
+        mctx = MasterContext(
+            current_iteration=0,
+            total_iteration=total_iteration,
+            worker_results=[],
+            master_result=master_result,
+            props=self.props,
+            num_workers=num_partitions,
+        )
+        master.init(mctx)
+        if master_result is None:
+            initial = getattr(master, "initial_result", None)
+            if callable(initial):
+                master_result = initial(mctx)
+                mctx.master_result = master_result
+        for icpt in interceptors:
+            icpt.pre_application(mctx)
+        try:
+            it = start_iteration
+            while it <= total_iteration:
+                t0 = time.monotonic()
+                batch_end = min(it + k - 1, total_iteration)
+                mctx.current_iteration = it
+                for icpt in interceptors:
+                    icpt.pre_iteration(mctx)
+                sc.setJobDescription(
+                    f"guagua iterations {it}-{batch_end}"
+                    f"/{total_iteration} (batched)"
+                )
+                fn = _make_batched_barrier_fn(
+                    master,
+                    worker,
+                    it,
+                    batch_end,
+                    total_iteration,
+                    self.props,
+                    master_result,
+                    worker_interceptors,
+                    worker_halt_enable,
+                    prepared_mode,
+                )
+                outs = blob_rdd.barrier().mapPartitions(fn).collect()
+                state = pickle.loads(outs[0])
+                # adopt the replica: the driver's master object must
+                # carry the evolved optimizer state (momentum etc.)
+                # into the next batch and any checkpoint/resume
+                master.__dict__.update(state["master"].__dict__)
+                master_result = state["result"]
+                done = state["last_iteration"]
+                mctx.master_result = master_result
+                mctx.current_iteration = done
+                mctx.arrived_workers = num_partitions
+                mctx.all_workers_halted = state["all_workers_halted"]
+                for icpt in reversed(interceptors):
+                    icpt.post_iteration(mctx)
+                if self.checkpoint_interval and (
+                    done % self.checkpoint_interval == 0
+                    or batch_end != done
+                ):
+                    self._save_checkpoint(done, master_result)
+                secs = time.monotonic() - t0
+                n_inner = done - it + 1
+                self.iteration_seconds.extend(
+                    [secs / n_inner] * n_inner
+                )
+                if state["halted"]:
+                    log.info("halt signalled at iteration %d", done)
+                    break
+                it = batch_end + 1
+        finally:
+            for icpt in reversed(interceptors):
+                icpt.post_application(mctx)
+            blob_rdd.unpersist()
+        return master_result
+
     def run(
         self,
         master: MasterComputable,
@@ -643,8 +915,31 @@ class IterativeEngine:
         min_workers_ratio: float = 1.0,
         min_workers_timeout: float = 60.0,
         result_bytes_budget: int = DEFAULT_RESULT_BYTES_BUDGET,
+        iterations_per_job: int = 1,
     ) -> Any:
         """Iterate to convergence; return the final master result.
+
+        ``iterations_per_job`` > 1 (opt-in) batches K iterations into
+        ONE barrier-mode Spark job: each task loops
+        compute → allGather → master-replica update, so a 50-round
+        trainer pays the per-job cost 50/K times instead of 50.
+        MEASURED TRADEOFF (local[32], pyspark 4.1.2): allGather has a
+        ~1.0 s/sync floor (BarrierCoordinator poll, independent of
+        task count), ABOVE this engine's ~0.2 s/job floor — so K>1 is
+        a pessimization in local mode and on lightly-loaded clusters.
+        It wins where a job round-trip costs multiple seconds (busy
+        shared schedulers, dynamic-allocation executor ramp, very
+        large task counts), which is why it ships opt-in and never by
+        default. Requirements (ValueError/fallback otherwise): the
+        master must be picklable and deterministic (every task applies
+        the identical update to the identical gathered partials — fold
+        order is partition order, same as the eager driver path, so
+        values match the K=1 run bit-for-bit), the full barrier
+        (min_workers_ratio == 1.0), and cluster slots ≥ partitions
+        (else it logs and falls back to K=1). Driver-side master
+        interceptors/checkpoints fire at BATCH granularity, and worker
+        results never ship to the driver (mctx.worker_results is empty
+        in post_iteration hooks). See _run_batched.
 
         ``worker_halt_enable`` mirrors guagua.worker.halt.enable
         (GuaguaConstants.java:112-117): when True and every worker result
@@ -674,6 +969,41 @@ class IterativeEngine:
         reference's lazy master-side consumption
         (AbstractMasterCoordinator.java:243-310).
         """
+        if iterations_per_job > 1:
+            if min_workers_ratio < 1.0:
+                raise ValueError(
+                    "iterations_per_job requires the full barrier "
+                    "(min_workers_ratio == 1.0): the partial barrier "
+                    "drops stragglers per iteration, which a single "
+                    "barrier job cannot express"
+                )
+            n_parts = df.rdd.getNumPartitions()
+            slots = self.spark.sparkContext.defaultParallelism
+            if n_parts > slots:
+                # barrier scheduling needs every task concurrently;
+                # oversubscribed inputs fall back to the per-iteration
+                # loop (at that scale compute dominates the ~0.2 s/job
+                # floor batching exists to amortize, so nothing is lost)
+                log.warning(
+                    "iterations_per_job=%d requested but %d partitions"
+                    " > %d slots: barrier cannot schedule — falling"
+                    " back to one job per iteration",
+                    iterations_per_job,
+                    n_parts,
+                    slots,
+                )
+            else:
+                return self._run_batched(
+                    master,
+                    worker,
+                    df,
+                    total_iteration,
+                    interceptors,
+                    worker_interceptors,
+                    worker_halt_enable,
+                    storage_level,
+                    iterations_per_job,
+                )
         sc = self.spark.sparkContext
         from guagua_spark.shipping import ensure_shipped
 
