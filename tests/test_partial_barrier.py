@@ -163,3 +163,91 @@ def test_sum_golden_under_real_timeout_drop(spark):
     )
     assert master.arrived_history == [1, 1, 1]
     assert result.value == 27  # 9 * 3 iterations
+
+
+def test_straggler_at_bench_scale_converges_close(spark):
+    """Bench-scale measurement (round-9 verdict #7): a REAL training
+    run (LR over sf0.1 lineitem, 600k rows) with an induced straggler
+    sleeping past the barrier timeout. Asserts (a) at least one
+    iteration actually dropped workers, (b) the converged weights stay
+    close to the no-straggler run — the SSP-lite contract: losing one
+    partition's gradient for a couple of rounds perturbs, not breaks,
+    convergence. The measured wall-times/drop counts are recorded in
+    BENCH_NOTES.md."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from guagua_spark.algorithms.gradient import (
+        GradientDescentMaster,
+        LogisticGradientWorker,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = (
+        spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        .select(
+            "l_quantity",
+            "l_discount",
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+        )
+        .repartition(8)
+        .persist()
+    )
+    li.count()
+
+    class StragglerLR(LogisticGradientWorker):
+        def compute_prepared(self, context, data):
+            if context.partition_id == 0 and context.current_iteration in (2, 3):
+                time.sleep(8)
+            return super().compute_prepared(context, data)
+
+    class RecordingMaster(GradientDescentMaster):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.arrived: list[int] = []
+
+        def compute(self, context):
+            self.arrived.append(context.arrived_workers)
+            return super().compute(context)
+
+    t0 = time.monotonic()
+    base = IterativeEngine(spark).run(
+        GradientDescentMaster(dim=2, learning_rate=0.5),
+        LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
+        li,
+        total_iteration=5,
+        persist=False,
+    )
+    base_secs = time.monotonic() - t0
+
+    master = RecordingMaster(dim=2, learning_rate=0.5)
+    t0 = time.monotonic()
+    strag = IterativeEngine(spark).run(
+        master,
+        StragglerLR(("l_quantity", "l_discount"), "label"),
+        li,
+        total_iteration=5,
+        persist=False,
+        min_workers_ratio=0.8,
+        min_workers_timeout=2.0,
+    )
+    strag_secs = time.monotonic() - t0
+    li.unpersist()
+
+    dropped_iters = [a for a in master.arrived if a < 8]
+    print(
+        f"\nstraggler-bench: base {base_secs:.2f}s, straggler "
+        f"{strag_secs:.2f}s, arrived per iter {master.arrived}"
+    )
+    assert len(dropped_iters) >= 1, master.arrived
+    bw, sw = np.asarray(base.weights), np.asarray(strag.weights)
+    # dropping <=1/8 of the gradient for <=2 of 5 rounds: small,
+    # bounded drift
+    assert np.all(np.abs(bw - sw) <= 0.15 * (np.abs(bw) + 1.0)), (
+        bw,
+        sw,
+    )
