@@ -109,12 +109,21 @@ def generate(dst: str, replicas: int) -> None:
     # k=25 a second letter keeps it alphabetic (chr(97+k) would leave
     # ASCII). The k<=25 form is unchanged so an existing sf1 dir stays
     # reproducible. n_chars is recomputed to match the mutated payload.
-    suffix = (
-        "'q' || chr(97 + CAST(k AS INT))"
-        if replicas <= 26
-        else "'q' || chr(97 + CAST(k % 26 AS INT))"
-        " || chr(97 + CAST(k // 26 AS INT))"
-    )
+    if replicas <= 26:
+        suffix = "'q' || chr(97 + CAST(k AS INT))"
+    elif replicas <= 676:
+        suffix = (
+            "'q' || chr(97 + CAST(k % 26 AS INT))"
+            " || chr(97 + CAST(k // 26 AS INT))"
+        )
+    else:
+        # three letters for sf100 (k ≤ 999): the two-letter form's
+        # k//26 leaves ASCII letters past k=675
+        suffix = (
+            "'q' || chr(97 + CAST(k % 26 AS INT))"
+            " || chr(97 + CAST((k // 26) % 26 AS INT))"
+            " || chr(97 + CAST(k // 676 AS INT))"
+        )
     write(
         "documents",
         f"""SELECT doc_id + k * 5000 AS doc_id, text,
@@ -210,7 +219,18 @@ def run(dirs: list[tuple[str, str]], out_name: str, replicas: int) -> None:
 
 if __name__ == "__main__":
     sf1_dst = os.path.join(_REPO, "testdata_sf1")
-    if "--sf10" in sys.argv:
+    if "--sf100" in sys.argv:
+        # the next decade (round-9 verdict #4): exponents sf10 → sf100
+        sf10_dst = os.path.join(_REPO, "testdata_sf10")
+        sf100_dst = os.path.join(_REPO, "testdata_sf100")
+        generate(sf10_dst, 100)  # baseline dir must exist for exponents
+        generate(sf100_dst, 1000)
+        run(
+            [(sf10_dst, "sf10"), (sf100_dst, "sf100")],
+            "BENCH_SF100.json",
+            1000,
+        )
+    elif "--sf10" in sys.argv:
         sf10_dst = os.path.join(_REPO, "testdata_sf10")
         generate(sf1_dst, 10)  # baseline dir must exist for exponents
         generate(sf10_dst, 100)
