@@ -372,6 +372,83 @@ FROM t
 """.strip()
 
 
+def _pr_auc_from_scored(sc: DataFrame) -> DataFrame:
+    """Exact average precision (PR-AUC, the step-wise Σ ΔR·P form —
+    sklearn's average_precision_score) plus the KS statistic
+    max|TPR−FPR|, both derived from the SAME group-by-score relation
+    the AUC uses: cumulative TP/row counts in descending score order
+    over the ≤10⁶+1-row score domain, never the corpus. Ties are
+    handled exactly — a tie block contributes one step with its whole
+    Δrecall at the block's precision, which is the threshold-sweep
+    definition (a per-row formulation would depend on arbitrary
+    within-tie order)."""
+    from pyspark.sql.window import Window
+
+    g = sc.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("bigint")).alias("np"),
+    )
+    tot = g.agg(
+        F.sum("np").alias("p"), F.sum("n").alias("tot")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pc = g.crossJoin(F.broadcast(tot)).select(
+        "np",
+        "p",
+        "tot",
+        F.sum("np").over(w).alias("ctp"),
+        F.sum("n").over(w).alias("cn"),
+    )
+    tpr = F.col("ctp").cast("double") / F.col("p")
+    fpr = (F.col("cn") - F.col("ctp")).cast("double") / (
+        F.col("tot") - F.col("p")
+    )
+    prec = F.col("ctp").cast("double") / F.col("cn")
+    return pc.agg(
+        F.round(
+            F.sum(F.col("np").cast("double") / F.col("p") * prec), 6
+        ).alias("pr_auc"),
+        F.round(F.max(F.abs(tpr - fpr)), 6).alias("ks"),
+        F.max("p").cast("bigint").alias("n_pos"),
+        F.max(F.col("tot") - F.col("p")).cast("bigint").alias("n_neg"),
+    )
+
+
+def infer_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC + KS report for the trained-LR scores — the two
+    threshold-free metrics an imbalanced-label evaluation reads next
+    to ROC-AUC (average precision tracks the positive class; KS is the
+    classic model-separation score). Same 100 TB shape as infer_auc:
+    one corpus-sized partial agg, one domain-bounded window."""
+    return _pr_auc_from_scored(_scored(spark, sf_dir))
+
+
+def _pr_auc_oracle() -> str:
+    return f"""
+{_scored_cte()},
+pg AS (
+  SELECT score, COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS np
+  FROM sc GROUP BY score
+),
+pt AS (SELECT SUM(np) AS p, SUM(n) AS tot FROM pg),
+pc AS (
+  SELECT np, p, tot,
+         SUM(np) OVER (ORDER BY score DESC) AS ctp,
+         SUM(n) OVER (ORDER BY score DESC) AS cn
+  FROM pg, pt
+)
+SELECT ROUND(SUM((CAST(np AS DOUBLE)/p)
+                 * (CAST(ctp AS DOUBLE)/cn)), 6) AS pr_auc,
+       ROUND(MAX(ABS(CAST(ctp AS DOUBLE)/p
+                     - CAST(cn - ctp AS DOUBLE)/(tot - p))), 6) AS ks,
+       CAST(MAX(p) AS BIGINT) AS n_pos,
+       CAST(MAX(tot - p) AS BIGINT) AS n_neg
+FROM pc
+""".strip()
+
+
 def infer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gains table: score deciles (exact-percentile boundaries) →
     volume, mean score, observed positive rate. Bucket assignment is
@@ -737,6 +814,7 @@ def inference_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOCAL_QUERIES = {
     "infer_score_stats": infer_score_stats,
     "infer_auc": infer_auc,
+    "infer_pr_auc": infer_pr_auc,
     "infer_deciles": infer_deciles,
     "infer_embedding_scores": infer_embedding_scores,
     "infer_nn_scores": infer_nn_scores,  # numpy-replay tested (no SQL)
@@ -745,6 +823,7 @@ LOCAL_QUERIES = {
 LOCAL_ORACLE_SQL = {
     "infer_score_stats": _score_stats_oracle(),
     "infer_auc": _auc_oracle(),
+    "infer_pr_auc": _pr_auc_oracle(),
     "infer_deciles": _deciles_oracle(),
     "infer_embedding_scores": _embedding_scores_oracle(),
 }

@@ -204,3 +204,36 @@ def test_stored_nn_model_round_trip(spark, oracle_sf_dir):
     for (gw, gb), (ww, wb) in zip(got, want):
         assert np.array_equal(gw, ww) and np.array_equal(gb, wb)
     spark.sql("DROP TABLE IF EXISTS t_nn_model")
+
+
+def test_pr_auc_matches_numpy_replay(spark):
+    """_pr_auc_from_scored vs an independent numpy implementation of
+    step-wise average precision (Σ ΔR·P over descending distinct
+    scores) and KS = max|TPR−FPR| — tie blocks included."""
+    import numpy as np
+
+    from guagua_spark.operators.inference import _pr_auc_from_scored
+
+    scores = [0.9, 0.8, 0.8, 0.7, 0.6, 0.6, 0.6, 0.4, 0.3, 0.3]
+    labels = [1.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        list(zip(labels, scores)), "label double, score double"
+    )
+    row = _pr_auc_from_scored(df).first()
+
+    s, y = np.asarray(scores), np.asarray(labels)
+    p_total, n_total = y.sum(), (1 - y).sum()
+    ap, ks, prev_r = 0.0, 0.0, 0.0
+    ctp = cn = 0
+    for v in sorted(set(scores), reverse=True):
+        blk = s == v
+        ctp += y[blk].sum()
+        cn += blk.sum()
+        prec = ctp / cn
+        r = ctp / p_total
+        ap += (r - prev_r) * prec
+        prev_r = r
+        ks = max(ks, abs(ctp / p_total - (cn - ctp) / n_total))
+    assert row["pr_auc"] == round(ap, 6), (row["pr_auc"], ap)
+    assert row["ks"] == round(ks, 6), (row["ks"], ks)
+    assert row["n_pos"] == int(p_total) and row["n_neg"] == int(n_total)
