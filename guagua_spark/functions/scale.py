@@ -73,6 +73,40 @@ def u32_hash(tag: str, key_col) -> F.Column:
     ).cast("bigint")
 
 
+#: modulus for Σ-safe certificate binders: per-row value < ~1e6, so a
+#: bigint Σ holds to ~9.2e12 rows — 100 TB-safe. Prime, so residues
+#: spread well.
+BINDER_MOD = 1_000_003
+
+
+def binder_hash_col(tag: str, *cols) -> F.Column:
+    """Σ-safe certificate binder: u32(md5(tag|c1|c2|…)) % 1000003 as
+    bigint — the replacement for raw weighted-id binder sums, whose
+    magnitude grows ~N² and overflowed BIGINT at the sf100 rung
+    (ts_checksum was the first observed: Σ (bucket·10⁶+seq+1)·id_sum
+    ≈ 1e21 over 5M docs; DuckDB survives by summing in int128, Spark's
+    ANSI bigint Σ crashes — a silent wraparound with ANSI off). The
+    hash keeps the binding property (any flipped component flips the
+    residue, Σ cancellation is measure-zero) with a per-row bound the
+    Σ can't outgrow. Components are '|'-joined as strings: callers
+    must coalesce NULLable components to a sentinel (concat_ws SKIPS
+    nulls while SQL '||' nulls out — the asymmetry noted at
+    salted_topk_cert_df)."""
+    key = F.concat_ws("|", *[c.cast("string") for c in cols])
+    return (u32_hash(tag, key) % F.lit(BINDER_MOD)).cast("bigint")
+
+
+def binder_hash_sql(tag: str, *exprs: str) -> str:
+    """DuckDB twin of binder_hash_col — splice into oracle CTEs.
+    ``exprs`` must already render as non-null strings (CAST AS
+    VARCHAR for numerics)."""
+    joined = f" || '|' || ".join(exprs)
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{tag}|' || {joined}), 1, 8))"
+        f" AS UBIGINT) % {BINDER_MOD} AS BIGINT)"
+    )
+
+
 def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition ONLY when the plan yields fewer partitions than cores.
 

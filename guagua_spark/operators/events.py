@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from guagua_spark.functions.scale import binder_hash_col
 from guagua_spark.sources.tables import load_table
 
 SESSION_GAP_MINUTES = 30
@@ -393,9 +394,11 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lat_*``: the CDC latest-per-key certificate — a 1-row rollup of
     the ACTUAL rx_latest_per_key output (the skew-immune max_by
     compaction, relational_ext): surviving-row count, the sum of the
-    surviving event_ids, and the user_id-weighted event_id sum, which
-    binds WHICH event was selected as latest for WHICH user (event_id
-    is unique, so it determines the whole surviving row). All integer
+    surviving event_ids, and a Σ-safe binder hash over
+    (user_id, event_id) binding WHICH event was selected as latest for
+    WHICH user (event_id is unique, so it determines the whole
+    surviving row; the former user_id·event_id weighted sum overflowed
+    BIGINT at sf100 — functions/scale.binder_hash_col). All integer
     sums — exact cross-engine. Memoized per events fingerprint
     (certmemo); miss cost reports as _index:cert:latest_per_key. This
     certifies the standalone LOCAL operator inside the 50-slot cap.
@@ -420,13 +423,19 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "latest_per_key",
         ("events",),
-        "lat_n_users bigint, lat_eid_sum bigint, lat_uid_wsum bigint",
+        "lat_n_users bigint, lat_eid_sum bigint, lat_hash bigint",
         lambda: rx_latest_per_key(spark, sf_dir).agg(
             F.count(F.lit(1)).alias("lat_n_users"),
             F.sum("event_id").alias("lat_eid_sum"),
-            F.sum(F.col("user_id") * F.col("event_id")).alias(
-                "lat_uid_wsum"
-            ),
+            # Σ-safe binder (round 10): Σ user_id·event_id reaches
+            # ~1e20 at sf100 — the ts_checksum overflow class
+            F.sum(
+                binder_hash_col(
+                    "lat", F.col("user_id"), F.col("event_id")
+                )
+            )
+            .cast("bigint")
+            .alias("lat_hash"),
         ),
     )
     bcert = cached_cert_row(
@@ -919,7 +928,7 @@ ranked AS (
 lat AS (
   SELECT COUNT(*) AS lat_n_users,
          CAST(SUM(event_id) AS BIGINT) AS lat_eid_sum,
-         CAST(SUM(user_id * event_id) AS BIGINT) AS lat_uid_wsum
+         CAST(SUM(CAST(CAST(('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS lat_hash
   FROM ranked WHERE rn = 1
 ),
 ret AS (
@@ -931,7 +940,7 @@ ret AS (
   GROUP BY 1, 2
 )
 SELECT ret.cohort_day, ret.day_offset, ret.n_users,
-       lat.lat_n_users, lat.lat_eid_sum, lat.lat_uid_wsum,
+       lat.lat_n_users, lat.lat_eid_sum, lat.lat_hash,
        blm.blm_bits, blm.blm_pass, blm.blm_ev_wsum, blm.blm_buyers
 FROM ret CROSS JOIN lat CROSS JOIN blm
 ORDER BY ret.cohort_day, ret.day_offset

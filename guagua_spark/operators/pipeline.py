@@ -59,6 +59,10 @@ MIX_CHAR_BUDGET = 50_000
 #: the shared deterministic uniform hash (functions/scale.u32_hash) —
 #: re-exported under the historical private name used throughout the
 #: sampling/packing operators
+from guagua_spark.functions.scale import (  # noqa: E402
+    binder_hash_col,
+    binder_hash_sql,
+)
 from guagua_spark.functions.scale import u32_hash as _u32  # noqa: E402
 
 
@@ -155,9 +159,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts_n_seqs``/``ts_tokens``/``ts_checksum``: the end-to-end
     training-set-build certificate (pipeline_build_training_set =
     quality filter → LSH dedup → sequence packing) as typed literal
-    columns — sequence count, packed-token total, and a
-    (bucket·10⁶ + seq + 1)-weighted id_sum checksum binding WHICH docs
-    land in WHICH sequence of the CLEANED corpus. Computed from the
+    columns — sequence count, packed-token total, and a Σ-safe
+    binder-hash checksum over (bucket, seq_id, id_sum) binding WHICH
+    docs land in WHICH sequence of the CLEANED corpus (round 10: the
+    former weighted-id form overflowed BIGINT at sf100 — see
+    functions/scale.binder_hash_col). Computed from the
     same checkpointed slim relation (pack_assignment needs only doc_id
     + token count), so the clean subtree runs once; the oracle splices
     the identical pack CTE block over its ``clean`` CTE. Certifies the
@@ -210,13 +216,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: seqs.agg(
             F.count(F.lit(1)).cast("bigint").alias("ts_n_seqs"),
             F.sum("seq_toks").cast("bigint").alias("ts_tokens"),
-            # binder weight assumes seq_id < 10⁶ per bucket (true by
-            # orders of magnitude at contract scale); the oracle uses
-            # the identical formula so the COMPARISON is exact at any
-            # scale — only the checksum's injectivity would weaken
+            # Σ-safe binder (round 10): the old weighted-id form
+            # Σ (bucket·10⁶+seq+1)·id_sum reached ~1e21 at sf100 and
+            # crashed Spark's ANSI bigint Σ — the first real defect
+            # the decade probe caught. binder_hash_col bounds the row
+            # term at <1e6, Σ-safe to ~9e12 sequences, same binding.
             F.sum(
-                (F.col("bucket") * 1_000_000 + F.col("seq_id") + 1)
-                * F.col("id_sum")
+                binder_hash_col(
+                    "ts",
+                    F.col("bucket"),
+                    F.col("seq_id"),
+                    F.col("id_sum"),
+                )
             )
             .cast("bigint")
             .alias("ts_checksum"),
@@ -269,7 +280,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("documents",),
         "skw_rows bigint, skw_n_sum bigint, skw_share_e6 bigint, "
         "skw_hash bigint, bud_rows bigint, bud_tok_sum bigint, "
-        "bud_id_wsum bigint, bud_score_e6 bigint",
+        "bud_hash bigint, bud_score_e6 bigint",
         lambda: skew_budget_cert_df(spark, sf_dir),
     )
     strat = stratified_keep()
@@ -354,8 +365,10 @@ seqs AS (
 tcert AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS ts_n_seqs,
          CAST(SUM(seq_toks) AS BIGINT) AS ts_tokens,
-         CAST(SUM((bucket * 1000000 + seq_id + 1) * id_sum) AS BIGINT)
-           AS ts_checksum
+         CAST(SUM({binder_hash_sql("ts", "CAST(bucket AS VARCHAR)",
+                                   "CAST(seq_id AS VARCHAR)",
+                                   "CAST(id_sum AS VARCHAR)")})
+              AS BIGINT) AS ts_checksum
   FROM seqs
 ),
 {_diff_cert_ctes()},
@@ -377,7 +390,7 @@ SELECT lang, cl.source, COUNT(*) AS n_docs,
        rch_chunks, rch_tok_sum, rch_checksum,
        tm_sources, tm_kept, tm_rate_e6, tm_hash,
        skw_rows, skw_n_sum, skw_share_e6, skw_hash,
-       bud_rows, bud_tok_sum, bud_id_wsum, bud_score_e6
+       bud_rows, bud_tok_sum, bud_hash, bud_score_e6
 FROM clean cl JOIN rates r ON cl.source = r.source, tcert, dcert, rcert,
      tmcert, skwcert, budcert
 GROUP BY lang, cl.source, ts_n_seqs, ts_tokens, ts_checksum,
@@ -385,7 +398,7 @@ GROUP BY lang, cl.source, ts_n_seqs, ts_tokens, ts_checksum,
          rch_chunks, rch_tok_sum, rch_checksum,
          tm_sources, tm_kept, tm_rate_e6, tm_hash,
          skw_rows, skw_n_sum, skw_share_e6, skw_hash,
-         bud_rows, bud_tok_sum, bud_id_wsum, bud_score_e6
+         bud_rows, bud_tok_sum, bud_hash, bud_score_e6
 ORDER BY lang, cl.source
 """.strip()
 
@@ -1121,7 +1134,7 @@ def skew_budget_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derivations, so the oracle's independent replay certifies both
     pipelines end-to-end: ``skw_hash`` u32-binds every hot key's
     (source, recommendation) pair — a flipped salting decision or a
-    missed heavy hitter flips an integer; ``bud_id_wsum`` binds the
+    missed heavy hitter flips an integer; ``bud_hash`` binds the
     full selection ORDER through cum_toks; ``skw_share_e6`` /
     ``bud_score_e6`` sum per-row 6dp-rounded integers (cents pattern —
     exact at any sf, never a rounded multi-row float SUM)."""
@@ -1144,9 +1157,12 @@ def skew_budget_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bud_row = bud.agg(
         F.count(F.lit(1)).cast("bigint").alias("bud_rows"),
         F.sum("n_toks").cast("bigint").alias("bud_tok_sum"),
-        F.sum(F.col("doc_id") * F.col("cum_toks"))
+        # Σ-safe binder (round 10): Σ doc_id·cum_toks reached ~1e20
+        # at sf100 (cum_toks grows with the corpus token budget) —
+        # same overflow class as ts_checksum
+        F.sum(binder_hash_col("bud", F.col("doc_id"), F.col("cum_toks")))
         .cast("bigint")
-        .alias("bud_id_wsum"),
+        .alias("bud_hash"),
         F.sum(F.round(F.col("score") * 1e6))
         .cast("bigint")
         .alias("bud_score_e6"),
@@ -1204,7 +1220,7 @@ bud_c AS (
 budcert AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS bud_rows,
          CAST(SUM(n_toks) AS BIGINT) AS bud_tok_sum,
-         CAST(SUM(doc_id * cum_toks) AS BIGINT) AS bud_id_wsum,
+         CAST(SUM(CAST(CAST(('0x' || substr(md5('bud|' || CAST(doc_id AS VARCHAR) || '|' || CAST(cum_toks AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS bud_hash,
          CAST(SUM(ROUND(ROUND(score, 6) * 1e6)) AS BIGINT)
            AS bud_score_e6
   FROM bud_c, bud_budget WHERE cum_toks <= b

@@ -520,3 +520,48 @@ def test_orphan_clear_handles_qualified_and_current_db(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql("DROP DATABASE IF EXISTS t_orphdb CASCADE")
+
+
+def test_binder_hash_matches_sql_twin(spark):
+    """binder_hash_col and binder_hash_sql must produce the identical
+    residue per row (the Σ-safe certificate binder that replaced the
+    weighted-id sums which overflowed BIGINT at sf100), and every
+    value must sit under BINDER_MOD so a bigint Σ holds to ~9e12
+    rows."""
+    import duckdb
+
+    from guagua_spark.functions.scale import (
+        BINDER_MOD,
+        binder_hash_col,
+        binder_hash_sql,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i * 37 % 11, i * 1_000_003) for i in range(50)],
+        "a bigint, b bigint, c bigint",
+    )
+    got = {
+        r["a"]: r["h"]
+        for r in df.select(
+            "a",
+            binder_hash_col(
+                "t", F.col("a"), F.col("b"), F.col("c")
+            ).alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = binder_hash_sql(
+        "t",
+        "CAST(a AS VARCHAR)",
+        "CAST(b AS VARCHAR)",
+        "CAST(c AS VARCHAR)",
+    )
+    rows = con.execute(
+        f"SELECT a, {sql} AS h FROM (SELECT unnest(range(50)) AS a,"
+        f" unnest(range(50)) * 37 % 11 AS b,"
+        f" unnest(range(50)) * 1000003 AS c)"
+    ).fetchall()
+    for a, h in rows:
+        assert got[a] == h, (a, got[a], h)
+        assert 0 <= h < BINDER_MOD
