@@ -388,8 +388,12 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     a data-proportional cardinality that would OOM a forced broadcast at
     100×; both sides are already partitioned by user_id from their
     aggregations, and AQE may still pick a broadcast when the side is
-    genuinely small. (The 1-row certificate cross join below carries no
-    hint either — Catalyst broadcasts a 1-row literal on size alone.)
+    genuinely small. The 1-row certificate cross joins DO carry
+    explicit broadcast hints (safe: bounded 1-row literals): with two
+    chained certificate joins Catalyst planned a CartesianProduct
+    (32×32 = 1024 partitions of pure task-scheduling overhead, ~20 s
+    per run at sf0.1 — caught by the round-10 bench lane), where the
+    single-join form had been auto-broadcast on size alone.
 
     ``lat_*``: the CDC latest-per-key certificate — a 1-row rollup of
     the ACTUAL rx_latest_per_key output (the skew-immune max_by
@@ -457,8 +461,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day_offset") <= RETENTION_MAX_DAYS)
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .crossJoin(cert)
-        .crossJoin(bcert)
+        .crossJoin(F.broadcast(cert))
+        .crossJoin(F.broadcast(bcert))
         .orderBy("cohort_day", "day_offset")
     )
 

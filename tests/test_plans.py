@@ -85,16 +85,19 @@ def test_cube_is_one_shuffle_with_expand(spark, oracle_sf_dir):
 def test_no_forced_broadcast_of_per_user_relations(spark, oracle_sf_dir, name):
     """Funnel/retention join per-user aggregates whose cardinality grows
     with the data — a FORCED broadcast of those would OOM executors at
-    100×. The logical plan must carry no broadcast hint at all (AQE may
-    still choose a broadcast at runtime when a side is actually small —
-    that's fine and self-correcting; the hint is not)."""
+    100×. Broadcast hints are allowed ONLY on bounded 1-row certificate
+    literals (LogicalRDD — round 10: without the hint, two chained cert
+    cross joins planned a CartesianProduct); any hint whose child is a
+    real relation is the OOM hazard this test exists for."""
     from guagua_spark.operators import events
 
     df = events.QUERIES[name](spark, oracle_sf_dir)
     logical = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in logical and "broadcast" not in logical, (
-        logical
-    )
+    lines = logical.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" in line:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "LogicalRDD" in child, logical
 
 
 def test_pipeline_antijoin_is_broadcast(spark, oracle_sf_dir):
@@ -341,3 +344,14 @@ def test_pq_scoring_never_single_partition(spark, oracle_sf_dir):
     p = _final(_plan(df))
     assert "Exchange SinglePartition" not in p, p
     assert "InMemoryTableScan" in p, p
+
+
+def test_retention_cert_joins_broadcast_not_cartesian(spark, oracle_sf_dir):
+    """Two chained 1-row certificate cross joins made Catalyst plan a
+    CartesianProduct (32x32 partitions of task-scheduling overhead —
+    ~20 s/run at sf0.1, caught by the round-10 bench lane); the
+    explicit broadcast hints must keep both joins BroadcastNestedLoop."""
+    from guagua_spark.operators.events import QUERIES
+
+    p = _plan(QUERIES["events_retention"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p, p
