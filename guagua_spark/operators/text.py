@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from guagua_spark.functions.scale import binder_hash_col
 from guagua_spark.sources.tables import load_table
 
 #: stopword list for quality scoring (tiny on purpose — a plan literal
@@ -162,7 +163,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the standalone repetition_scores operator's math through
     these columns (contract is capped at 50 rows).
 
-    ``ulm_oov_total``/``ulm_mu_sum``/``ulm_id_wsum``: the unigram-LM
+    ``ulm_oov_total``/``ulm_mu_sum``/``ulm_hash``: the unigram-LM
     quality-scoring certificate (unigram_logprob_df) as typed
     literal columns — total OOV tokens, the sum of every per-doc
     ROUND(avg_logprob·10⁶) as an exact integer, and the doc_id-weighted
@@ -216,13 +217,19 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "unigram_lm",
         ("documents",),
-        "ulm_oov_total bigint, ulm_mu_sum bigint, ulm_id_wsum bigint",
+        "ulm_oov_total bigint, ulm_mu_sum bigint, ulm_hash bigint",
         lambda: unigram_logprob_df(docs.select("doc_id", "text")).agg(
             F.sum("n_oov").alias("ulm_oov_total"),
             F.sum(mu.cast("bigint")).alias("ulm_mu_sum"),
-            F.sum((F.col("doc_id") * mu).cast("bigint")).alias(
-                "ulm_id_wsum"
-            ),
+            # Σ-safe binder (round 10): Σ doc_id·mu reached ~1e20 at
+            # sf100 and overflowed BIGINT — the ts_checksum class
+            F.sum(
+                binder_hash_col(
+                    "ulm", F.col("doc_id"), mu.cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("ulm_hash"),
         ),
     )
     return (
@@ -301,8 +308,14 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             pipeline_weighted_sample,
         )
 
+        # Σ-safe binder (round 10): Σ pos·doc_id grows ~N³ in
+        # magnitude and overflowed BIGINT at sf100
         shf = corpus_shuffle(spark, sf_dir).agg(
-            F.sum(F.col("pos") * F.col("doc_id")).alias("shf_id_wsum")
+            F.sum(
+                binder_hash_col("shf", F.col("pos"), F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("shf_hash")
         )
         ws = pipeline_weighted_sample(spark, sf_dir).agg(
             F.count(F.lit(1)).alias("ws_n"),
@@ -316,7 +329,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "shuffle_wsample",
         ("documents",),
-        "shf_id_wsum bigint, ws_n bigint, ws_id_sum bigint,"
+        "shf_hash bigint, ws_n bigint, ws_id_sum bigint,"
         " ws_chars_sum bigint",
         _build,
     )
@@ -1076,8 +1089,7 @@ ucert AS (
   SELECT CAST(SUM(n_oov) AS BIGINT) AS ulm_oov_total,
          CAST(SUM(CAST(ROUND(avg_logprob * 1000000) AS BIGINT))
               AS BIGINT) AS ulm_mu_sum,
-         CAST(SUM(doc_id * CAST(ROUND(avg_logprob * 1000000) AS BIGINT))
-              AS BIGINT) AS ulm_id_wsum
+         CAST(SUM(CAST(CAST(('0x' || substr(md5('ulm|' || CAST(doc_id AS VARCHAR) || '|' || CAST(CAST(ROUND(avg_logprob * 1000000) AS BIGINT) AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS ulm_hash
   FROM uni
 )
 SELECT doc_id,
@@ -1094,7 +1106,7 @@ SELECT doc_id,
             THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
                        / len(grams), 6)
             ELSE 0.0 END AS rep_ratio,
-       ulm_oov_total, ulm_mu_sum, ulm_id_wsum
+       ulm_oov_total, ulm_mu_sum, ulm_hash
 FROM g, ucert ORDER BY doc_id
 """.strip()
 
@@ -1261,7 +1273,7 @@ def _fingerprints_oracle() -> str:
 
     return f"""
 WITH shf AS (
-  SELECT CAST(SUM(pos * doc_id) AS BIGINT) AS shf_id_wsum
+  SELECT CAST(SUM(CAST(CAST(('0x' || substr(md5('shf|' || CAST(pos AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS shf_hash
   FROM ({_corpus_shuffle_oracle()})
 ),
 ws AS (
@@ -1271,7 +1283,7 @@ ws AS (
 )
 SELECT doc_id, md5(text) AS fingerprint,
        {_ROLLING_FP_SQL} AS rolling_fp,
-       shf_id_wsum, ws_n, ws_id_sum, ws_chars_sum
+       shf_hash, ws_n, ws_id_sum, ws_chars_sum
 FROM documents CROSS JOIN shf CROSS JOIN ws ORDER BY doc_id
 """.strip()
 
