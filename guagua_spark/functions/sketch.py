@@ -447,3 +447,207 @@ def bloom_keep_col(value_col, bit_set: frozenset) -> F.Column:
     for c in cols:
         keep = keep & c.isin(lits)
     return keep
+
+
+# -- Dyadic Count-Min rank / quantile sketch ----------------------------------
+#
+# The fifth sketch: bounded-memory RANK (and therefore quantile)
+# estimation over a numeric column, per Cormode & Muthukrishnan's
+# dyadic range-sum construction (J.Alg'05 §4.2): quantize values to an
+# integer domain [0, 2^QCM_LEVELS), keep one Count-Min sketch per
+# dyadic LEVEL l over the cell ids (vq >> l), and answer
+# rank(x) = |{v <= x}| as the sum of <= QCM_LEVELS disjoint dyadic
+# interval counts covering [0, x] — each interval a single CM point
+# query at its level. Like the other four sketches the construction is
+# deterministic md5 arithmetic, so a SQL twin replays the counters AND
+# the estimates bit-for-bit; like Count-Min it is a LINEAR sketch
+# (counters of two corpora ADD), and every estimate is one-sided
+# (>= the true rank, never below — each CM cell count includes all of
+# the cell's occurrences plus non-negative collisions).
+#
+# 100 TB shape: each value fans out map-side into
+# QCM_LEVELS * CM_DEPTH = 64 (lvl, j, bucket) rows whose groupBy
+# domain is <= 64 * CM_WIDTH = 16384 counters whatever the corpus
+# size — map-side combine collapses every partition's contribution
+# before the exchange, so the shuffle is CONSTANT-size. A full sort
+# (or the exact distinct-value running sum of rx_percentiles) touches
+# every row; this touches 16384 counters.
+
+QCM_LEVELS = 16
+#: fixed-point scale: rank queries are answered on the quantized
+#: domain vq = round(value * QCM_SCALE) clamped to [0, 2^QCM_LEVELS)
+#: — exact for any corpus whose values fit the domain (events.value
+#: spans [0, ~500] -> vq <= 50002), saturating (not wrapping) beyond.
+QCM_SCALE = 100
+
+
+def qcm_quantize_col(value_col) -> "F.Column":
+    vq = F.round(value_col * QCM_SCALE).cast("bigint")
+    return F.greatest(
+        F.lit(0), F.least(vq, F.lit((1 << QCM_LEVELS) - 1))
+    )
+
+
+def qcm_quantize_sql(expr: str) -> str:
+    return (
+        f"GREATEST(0, LEAST(CAST(ROUND(({expr}) * {QCM_SCALE}) AS"
+        f" BIGINT), {(1 << QCM_LEVELS) - 1}))"
+    )
+
+
+def _qcm_bucket_col(lvl: int, j: int, cell_col) -> "F.Column":
+    from guagua_spark.functions.scale import u32_hash
+
+    return u32_hash(f"qcm{lvl}_{j}", cell_col.cast("string")) % CM_WIDTH
+
+
+def _qcm_bucket_sql(lvl_expr: str, j_expr: str, cell_expr: str) -> str:
+    """DuckDB twin of _qcm_bucket_col with lvl/j as SQL expressions
+    (the oracle fans levels with unnest, not 64 unioned branches)."""
+    return (
+        "(CAST(('0x' || substr(md5('qcm' || CAST((" + lvl_expr + ") AS"
+        " VARCHAR) || '_' || CAST((" + j_expr + ") AS VARCHAR) || '|'"
+        " || CAST((" + cell_expr + ") AS VARCHAR)), 1, 8)) AS UBIGINT)"
+        f" % {CM_WIDTH})"
+    )
+
+
+def qcm_counters(df: DataFrame, col: str) -> DataFrame:
+    """(lvl, j, bucket, n) dyadic Count-Min counter table over the
+    quantized values of ``col`` — <= QCM_LEVELS * CM_DEPTH * CM_WIDTH
+    = 16384 exact-integer rows whatever the corpus size. Counters of
+    two corpora MERGE BY ADDITION (linear sketch, same contract as
+    cm_counters; asserted in tests)."""
+    vq = qcm_quantize_col(F.col(col))
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).alias("lvl"),
+                    F.lit(j).alias("j"),
+                    _qcm_bucket_col(
+                        lvl, j, F.shiftright(vq, lvl)
+                    ).alias("bucket"),
+                )
+                for lvl in range(QCM_LEVELS)
+                for j in range(CM_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(fan)
+        .groupBy(
+            F.col("cell.lvl").alias("lvl"),
+            F.col("cell.j").alias("j"),
+            F.col("cell.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dyadic_prefix_cells(xq: int, levels: int = QCM_LEVELS) -> list:
+    """The <= ``levels`` disjoint dyadic cells whose union is the
+    inclusive prefix [0, xq]: one cell per set bit of xq+1, walked
+    MSB-first so each block is aligned at its level. Pure plan-time
+    arithmetic — shared by the Spark builder and the SQL oracle
+    generator so the decompositions cannot drift."""
+    n = xq + 1
+    cells, p = [], 0
+    for lvl in range(levels - 1, -1, -1):
+        if n & (1 << lvl):
+            cells.append((lvl, p >> lvl))
+            p += 1 << lvl
+    return cells
+
+
+def qcm_rank_estimates(
+    counters: DataFrame, probes_q: list
+) -> DataFrame:
+    """(probe_q, est_rank) one-sided rank estimates at quantized probe
+    points: est(x) = sum over the dyadic decomposition of [0, x] of
+    MIN-over-j counter reads — <= levels * CM_DEPTH rows per probe
+    joining the <= 16384-row broadcast counter table. NEVER below the
+    true rank (each cell read >= the cell's true count; the cells are
+    disjoint and cover exactly [0, x])."""
+    spark = counters.sparkSession
+    rows = [
+        (int(xq), int(lvl), int(cell))
+        for xq in probes_q
+        for (lvl, cell) in dyadic_prefix_cells(int(xq))
+    ]
+    cells = spark.createDataFrame(rows, "probe_q bigint, lvl int, cell bigint")
+    # tag must be built per-row (lvl and j are columns here, literals
+    # on the counter side) — same md5 form as _qcm_bucket_col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("qcm"),
+                        F.col("lvl").cast("string"),
+                        F.lit("_"),
+                        F.col("j").cast("string"),
+                        F.lit("|"),
+                        F.col("cell").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_WIDTH
+    )
+    fan = cells.select(
+        "probe_q",
+        "lvl",
+        "cell",
+        F.explode(F.array(*[F.lit(j) for j in range(CM_DEPTH)])).alias("j"),
+    ).withColumn("bucket", bucket)
+    per_cell = (
+        fan.join(F.broadcast(counters), ["lvl", "j", "bucket"], "left")
+        .groupBy("probe_q", "lvl", "cell")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cell_est"))
+    )
+    return per_cell.groupBy("probe_q").agg(
+        F.sum("cell_est").cast("bigint").alias("est_rank")
+    )
+
+
+def qcm_quantile(counter_rows, q: float, n_total: int) -> float:
+    """Driver-side quantile query over a COLLECTED counter table
+    (<= 16384 (lvl, j, bucket, n) tuples — bounded by construction,
+    the same driver-fetch contract as the Bloom bit set): binary
+    search the smallest quantized value whose estimated rank >=
+    ceil(q * n_total), then undo the fixed-point scale. Python md5
+    replays the engine hash exactly (u32_hash contract)."""
+    import hashlib
+    import math
+
+    counters = {}
+    for lvl, j, bucket, n in counter_rows:
+        counters[(int(lvl), int(j), int(bucket))] = int(n)
+
+    def est_rank(xq: int) -> int:
+        total = 0
+        for lvl, cell in dyadic_prefix_cells(xq):
+            reads = []
+            for j in range(CM_DEPTH):
+                h = hashlib.md5(
+                    f"qcm{lvl}_{j}|{cell}".encode()
+                ).hexdigest()[:8]
+                reads.append(counters.get((lvl, j, int(h, 16) % CM_WIDTH), 0))
+            total += min(reads)
+        return total
+
+    target = max(1, math.ceil(q * n_total))
+    lo, hi = 0, (1 << QCM_LEVELS) - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if est_rank(mid) >= target:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo / QCM_SCALE

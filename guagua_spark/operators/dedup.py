@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from guagua_spark.functions.supersteps import dataframe_supersteps
 from guagua_spark.sources.tables import load_table
@@ -186,6 +187,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(inc))
         .crossJoin(F.broadcast(_sem_cert_df(spark, sf_dir)))
+        .crossJoin(F.broadcast(_spans_cert_df(spark, sf_dir)))
     )
 
 
@@ -1643,6 +1645,11 @@ ORDER BY e.vec_id
 
 
 def _exact_stats_oracle() -> str:
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    spn_binder = binder_hash_sql(
+        "spn", "CAST(doc_id AS VARCHAR)", "CAST(dup_chars AS VARCHAR)"
+    )
     return f"""
 WITH cert AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_CERT_VECS}
@@ -1652,6 +1659,23 @@ sem AS (
   SELECT COUNT(*) AS sem_kept,
          CAST(SUM(vec_id) AS BIGINT) AS sem_kept_id_sum
   FROM cert WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+),
+spncert AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {SPN_CERT_DOCS}
+),
+{_spans_ctes(source="spncert")},
+spndoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+  FROM sspans GROUP BY doc_id
+),
+spn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS spn_docs,
+         CAST(COALESCE(SUM(n_dup_spans), 0) AS BIGINT) AS spn_spans,
+         CAST(COALESCE(SUM(dup_chars), 0) AS BIGINT) AS spn_chars,
+         CAST(COALESCE(SUM({spn_binder}), 0) AS BIGINT) AS spn_hash
+  FROM spndoc
 ),
 {_minhash_pair_ctes()},
 inc_per AS (
@@ -1671,12 +1695,13 @@ inc AS (
 )
 SELECT d.total, d.distinct_texts, d.removed,
        i.inc_flagged, i.inc_match_total, i.inc_dup_of_sum, i.inc_jac_musum,
-       s.sem_kept, s.sem_kept_id_sum
+       s.sem_kept, s.sem_kept_id_sum,
+       p.spn_docs, p.spn_spans, p.spn_chars, p.spn_hash
 FROM (
   SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,
          COUNT(*) - COUNT(DISTINCT text) AS removed
   FROM documents
-) d, inc i, sem s
+) d, inc i, sem s, spn p
 """.strip()
 
 
@@ -1686,7 +1711,9 @@ FROM (
 #: splices the incremental certificate block)
 INC_SPLIT = 450
 
-ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
+# ORACLE_SQL["dedup_exact_stats"] is assigned at the bottom of the
+# module: its oracle additionally splices the spn_* span-dedup
+# certificate block, defined down there (round 10)
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,3 +1769,213 @@ LOCAL_ORACLE_SQL = {
     "semantic_dedup": _semantic_oracle(),
     "dedup_incremental": _incremental_oracle(),
 }
+
+
+# -- substring-level (span) dedup ---------------------------------------------
+
+#: duplicated-span shingle width (chars) — also the minimum reportable
+#: span length. The published operator (Lee et al., ACL'22
+#: "Deduplicating Training Data Makes Language Models Better") uses
+#: 50-token suffix-array matches over the full corpus; the
+#: Spark-native equivalent detects spans as runs of globally-repeated
+#: character shingles, which finds exactly the maximal repeated
+#: substrings of length >= the width (every length-W window of a
+#: repeated substring is itself repeated).
+SPAN_W = 25
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN statistics — substring-level dedup,
+    the level below the document-level family (exact / MinHash /
+    SimHash / n-gram / semantic): a position's length-``SPAN_W``
+    shingle occurring anywhere else in the corpus (another doc OR the
+    same doc — self-repetition counts, as in the reference algorithm)
+    marks its ``SPAN_W`` characters duplicated; overlapping/adjacent
+    marked windows merge into maximal spans (gaps-and-islands over the
+    running max of span ends). Output per affected doc: span count,
+    duplicated chars, duplicated fraction.
+
+    100 TB shape: the (doc, pos) shingle relation is ~|corpus chars|
+    rows — the honest cost of substring-level dedup (the suffix-array
+    construction it replaces is the same size); shingles travel as
+    16-byte md5s keyed BY HASH so the duplicate test is one
+    partially-aggregated window count per hash (map-side combine
+    collapses same-hash positions per partition first), and the island
+    merge windows partition BY DOC — bounded by document length, never
+    corpus-sized. No full text ever shuffles."""
+    return dedup_spans_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def dedup_spans_df(docs: DataFrame) -> DataFrame:
+    """dedup_spans over any (doc_id, text) relation — shared by the
+    LOCAL operator and the spn_* certificate slice."""
+    docs = docs.select("doc_id", "text", F.length("text").alias("n_chars"))
+    eligible = docs.filter(F.col("n_chars") >= SPAN_W)
+    pos = eligible.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars") - (SPAN_W - 1))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_chars",
+        "p",
+        F.md5(F.col("text").substr(F.col("p"), F.lit(SPAN_W))).alias("h"),
+    )
+    dup = (
+        pos.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "n_chars", "p", (F.col("p") + (SPAN_W - 1)).alias("e"))
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max("e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "ni",
+        (F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1).cast("int"),
+    ).withColumn("island", F.sum("ni").over(by_doc))
+    spans = isl.groupBy("doc_id", "n_chars", "island").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    return (
+        spans.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _spans_ctes(source: str = "documents") -> str:
+    """``spos`` → ``sdup`` → ``sisl`` → ``sspans`` CTE block replaying
+    dedup_spans over any (doc_id, text) source relation — shared by
+    the standalone LOCAL oracle and the spn_* certificate splice."""
+    return f"""spos AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         unnest(generate_series(1, LENGTH(text) - {SPAN_W - 1})) AS p,
+         text
+  FROM {source} WHERE LENGTH(text) >= {SPAN_W}
+),
+sh AS (
+  SELECT doc_id, n_chars, p,
+         md5(text[p:p+{SPAN_W - 1}]) AS h
+  FROM spos
+),
+sdup AS (
+  SELECT doc_id, n_chars, p, p + {SPAN_W - 1} AS e
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY h) AS c FROM sh)
+  WHERE c > 1
+),
+sni AS (
+  SELECT doc_id, n_chars, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             THEN 1 ELSE 0 END AS ni
+  FROM sdup
+),
+sisl AS (
+  SELECT doc_id, n_chars, p, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM sni
+),
+sspans AS (
+  SELECT doc_id, n_chars, island, MIN(p) AS s, MAX(e) AS e
+  FROM sisl GROUP BY 1, 2, 3
+)"""
+
+
+def _spans_oracle() -> str:
+    return f"""
+WITH {_spans_ctes()}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / n_chars, 6) AS dup_ratio
+FROM sspans
+GROUP BY doc_id, n_chars
+ORDER BY doc_id
+""".strip()
+
+
+LOCAL_QUERIES["dedup_spans"] = dedup_spans
+LOCAL_ORACLE_SQL["dedup_spans"] = _spans_oracle()
+
+
+#: id bound for the spn_* certificate slice spliced into
+#: dedup_exact_stats: the pushed-down ``doc_id < SPN_CERT_DOCS``
+#: filter keeps the certificate O(1) at any scale factor (the full
+#: shingle relation is ~|corpus chars| rows — fine for the LOCAL
+#: operator, not for a certificate that rides every contract sweep)
+#: while still hash-certifying the whole span pipeline (shingle →
+#: global dup count → island merge → per-doc stats) on real data.
+SPN_CERT_DOCS = 400
+
+
+def _spans_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (spn_docs, spn_spans, spn_chars, spn_hash) certificate of
+    dedup_spans over the first SPN_CERT_DOCS documents — memoized per
+    documents fingerprint (certmemo). spn_hash Σ-binds (doc_id,
+    dup_chars) per affected doc through the Σ-safe binder (BIGINT-safe
+    at any sf; a dropped doc, a shifted span boundary, or a miscounted
+    island each flip it)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_row
+
+    schema = (
+        "spn_docs bigint, spn_spans bigint, spn_chars bigint,"
+        " spn_hash bigint"
+    )
+
+    def build() -> DataFrame:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < SPN_CERT_DOCS)
+            .select("doc_id", "text")
+        )
+        return dedup_spans_df(docs).agg(
+            F.count(F.lit(1)).cast("bigint").alias("spn_docs"),
+            F.coalesce(F.sum("n_dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("spn_spans"),
+            F.coalesce(F.sum("dup_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("spn_chars"),
+            F.coalesce(
+                F.sum(
+                    binder_hash_col(
+                        "spn", F.col("doc_id"), F.col("dup_chars")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("spn_hash"),
+        )
+
+    return cached_cert_row(
+        spark, sf_dir, "span_dedup", ("documents",), schema, build
+    )
+
+
+# deferred from the INC_SPLIT block above: the exact-stats oracle
+# splices the spn_* CTE chain, whose pieces live in the span section
+ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()

@@ -366,10 +366,26 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     input size."""
     ev = load_table(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / F.lit(HIST_WIDTH)).alias("bucket")
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    # qcm_* (round 10): the dyadic Count-Min rank-sketch certificate
+    # (qcm_cert_df) — driver-certifies events_value_rank_qcm (the
+    # fifth sketch family) inside this green row (column-merge
+    # pattern); memoized per events fingerprint
+    qcm_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "qcm_rank",
+        ("events",),
+        "qcm_n bigint, qcm_est_sum bigint, qcm_exact_sum bigint,"
+        " qcm_hash bigint",
+        lambda: qcm_cert_df(spark, sf_dir),
+    )
     return (
         ev.select("event_type", bucket)
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select("*", *qcm_cols)
         .orderBy("event_type", "bucket")
     )
 
@@ -626,11 +642,9 @@ SELECT COUNT(*) AS n_signup,
 FROM s LEFT JOIN c ON s.user_id = c.user_id
        LEFT JOIN p ON s.user_id = p.user_id
 """.strip(),
-    "events_histogram": f"""
-SELECT event_type, CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
-       COUNT(*) AS n
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
-""".strip(),
+    # events_histogram is assigned at the bottom of the module: its
+    # oracle splices the qcm_* dyadic-rank certificate CTEs (round 10)
+    "events_histogram": None,
     # events_retention is assigned below (_retention_bloom_oracle):
     # it splices the latest-per-key AND the round-10 Bloom certificate
     # CTEs, which are defined later in the module
@@ -952,3 +966,201 @@ ORDER BY ret.cohort_day, ret.day_offset
 
 
 ORACLE_SQL["events_retention"] = _retention_bloom_oracle()
+
+
+#: fixed rank/quantile probe points (value units) for the dyadic
+#: Count-Min rank sketch — same fixture role as the CM probe terms and
+#: the BM25 probe queries: they span the value domain so the estimates
+#: exercise every dyadic level.
+QCM_PROBE_VALUES = (50.0, 100.0, 200.0, 300.0, 400.0, 450.0)
+
+
+def events_value_rank_qcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (≤-count) estimates over ``events.value`` by the dyadic
+    Count-Min sketch next to their exact truths — the bounded-memory
+    QUANTILE sketch completing the five-family set (Misra-Gries / HLL
+    / Count-Min / Bloom / dyadic-CM; functions/sketch.py): 16 levels ×
+    4 rows × 256 buckets = ≤16384 exact-integer counters whatever the
+    corpus size, rank(x) answered as ≤16 disjoint dyadic CM point
+    reads. Estimates are ONE-SIDED (est ≥ exact, never below —
+    property-tested) with overcount ≤ Σ_levels 2N/256 w.h.p. Exact
+    ranks ride along as validator columns (the Misra-Gries recount
+    contract: the sketch is certified against plain SQL, not
+    trusted). At 100 TB this replaces a full sort / exact running-sum
+    percentile pass with a CONSTANT-size shuffle.
+
+    Reference parity: guagua has no quantile surface; this extends the
+    sketch family the same way HLL/CM did (pure extension, no
+    reference counterpart)."""
+    from guagua_spark.functions.sketch import (
+        QCM_SCALE,
+        qcm_counters,
+        qcm_quantize_col,
+        qcm_rank_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counters = qcm_counters(ev, "value")
+    probes_q = [int(round(v * QCM_SCALE)) for v in QCM_PROBE_VALUES]
+    est = qcm_rank_estimates(counters, probes_q)
+    vq = qcm_quantize_col(F.col("value"))
+    exact_wide = (
+        ev.filter(F.col("value").isNotNull())
+        .select(vq.alias("vq"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.sum((F.col("vq") <= F.lit(xq)).cast("bigint"))
+                .cast("bigint")
+                .alias(f"x{xq}")
+                for xq in probes_q
+            ],
+        )
+    )
+    stack = ", ".join(f"{xq}L, x{xq}" for xq in probes_q)
+    exact = exact_wide.selectExpr(
+        "n", f"stack({len(probes_q)}, {stack}) AS (probe_q, exact_rank)"
+    )
+    return (
+        est.join(exact, "probe_q")
+        .select(
+            (F.col("probe_q").cast("double") / QCM_SCALE).alias(
+                "probe_value"
+            ),
+            "est_rank",
+            "exact_rank",
+            "n",
+        )
+        .orderBy("probe_value")
+    )
+
+
+def _qcm_ctes() -> str:
+    """``v`` → ``fan`` → ``cnt`` → ``cells`` → ``creads`` → ``cest`` →
+    ``est`` → ``exact`` CTE block replaying events_value_rank_qcm —
+    shared by the standalone LOCAL oracle and the qcm_* certificate
+    splice in the histogram contract oracle."""
+    from guagua_spark.functions.sketch import (
+        CM_DEPTH,
+        QCM_LEVELS,
+        QCM_SCALE,
+        _qcm_bucket_sql,
+        dyadic_prefix_cells,
+        qcm_quantize_sql,
+    )
+
+    probes_q = [int(round(v * QCM_SCALE)) for v in QCM_PROBE_VALUES]
+    cell_rows = ",\n    ".join(
+        f"({xq}, {lvl}, {cell})"
+        for xq in probes_q
+        for (lvl, cell) in dyadic_prefix_cells(xq)
+    )
+    probe_rows = ", ".join(f"({xq})" for xq in probes_q)
+    return f"""v AS (
+  SELECT {qcm_quantize_sql("value")} AS vq FROM events
+  WHERE value IS NOT NULL
+),
+fan AS (
+  SELECT l.lvl, j.j,
+         {_qcm_bucket_sql("l.lvl", "j.j", "v.vq >> l.lvl")} AS bucket
+  FROM v,
+       (SELECT unnest(range({QCM_LEVELS})) AS lvl) l,
+       (SELECT unnest(range({CM_DEPTH})) AS j) j
+),
+cnt AS (SELECT lvl, j, bucket, COUNT(*) AS n FROM fan GROUP BY 1, 2, 3),
+cells(probe_q, lvl, cell) AS (VALUES
+    {cell_rows}
+),
+creads AS (
+  SELECT c.probe_q, c.lvl, c.cell, j.j,
+         {_qcm_bucket_sql("c.lvl", "j.j", "c.cell")} AS bucket
+  FROM cells c, (SELECT unnest(range({CM_DEPTH})) AS j) j
+),
+cest AS (
+  SELECT r.probe_q, r.lvl, r.cell,
+         MIN(COALESCE(cnt.n, 0)) AS cell_est
+  FROM creads r
+  LEFT JOIN cnt ON cnt.lvl = r.lvl AND cnt.j = r.j
+              AND cnt.bucket = r.bucket
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT probe_q, CAST(SUM(cell_est) AS BIGINT) AS est_rank
+  FROM cest GROUP BY 1
+),
+exact AS (
+  SELECT p.probe_q,
+         CAST(SUM(CASE WHEN v.vq <= p.probe_q THEN 1 ELSE 0 END)
+              AS BIGINT) AS exact_rank,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (VALUES {probe_rows}) p(probe_q), v
+  GROUP BY 1
+)"""
+
+
+def _value_rank_qcm_oracle() -> str:
+    from guagua_spark.functions.sketch import QCM_SCALE
+
+    return f"""
+WITH {_qcm_ctes()}
+SELECT CAST(e.probe_q AS DOUBLE) / {QCM_SCALE} AS probe_value,
+       e.est_rank, x.exact_rank, x.n
+FROM est e JOIN exact x ON e.probe_q = x.probe_q
+ORDER BY probe_value
+""".strip()
+
+
+def qcm_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding events_value_rank_qcm into the
+    hash-checked histogram contract row: the corpus size, Σ estimated
+    and Σ exact ranks over the fixed probes, and a Σ-safe binder over
+    (probe_q, est_rank) binding WHICH estimate belongs to WHICH probe.
+    All integers — exact cross-engine; a flipped counter, a wrong
+    dyadic decomposition, or a drifted estimate each flip one."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.functions.sketch import QCM_SCALE
+
+    r = events_value_rank_qcm(spark, sf_dir)
+    probe_q = F.round(F.col("probe_value") * QCM_SCALE).cast("bigint")
+    return r.agg(
+        F.min("n").cast("bigint").alias("qcm_n"),
+        F.sum("est_rank").cast("bigint").alias("qcm_est_sum"),
+        F.sum("exact_rank").cast("bigint").alias("qcm_exact_sum"),
+        F.sum(binder_hash_col("qcm", probe_q, F.col("est_rank")))
+        .cast("bigint")
+        .alias("qcm_hash"),
+    )
+
+
+def _histogram_qcm_oracle() -> str:
+    """The events_histogram contract oracle with the qcm_* dyadic-rank
+    certificate spliced in (round 10: the quantile sketch joins its
+    four sketch siblings inside a driver-hash-checked row)."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "qcm", "CAST(e.probe_q AS VARCHAR)", "CAST(e.est_rank AS VARCHAR)"
+    )
+    return f"""
+WITH {_qcm_ctes()},
+qcm AS (
+  SELECT CAST(MIN(x.n) AS BIGINT) AS qcm_n,
+         CAST(SUM(e.est_rank) AS BIGINT) AS qcm_est_sum,
+         CAST(SUM(x.exact_rank) AS BIGINT) AS qcm_exact_sum,
+         CAST(SUM({binder}) AS BIGINT) AS qcm_hash
+  FROM est e JOIN exact x ON e.probe_q = x.probe_q
+)
+SELECT h.event_type, h.bucket, h.n,
+       q.qcm_n, q.qcm_est_sum, q.qcm_exact_sum, q.qcm_hash
+FROM (
+  SELECT event_type, CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+) h CROSS JOIN qcm q
+ORDER BY h.event_type, h.bucket
+""".strip()
+
+
+LOCAL_QUERIES["events_value_rank_qcm"] = events_value_rank_qcm
+LOCAL_ORACLE_SQL["events_value_rank_qcm"] = _value_rank_qcm_oracle()
+ORACLE_SQL["events_histogram"] = _histogram_qcm_oracle()

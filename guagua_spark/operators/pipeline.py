@@ -1289,3 +1289,65 @@ LOCAL_ORACLE_SQL = {
 # deferred: the contract oracle splices the dif_*/rch_* certificate
 # CTE block defined above
 ORACLE_SQL["pipeline_clean_corpus"] = _pipeline_oracle()
+
+
+# -- per-source frequency cap -------------------------------------------------
+
+#: max documents retained per source — the RefinedWeb/CCNet-style
+#: domain-frequency cap that stops one crawl domain from dominating
+#: the training mix. Selection within a source is by u32(md5) order
+#: (deterministic, engine-replayable uniform draw — the repo's
+#: standard sampling rule), tie-broken by doc_id, so the kept set is a
+#: reproducible uniform sample of the over-cap source.
+SOURCE_CAP = 18
+
+
+def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most ``SOURCE_CAP`` documents per source, chosen by the
+    deterministic md5 draw. The top-k-per-key shape is the WINDOW
+    family's hot-key hazard (one mega-domain funnels into a single
+    task's sort), so the selection runs through
+    functions.scale.salted_topk — per-salt rank then a bounded merge
+    of ≤ k·n_salts survivors per source; (cap_u32, doc_id) is a total
+    order so the salted result provably equals the plain window
+    (salted_topk's contract). Output ordered (source, cap_rank)."""
+    from guagua_spark.functions.scale import salted_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    keyed = docs.withColumn(
+        "cap_u32", _u32("cap", F.col("doc_id").cast("string"))
+    )
+    kept = salted_topk(
+        keyed,
+        ["source"],
+        [F.col("cap_u32"), F.col("doc_id")],
+        SOURCE_CAP,
+        rank_col="cap_rank",
+    )
+    return kept.select(
+        "source", "doc_id", F.col("cap_rank").cast("int").alias("cap_rank")
+    ).orderBy("source", "cap_rank")
+
+
+def _source_cap_oracle() -> str:
+    u32 = (
+        "CAST(('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT)"
+    )
+    return f"""
+SELECT source, doc_id, CAST(cap_rank AS INT) AS cap_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {u32}, doc_id) AS cap_rank
+  FROM documents
+)
+WHERE cap_rank <= {SOURCE_CAP}
+ORDER BY source, cap_rank
+""".strip()
+
+
+LOCAL_QUERIES["pipeline_source_cap"] = pipeline_source_cap
+LOCAL_ORACLE_SQL["pipeline_source_cap"] = _source_cap_oracle()

@@ -53,6 +53,7 @@ def test_pipeline_actually_filters_and_dedups(spark, oracle_sf_dir, duck):
         "pipeline_weighted_sample",
         "pipeline_corpus_diff",
         "pipeline_incremental_chunks",
+        "pipeline_source_cap",
     ],
 )
 def test_sampling_operators_match_oracle(spark, oracle_sf_dir, duck, name):

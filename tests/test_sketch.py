@@ -357,3 +357,152 @@ def test_bloom_never_drops_members_and_prunes_nonmembers(spark):
     fpr = (len(kept) - 200) / (20_000 - 200)
     theory = (1 - math.exp(-BLOOM_K * 200 / BLOOM_M)) ** BLOOM_K
     assert fpr <= 4 * theory + 0.01, (fpr, theory)
+
+
+# -- dyadic Count-Min rank / quantile sketch ---------------------------------
+
+
+def test_qcm_rank_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.events import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    from oracle import assert_matches_oracle
+
+    df = LOCAL_QUERIES["events_value_rank_qcm"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["events_value_rank_qcm"]
+    )
+
+
+def test_qcm_estimates_one_sided_and_bounded(spark, oracle_sf_dir):
+    """est_rank >= exact_rank at every probe (each dyadic CM read
+    includes all of its cell's occurrences plus NON-NEGATIVE
+    collisions), and the total overcount stays within the CM bound
+    sum over levels of 2N/w — deterministic md5 hashing makes this a
+    reproducible assertion, not a probabilistic one."""
+    from guagua_spark.functions.sketch import CM_WIDTH, QCM_LEVELS
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["events_value_rank_qcm"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.est_rank >= r.exact_rank, r
+        assert r.est_rank - r.exact_rank <= 2 * QCM_LEVELS * r.n / CM_WIDTH, r
+
+
+def test_qcm_counters_merge_by_addition(spark):
+    """Linear-sketch contract: counters of two shards SUM to the
+    counters of the union — the incremental-ingest path never
+    revisits raw data."""
+    from guagua_spark.functions.sketch import qcm_counters
+
+    full = spark.range(20_000).select(
+        (F.col("id") % 700 / 3.0).alias("value"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    a = qcm_counters(full.filter("shard = 0"), "value")
+    b = qcm_counters(full.filter("shard = 1"), "value")
+    merged = (
+        a.unionByName(b)
+        .groupBy("lvl", "j", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    want = sorted(tuple(r) for r in qcm_counters(full, "value").collect())
+    got = sorted(tuple(r) for r in merged.collect())
+    assert got == want
+
+
+def test_qcm_counter_table_bounded(spark):
+    """The whole point: the counter relation stays <= levels*d*w rows
+    however many rows/distinct values feed it."""
+    from guagua_spark.functions.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        QCM_LEVELS,
+        qcm_counters,
+    )
+
+    df = spark.range(50_000).select((F.col("id") / 97.0).alias("value"))
+    n = qcm_counters(df, "value").count()
+    assert n <= QCM_LEVELS * CM_DEPTH * CM_WIDTH
+
+
+def test_qcm_quantile_driver_search(spark):
+    """qcm_quantile (driver-side binary search over the collected
+    bounded counter table) lands within the one-sided rank bound of
+    the true quantile: its exact rank is >= the target minus the CM
+    overcount, and the returned value never undershoots the true
+    quantile by more than the overcount's worth of rank."""
+    from guagua_spark.functions.sketch import (
+        CM_WIDTH,
+        QCM_LEVELS,
+        qcm_counters,
+        qcm_quantile,
+    )
+
+    n = 10_000
+    df = spark.range(n).select((F.col("id") % 500 + 0.25).alias("value"))
+    counters = [tuple(r) for r in qcm_counters(df, "value").collect()]
+    slack = 2 * QCM_LEVELS * n / CM_WIDTH
+    for q in (0.1, 0.5, 0.9):
+        v = qcm_quantile(counters, q, n)
+        true_rank = df.filter(F.col("value") <= v).count()
+        # one-sided overestimates can only make the search stop EARLY
+        # (smaller value): the found value's true rank may sit below
+        # the target by at most the overcount, and at most one
+        # quantization step above it
+        assert true_rank >= q * n - slack, (q, v, true_rank)
+        prev_rank = df.filter(F.col("value") <= v - 0.01).count()
+        assert prev_rank <= q * n + slack, (q, v, prev_rank)
+
+
+def test_dedup_spans_planted_duplicates(spark):
+    """Two docs sharing a 60-char paragraph + one self-repeating doc:
+    spans must cover exactly the planted regions; a unique-text doc
+    must not appear."""
+    from guagua_spark.operators import dedup as D
+
+    para = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(para) == 60
+    # aperiodic by construction: distinct 2-char base-26 blocks (a
+    # modular pattern would repeat its own 25-char windows)
+    uniq1 = "".join(
+        chr(97 + i // 26) + chr(97 + i % 26) for i in range(40)
+    )
+    uniq2 = "".join(
+        chr(97 + i // 26) + chr(97 + i % 26) for i in range(100, 140)
+    )
+    rep = "abcdefghijklmnopqrstuvwxyz012345"  # 32 chars, repeated twice
+    rows = [
+        (1, uniq1 + para),
+        (2, para + uniq2),
+        (3, rep + rep),
+        (4, "x" * 10),  # too short for any shingle
+        (5, "completely unique text with no repeats anywhere inside!!"),
+    ]
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in D.dedup_spans(spark, td).collect()
+        }
+    W = D.SPAN_W
+    # docs 1 and 2: exactly the 60-char paragraph is duplicated
+    assert out[1].n_dup_spans == 1 and out[1].dup_chars == 60
+    assert out[2].n_dup_spans == 1 and out[2].dup_chars == 60
+    # doc 3: every window of rep+rep repeats (self-repetition), so the
+    # whole 64 chars are one span
+    assert out[3].n_dup_spans == 1 and out[3].dup_chars == 64
+    assert 4 not in out and 5 not in out
