@@ -742,3 +742,49 @@ def streaming_token_freq_cm(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def streaming_value_rank_qcm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dyadic Count-Min rank counters over the event stream:
+    the dyadic-CM quantile sketch is LINEAR like its point-frequency
+    sibling, so the incremental form is a plain complete-mode SUM per
+    (lvl, j, bucket) — the streaming twin of
+    functions/sketch.qcm_counters (rank estimates and quantile reads
+    happen at read time over the drained table, exactly as the batch
+    path's qcm_rank_estimates / qcm_quantile). State is bounded at
+    levels·d·w = 16384 cells BY CONSTRUCTION whatever the event
+    volume — live percentile monitoring of a 100 TB event firehose
+    with constant state."""
+    from guagua_spark.functions.sketch import (
+        CM_DEPTH,
+        QCM_LEVELS,
+        _qcm_bucket_col,
+        qcm_quantize_col,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    vq = qcm_quantize_col(F.col("value"))
+    fan = ev.filter(F.col("value").isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lvl).alias("lvl"),
+                        F.lit(j).alias("j"),
+                        _qcm_bucket_col(
+                            lvl, j, F.shiftright(vq, lvl)
+                        ).alias("bucket"),
+                    )
+                    for lvl in range(QCM_LEVELS)
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    )
+    return fan.groupBy(
+        F.col("cell.lvl").alias("lvl"),
+        F.col("cell.j").alias("j"),
+        F.col("cell.bucket").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))

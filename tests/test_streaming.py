@@ -396,3 +396,19 @@ def test_streaming_cm_counters_match_batch(spark, sf_dir):
     want = cm_counters(toks, "tok")
     cols = ("j", "bucket", "n")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_qcm_counters_equal_batch(spark, sf_dir):
+    """The dyadic-CM rank sketch is linear: the streamed counter table
+    must equal the batch qcm_counters build exactly (integer SUM is
+    order-insensitive), so a live stream can serve the same rank /
+    quantile reads as the batch sketch."""
+    from guagua_spark.functions.sketch import qcm_counters
+    from guagua_spark.streaming import streaming_value_rank_qcm
+
+    got = run_available_now(
+        streaming_value_rank_qcm(spark, sf_dir), "s_qcm", "complete"
+    )
+    want = qcm_counters(load_table(spark, sf_dir, "events"), "value")
+    cols = ("lvl", "j", "bucket", "n")
+    assert _rows(got, *cols) == _rows(want, *cols)
