@@ -355,3 +355,47 @@ def test_retention_cert_joins_broadcast_not_cartesian(spark, oracle_sf_dir):
 
     p = _plan(QUERIES["events_retention"](spark, oracle_sf_dir))
     assert "CartesianProduct" not in p, p
+
+
+def test_dedup_spans_windows_partition_by_doc(spark, oracle_sf_dir):
+    """Span dedup's island-merge windows must partition by doc_id
+    (bounded by document length), the dup-count window by the shingle
+    hash — never SinglePartition — and the documents scan must read
+    only (doc_id, text)."""
+    from guagua_spark.operators.dedup import dedup_spans
+
+    df = dedup_spans(spark, oracle_sf_dir)
+    df.collect()
+    p = _final(_plan(df))
+    assert "Exchange SinglePartition" not in p, p
+    wins = re.findall(r"Window \[[^\n]*", p)
+    assert wins, p
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        assert "lang" not in m.group(1) and "source" not in m.group(1), p
+
+
+def test_qcm_counters_constant_domain_partial_agg(spark, oracle_sf_dir):
+    """The dyadic-CM build must partially aggregate (map-side combine
+    bounds the exchange at <=16384 rows/partition) and the probe join
+    must broadcast the counter table, never sort-merge it."""
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    df = LOCAL_QUERIES["events_value_rank_qcm"](spark, oracle_sf_dir)
+    df.collect()
+    p = _final(_plan(df))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"partial_count|HashAggregate\(keys=\[lvl", p), p
+
+
+def test_source_cap_ranks_within_salt_first(spark, oracle_sf_dir):
+    """The capped selection must carry the two-phase salted shape: a
+    window over (source, __salt) before the per-source merge window —
+    no single window ever sorts a whole source."""
+    from guagua_spark.operators.pipeline import LOCAL_QUERIES
+
+    df = LOCAL_QUERIES["pipeline_source_cap"](spark, oracle_sf_dir)
+    df.collect()
+    p = _final(_plan(df))
+    assert "__salt" in p, p
+    assert "Exchange SinglePartition" not in p.split("Sort [source")[0], p
