@@ -46,6 +46,13 @@ _MODULE_ORDER = (
     "text",
     "events",
     "multimodal",
+    # LOCAL_QUERIES-only modules (no QUERIES attr — they cannot touch
+    # the 50-slot contract above; listed so local_queries() exposes
+    # the full extension surface to bench.py's LOCAL lane)
+    "features",
+    "packing",
+    "inference",
+    "graph",
 )
 
 

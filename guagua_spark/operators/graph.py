@@ -193,6 +193,200 @@ SELECT node, rank FROM pr WHERE i = {PR_ITERATIONS}
 """.strip()
 
 
+# -- triangle counting (round 10) -------------------------------------------
+
+#: strongest co-occurrence links kept as the motif graph's edge set — a
+#: deterministic top-m selection by (support DESC, a, b) rather than a
+#: fixed support threshold, because absolute co-order counts shrink as
+#: the supplier universe grows (sf0.01: every pair co-occurs ≥10×;
+#: sf0.1: the median pair co-occurs twice) — a fixed cut is complete at
+#: one scale and empty at another, while "the m strongest links" is a
+#: meaningful affinity graph at every scale.
+TRI_EDGES = 1500
+#: suppliers returned by the query entry, by triangle participation
+TRI_TOPK = 20
+
+
+def supplier_affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-purchase affinity graph: one undirected edge {a, b}
+    per supplier pair appearing in the same order, weighted by co-order
+    support, pruned to the TRI_EDGES strongest links.
+
+    Shape at scale: the per-order distinct pass and the self-join both
+    shuffle on l_orderkey (one exchange, reused for both join sides),
+    and pair fan-out per order is C(items, 2) — bounded by order size,
+    never by corpus size. Support aggregation is a partial-agg groupBy
+    on the (a, b) pair key. The top-m prune is orderBy().limit() —
+    Spark plans TakeOrderedAndProject (per-partition bounded heaps, no
+    global sort), so the strongest-m selection never materializes or
+    sorts the full pair relation. (sup DESC, a, b) is a total order,
+    so the kept set is deterministic under any partitioning."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    left = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("a")
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("b")
+    )
+    pairs = (
+        left.join(right, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    return (
+        pairs.orderBy(F.col("sup").desc(), "a", "b")
+        .limit(TRI_EDGES)
+        .select("a", "b")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list given as
+    canonical (a < b) distinct pairs — degree-ordered edge orientation
+    (Suri & Vassilvitskii, WWW'11 MapReduce triangle counting; also
+    Cohen's graph-twiddling): orient every edge from its (degree, id)-
+    smaller endpoint to the larger, emit wedges only between a node's
+    oriented out-neighbors, close each wedge against the oriented edge
+    list. Every triangle is produced exactly once (its (deg, id)-
+    minimum vertex is the only apex whose two sides both point out),
+    and out-degrees are O(√m)-bounded, so wedge fan-out — the only
+    super-linear term — is m^1.5 worst-case instead of Σ deg², which
+    is what makes the shape survive celebrity nodes at 100 TB.
+
+    Returns (node, n_tri) for every node in ≥1 triangle; Σ n_tri is
+    exactly 3 × the triangle total.
+
+    The edge list is read by FOUR subtrees (both union directions, the
+    degree joins, the wedge self-join's closing side); Spark reuses
+    exchanges but NOT arbitrary common subtrees, so an unpersisted
+    input would re-run its whole upstream plan per occurrence — it is
+    persisted here (callers pass a pruned, bounded relation)."""
+    edges = edges.persist()
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(
+        deg.select(F.col("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("a").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    # a < b always holds in canonical pairs, so ties orient a → b
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    # wedge (p, q) with p strictly (deg, id)-below q — the closing
+    # edge, if present, is oriented p → q by construction
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            (F.col("x.dv") < F.col("y.dv"))
+            | (
+                (F.col("x.dv") == F.col("y.dv"))
+                & (F.col("x.v") < F.col("y.v"))
+            )
+        )
+        .select(
+            F.col("x.u").alias("apex"),
+            F.col("x.v").alias("p"),
+            F.col("y.v").alias("q"),
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("p"), F.col("v").alias("q")
+    )
+    tris = wedges.join(closing, ["p", "q"])
+    nodes = tris.select(
+        F.explode(F.array("apex", "p", "q")).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: the TRI_TOPK most triangle-embedded suppliers of
+    the top-TRI_EDGES affinity graph — (s_suppkey, n_tri, tri_total),
+    n_tri the supplier's triangle participation and tri_total the
+    graph-wide triangle count (identical on every row; Σ n_tri over
+    ALL nodes = 3·tri_total). Motif density is the classic community
+    / collusion signal over a trade network.
+
+    The per-node count relation is ≤ 2·TRI_EDGES rows by construction
+    (only triangle members appear), so it persists for the two reads
+    (global total + top-k) at a fixed cost independent of corpus size;
+    the top-k is again TakeOrderedAndProject and the 1-row total
+    attaches via an explicit broadcast (a bare 1-row cross join plans
+    a CartesianProduct — the round-10 retention-certificate lesson)."""
+    cnt = triangle_counts(supplier_affinity_edges(spark, sf_dir))
+    cnt.persist()
+    tot = cnt.agg(
+        F.expr(
+            "CAST(COALESCE(SUM(n_tri), 0) DIV 3 AS BIGINT)"
+        ).alias("tri_total")
+    )
+    top = (
+        cnt.orderBy(F.col("n_tri").desc(), "node")
+        .limit(TRI_TOPK)
+        .select(F.col("node").alias("s_suppkey"), "n_tri")
+    )
+    out = top.crossJoin(F.broadcast(tot)).orderBy(
+        F.col("n_tri").desc(), "s_suppkey"
+    )
+    return out
+
+
+def _triangles_oracle() -> str:
+    """Canonical a < b < c triple-join replay — counts every triangle
+    once without orientation (the oracle may be O(n³); the Spark side
+    may not), then the same explode / group / top-k."""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+p AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, COUNT(*) AS sup
+  FROM li l1
+  JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_suppkey < l2.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM p ORDER BY sup DESC, a, b LIMIT {TRI_EDGES}),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+),
+cnt AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY node),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tri_total FROM t)
+SELECT CAST(node AS BIGINT) AS s_suppkey,
+       CAST(n_tri AS BIGINT) AS n_tri,
+       tri_total
+FROM cnt CROSS JOIN tot
+ORDER BY n_tri DESC, s_suppkey
+LIMIT {TRI_TOPK}
+""".strip()
+
+
 #: oracle-tested locally (tests/test_graph.py); 50-slot contract full
-LOCAL_QUERIES = {"graph_pagerank": graph_pagerank}
-LOCAL_ORACLE_SQL = {"graph_pagerank": _pagerank_oracle()}
+LOCAL_QUERIES = {
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+}
+LOCAL_ORACLE_SQL = {
+    "graph_pagerank": _pagerank_oracle(),
+    "graph_triangles": _triangles_oracle(),
+}

@@ -5,6 +5,7 @@ tiny-graph values, lineage truncation on long runs)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from guagua_spark.operators.graph import (
     LOCAL_ORACLE_SQL,
@@ -71,3 +72,66 @@ def test_pagerank_long_run_truncates_lineage(spark):
     )
     rows = pagerank(edges, iterations=12).collect()
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+
+
+# -- triangle counting -------------------------------------------------------
+
+
+def test_triangles_matches_oracle(spark, oracle_sf_dir, duck):
+    df = LOCAL_QUERIES["graph_triangles"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["graph_triangles"])
+
+
+def test_triangle_counts_k4(spark):
+    """K4 has 4 triangles; every node sits in C(3,2) = 3 of them."""
+    from guagua_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, "a long, b long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_pendant_excluded(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: the pendant node is in no
+    triangle and must be absent from the counts."""
+    from guagua_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_path_graph_empty(spark):
+    from guagua_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangles_total_consistency(spark, sf_dir):
+    """Σ n_tri over ALL nodes = 3 × tri_total (each triangle has three
+    members), and the query's tri_total column agrees."""
+    from guagua_spark.operators.graph import (
+        graph_triangles,
+        supplier_affinity_edges,
+        triangle_counts,
+    )
+
+    cnt = triangle_counts(supplier_affinity_edges(spark, sf_dir))
+    total3 = cnt.agg(F.sum("n_tri")).first()[0] or 0
+    assert total3 % 3 == 0
+    rows = graph_triangles(spark, sf_dir).collect()
+    assert rows and all(r["tri_total"] == total3 // 3 for r in rows)
+
+
+def test_triangles_plan_has_no_cartesian_and_bounded_topk(spark, sf_dir):
+    """The 1-row total attaches by broadcast (no CartesianProduct) and
+    both global selections (edge prune, top-k) plan as
+    TakeOrderedAndProject — never a full global Sort + Limit."""
+    df = LOCAL_QUERIES["graph_triangles"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
