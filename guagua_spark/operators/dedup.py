@@ -1979,3 +1979,101 @@ def _spans_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred from the INC_SPLIT block above: the exact-stats oracle
 # splices the spn_* CTE chain, whose pieces live in the span section
 ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
+
+
+# -- edit-distance verification of LSH candidates (round 10) -----------------
+
+#: max Levenshtein distance for a candidate pair to count as a verified
+#: near-duplicate. sf0.01 probe: the LSH candidate set splits into true
+#: near-dups at distance 4-20 and band collisions at ~300, so 20
+#: separates cleanly at the synthetic doc lengths (48-553 chars).
+EDIT_TAU = 20
+
+
+def edit_verified_pairs(docs: DataFrame, tau: int = EDIT_TAU) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by BANDED edit distance —
+    the block-then-verify record-linkage pipeline with Levenshtein as
+    the verifier instead of shingle Jaccard (character-level edits that
+    barely move a 3-word-shingle set still move edit distance, and vice
+    versa — the two verifiers rank different near-dup classes).
+
+    100 TB shape: candidates come from the banded LSH bucket self-join
+    (never all-pairs — the same generation as minhash_pairs_for), and
+    the verify uses Spark's THRESHOLDED levenshtein(l, r, tau): the
+    banded DP visits O(tau · min(len)) cells and bails to -1 at the
+    threshold, so a band collision between two long unrelated docs
+    costs O(tau·n), not O(n²) — the reason a fixed tau keeps the verify
+    stage linear in candidate count at any document length. Text joins
+    back to candidates by doc_id, so full text shuffles only for
+    candidate rows. The signature table is localCheckpoint'ed as in
+    minhash_pairs_for (both bucket-join sides re-evaluate the
+    k·|shingles| md5 folds otherwise)."""
+    sig = (
+        with_signature(docs)
+        .select("doc_id", *[F.col(f"__mh{j}") for j in range(NUM_HASHES)])
+        .localCheckpoint()
+    )
+    buckets = _band_buckets(sig)
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    t = docs.select("doc_id", "text")
+    joined = cand.join(
+        t.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+        "doc_a",
+    ).join(
+        t.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+        "doc_b",
+    )
+    d = F.levenshtein(F.col("ta"), F.col("tb"), tau)
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.length("ta").cast("bigint").alias("len_a"),
+            F.length("tb").cast("bigint").alias("len_b"),
+            d.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: verified (doc_a, doc_b, len_a, len_b, edit_dist)
+    near-dup pairs of the documents table, edit_dist ≤ EDIT_TAU."""
+    return edit_verified_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _edit_pairs_oracle() -> str:
+    """Splices the shared LSH candidate CTEs, then DuckDB's (unbanded)
+    levenshtein as the verify — same integers, O(n²) is fine for an
+    oracle."""
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b,
+       CAST(LENGTH(x.text) AS BIGINT) AS len_a,
+       CAST(LENGTH(y.text) AS BIGINT) AS len_b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+FROM cand
+JOIN documents x ON x.doc_id = cand.doc_a
+JOIN documents y ON y.doc_id = cand.doc_b
+WHERE levenshtein(x.text, y.text) <= {EDIT_TAU}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+LOCAL_QUERIES["dedup_edit_pairs"] = dedup_edit_pairs
+LOCAL_ORACLE_SQL["dedup_edit_pairs"] = _edit_pairs_oracle()

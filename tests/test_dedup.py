@@ -255,3 +255,35 @@ def test_sampled_twin_rate_rule_is_engine_identical(duck):
         f" < 0.1 * 4294967296.0"
     ).fetchone()[0]
     assert 0 < n_kept < 50000 and abs(n_kept - 5000) < 500
+
+
+def test_edit_verified_pairs_tiny_graph(spark):
+    """Two docs one character apart verify at edit_dist 1; an unrelated
+    doc never pairs (different shingles → different buckets; even a
+    band collision would fail the tau verify)."""
+    from guagua_spark.operators.dedup import edit_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("dog", "dot")),
+            (3, "colorless green ideas sleep furiously under warm rain"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = edit_verified_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"], r["edit_dist"]) for r in rows] == [
+        (1, 2, 1)
+    ]
+
+
+def test_edit_pairs_within_tau_and_below_candidates(spark, oracle_sf_dir):
+    """Every verified pair is ≤ EDIT_TAU, and the verify genuinely
+    prunes (the corpus has band collisions at distance ≫ tau)."""
+    from guagua_spark.operators.dedup import EDIT_TAU, LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["dedup_edit_pairs"](spark, oracle_sf_dir).collect()
+    assert rows, "synthetic corpus plants near-dups"
+    assert all(0 <= r["edit_dist"] <= EDIT_TAU for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
