@@ -793,3 +793,117 @@ SELECT roll.l_returnflag, roll.l_linestatus, roll.revenue, roll.cnt,
 FROM roll CROSS JOIN cert
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """.strip()
+
+
+# -- market-basket association rules (round 10) ------------------------------
+
+#: rules returned by the query entry, by pair support
+RULES_TOPK = 20
+
+
+def rx_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-RULES_TOPK association rules over order baskets — for the
+    strongest co-purchased part pairs {a, b}: support counts, both
+    directed confidences conf(a→b) = sup(ab)/sup(a), and lift =
+    N·sup(ab)/(sup(a)·sup(b)) — the Apriori/FP-growth headline stats
+    restricted to 2-itemsets, which at 100 TB is the part that's a
+    JOIN problem rather than a lattice-search problem.
+
+    Shape at scale: basket distinct + the pair self-join share one
+    l_orderkey exchange (fan-out C(basket, 2) — bounded by basket
+    size); pair and item supports are partial-agg groupBys; the top-m
+    pair prune is TakeOrderedAndProject (per-partition heaps); the two
+    item-support lookups then join the part-sized support relation
+    against a BROADCAST 20-row side, so no corpus-scale work follows
+    the prune. Divisions are IEEE-exact on integer counts — both
+    engines derive bit-identical doubles."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    )
+    pair_sup = (
+        left.join(right, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+    )
+    top = pair_sup.orderBy(
+        F.col("sup_ab").desc(), "part_a", "part_b"
+    ).limit(RULES_TOPK)
+    item_sup = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("sup_item")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    out = (
+        item_sup.join(
+            F.broadcast(top),
+            item_sup["l_partkey"] == top["part_a"],
+        )
+        .select("part_a", "part_b", "sup_ab", F.col("sup_item").alias("sup_a"))
+        .join(
+            item_sup.withColumnRenamed("l_partkey", "part_b")
+            .withColumnRenamed("sup_item", "sup_b"),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "sup_ab",
+            "sup_a",
+            "sup_b",
+            (F.col("sup_ab") / F.col("sup_a")).alias("conf_ab"),
+            (F.col("sup_ab") / F.col("sup_b")).alias("conf_ba"),
+            (
+                F.col("n_orders")
+                * F.col("sup_ab")
+                / (F.col("sup_a") * F.col("sup_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("sup_ab").desc(), "part_a", "part_b")
+    )
+    return out
+
+
+def _association_rules_oracle() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_sup AS (
+  SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b,
+         COUNT(*) AS sup_ab
+  FROM li l1
+  JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM pair_sup ORDER BY sup_ab DESC, part_a, part_b
+  LIMIT {RULES_TOPK}
+),
+item_sup AS (SELECT l_partkey, COUNT(*) AS sup_item FROM li GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT part_a, part_b, sup_ab,
+       sa.sup_item AS sup_a, sb.sup_item AS sup_b,
+       CAST(sup_ab AS DOUBLE) / sa.sup_item AS conf_ab,
+       CAST(sup_ab AS DOUBLE) / sb.sup_item AS conf_ba,
+       CAST(n.n_orders AS DOUBLE) * sup_ab / (sa.sup_item * sb.sup_item)
+         AS lift
+FROM top
+JOIN item_sup sa ON sa.l_partkey = top.part_a
+JOIN item_sup sb ON sb.l_partkey = top.part_b
+CROSS JOIN n
+ORDER BY sup_ab DESC, part_a, part_b
+""".strip()
+
+
+LOCAL_QUERIES["rx_association_rules"] = rx_association_rules
+LOCAL_ORACLE_SQL["rx_association_rules"] = _association_rules_oracle()

