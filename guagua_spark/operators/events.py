@@ -1164,3 +1164,169 @@ ORDER BY h.event_type, h.bucket
 LOCAL_QUERIES["events_value_rank_qcm"] = events_value_rank_qcm
 LOCAL_ORACLE_SQL["events_value_rank_qcm"] = _value_rank_qcm_oracle()
 ORACLE_SQL["events_histogram"] = _histogram_qcm_oracle()
+
+
+# -- HLL audience overlap (round 10) -----------------------------------------
+
+#: high-value threshold defining the two audiences — picked so the
+#: audiences overlap partially at every probed sf (sf0.01: |A|=135,
+#: |B|=127, |A∩B|=113); a plain >= on a parquet DOUBLE, so both
+#: engines select identical rows
+OVERLAP_VALUE_MIN = 90.0
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation by HLL SET ALGEBRA — the sketch
+    composition the per-type distinct count can't answer: |A∩B| for
+    A = high-value clickers, B = high-value purchasers, via
+    inclusion-exclusion est(A) + est(B) − est(A∪B), where the union
+    sketch is hll_merge's register-wise MAX (never a re-scan of the
+    union's raw rows). One row: the three register checksums (binding
+    every register of all three sketches), the three raw estimates
+    (exact-by-construction dyadic sums), the three CORRECTED estimates
+    (linear counting — the meaningful numbers at small fill; LN/libm,
+    which is fine here because this operator lives under the
+    rtol-gated LOCAL oracle, not a hash-certified contract row — the
+    hll_cert_df policy), the derived intersection estimate from the
+    corrected values, and the four exact cardinalities for
+    reference.
+
+    100 TB shape: each audience's register build is the constant-size
+    HLL exchange (≤ m rows per partition); the union costs a groupBy
+    MAX over two m-row tables — the raw events are scanned once per
+    audience and never again; exact counts ride ONE partial-agg
+    exchange over the combined audience filter (per-user flag maxes,
+    then four decomposable sums)."""
+    from guagua_spark.functions.sketch import (
+        hll_estimate_cols,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    hv = F.col("value") >= F.lit(OVERLAP_VALUE_MIN)
+    a = ev.filter((F.col("event_type") == "click") & hv).select("user_id")
+    b = ev.filter((F.col("event_type") == "purchase") & hv).select(
+        "user_id"
+    )
+    reg_a = hll_registers(a, "user_id")
+    reg_b = hll_registers(b, "user_id")
+    reg_u = hll_merge(reg_a, reg_b)
+
+    def _sketch_row(regs: DataFrame, tag: str) -> DataFrame:
+        _, chk, raw, est = hll_estimate_cols()
+        return regs.agg(
+            chk.alias(f"{tag}_reg_checksum"),
+            raw.alias(f"{tag}_est_raw"),
+            est.alias(f"{tag}_est"),
+        )
+
+    aud = (
+        ev.filter(
+            hv & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("ha"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("hb"),
+        )
+    )
+    exact = aud.agg(
+        F.sum("ha").cast("bigint").alias("exact_a"),
+        F.sum("hb").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("ha") * F.col("hb")).cast("bigint").alias("exact_inter"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(_sketch_row(reg_a, "a")))
+        .crossJoin(F.broadcast(_sketch_row(reg_b, "b")))
+        .crossJoin(F.broadcast(_sketch_row(reg_u, "u")))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            "a_reg_checksum",
+            "b_reg_checksum",
+            "u_reg_checksum",
+            "a_est_raw",
+            "b_est_raw",
+            "u_est_raw",
+            "a_est",
+            "b_est",
+            "u_est",
+            F.round(
+                F.col("a_est") + F.col("b_est") - F.col("u_est"), 6
+            ).alias("inter_est"),
+        )
+    )
+
+
+def _audience_overlap_oracle() -> str:
+    from guagua_spark.functions.sketch import (
+        hll_bucket_sql,
+        hll_estimate_sql,
+        hll_rank_sql,
+    )
+
+    def regs(name: str, pred: str) -> str:
+        return f"""{name} AS (
+  SELECT {hll_bucket_sql('uid')} AS bucket,
+         MAX({hll_rank_sql('uid')}) AS reg
+  FROM (SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+        WHERE {pred} AND user_id IS NOT NULL)
+  GROUP BY 1
+)"""
+
+    pa = f"event_type = 'click' AND value >= {OVERLAP_VALUE_MIN!r}"
+    pb = f"event_type = 'purchase' AND value >= {OVERLAP_VALUE_MIN!r}"
+    est = hll_estimate_sql()
+    return f"""
+WITH {regs("ra", pa)},
+{regs("rb", pb)},
+ru AS (
+  SELECT bucket, MAX(reg) AS reg
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1
+),
+ea AS (SELECT {est} FROM ra),
+eb AS (SELECT {est} FROM rb),
+eu AS (SELECT {est} FROM ru),
+aud AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ha,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hb
+  FROM events
+  WHERE value >= {OVERLAP_VALUE_MIN!r}
+    AND event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+ex AS (
+  SELECT CAST(SUM(ha) AS BIGINT) AS exact_a,
+         CAST(SUM(hb) AS BIGINT) AS exact_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(ha * hb) AS BIGINT) AS exact_inter
+  FROM aud
+)
+SELECT exact_a, exact_b, exact_union, exact_inter,
+       ea.hll_reg_checksum AS a_reg_checksum,
+       eb.hll_reg_checksum AS b_reg_checksum,
+       eu.hll_reg_checksum AS u_reg_checksum,
+       ea.hll_est_raw AS a_est_raw,
+       eb.hll_est_raw AS b_est_raw,
+       eu.hll_est_raw AS u_est_raw,
+       ea.hll_est AS a_est,
+       eb.hll_est AS b_est,
+       eu.hll_est AS u_est,
+       ROUND(ea.hll_est + eb.hll_est - eu.hll_est, 6) AS inter_est
+FROM ex, ea, eb, eu
+""".strip()
+
+
+LOCAL_QUERIES["events_audience_overlap"] = events_audience_overlap
+LOCAL_ORACLE_SQL["events_audience_overlap"] = _audience_overlap_oracle()

@@ -58,3 +58,39 @@ def test_sessionize_single_exchange(spark, oracle_sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_audience_overlap_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.events import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["events_audience_overlap"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["events_audience_overlap"], rtol=1e-6
+    )
+
+
+def test_audience_overlap_estimates_behave(spark, oracle_sf_dir):
+    """Sketch set algebra sanity on the deterministic corpus: the
+    union estimate dominates both operands (register-wise MAX only
+    grows a sketch), every corrected estimate lands within 10% of its
+    exact cardinality at this fill, and the derived intersection
+    estimate is both consistent (a + b − u identically) and accurate."""
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    r = LOCAL_QUERIES["events_audience_overlap"](
+        spark, oracle_sf_dir
+    ).first()
+    assert r["u_est"] >= max(r["a_est"], r["b_est"])
+    for est, exact in [
+        ("a_est", "exact_a"),
+        ("b_est", "exact_b"),
+        ("u_est", "exact_union"),
+        ("inter_est", "exact_inter"),
+    ]:
+        assert abs(r[est] - r[exact]) / r[exact] < 0.10, (est, r)
+    assert abs(
+        r["inter_est"] - round(r["a_est"] + r["b_est"] - r["u_est"], 6)
+    ) < 1e-9
