@@ -1330,3 +1330,84 @@ FROM ex, ea, eb, eu
 
 LOCAL_QUERIES["events_audience_overlap"] = events_audience_overlap
 LOCAL_ORACLE_SQL["events_audience_overlap"] = _audience_overlap_oracle()
+
+
+# -- time-series gap-fill + forward fill (round 10) ---------------------------
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with gap-fill and forward-fill — the
+    telemetry/feature-store shape: every user gets a DENSE hour grid
+    from their first to their last active hour; empty hours appear
+    with n_events = 0 and carry the last observed hourly max forward
+    (LOCF). ~90% of grid rows are gaps on this corpus, so the fill is
+    the operator, not a no-op.
+
+    100 TB shape: the per-user explode is F.sequence over the user's
+    [first, last] hour — bounded by the TIME DOMAIN (720 buckets per
+    30-day window), never by event count, so the grid is |users|·|domain|
+    and each forward-fill window sorts ≤ |domain| rows per user — a
+    hot user costs the same as a cold one (same argument as the
+    score-bucket prefix sum: windows over domain-bounded relations are
+    skew-immune by construction). The grid-to-actuals join reuses the
+    (user, hour) bucket aggregation's exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "value",
+    )
+    b = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("hmax")
+    )
+    r = b.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = r.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(b, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("hmax"),
+        F.last("hmax", ignorenulls=True).over(w).alias("ffill_value"),
+    ).orderBy("user_id", "hour")
+
+
+def _gapfill_oracle() -> str:
+    return """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n, MAX(value) AS hmax
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM b GROUP BY 1),
+g AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM r
+),
+j AS (
+  SELECT g.user_id, g.h, COALESCE(b.n, 0) AS n_events, b.hmax
+  FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+)
+SELECT user_id, h AS hour, CAST(n_events AS BIGINT) AS n_events, hmax,
+       LAST_VALUE(hmax IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS ffill_value
+FROM j
+ORDER BY user_id, hour
+""".strip()
+
+
+LOCAL_QUERIES["events_gapfill_hourly"] = events_gapfill_hourly
+LOCAL_ORACLE_SQL["events_gapfill_hourly"] = _gapfill_oracle()

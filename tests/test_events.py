@@ -94,3 +94,50 @@ def test_audience_overlap_estimates_behave(spark, oracle_sf_dir):
     assert abs(
         r["inter_est"] - round(r["a_est"] + r["b_est"] - r["u_est"], 6)
     ) < 1e-9
+
+
+def test_gapfill_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.events import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["events_gapfill_hourly"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["events_gapfill_hourly"], rtol=1e-6
+    )
+
+
+def test_gapfill_grid_and_locf_semantics(spark, oracle_sf_dir):
+    """Dense grid invariants on the real corpus: per user exactly
+    (last−first)+1 hourly rows, gap rows carry n_events = 0 with the
+    LOCF value equal to the most recent real hour's max, and the
+    first row of every user is never a gap (the grid starts at an
+    observed hour)."""
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["events_gapfill_hourly"](
+        spark, oracle_sf_dir
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) > 1
+    gaps = 0
+    for seq in by_user.values():
+        seq.sort(key=lambda r: r["hour"])
+        span = int(
+            (seq[-1]["hour"] - seq[0]["hour"]).total_seconds() // 3600
+        )
+        assert len(seq) == span + 1, "grid must be dense"
+        assert seq[0]["n_events"] > 0
+        last_real = None
+        for r in seq:
+            if r["n_events"] == 0:
+                gaps += 1
+                assert r["hmax"] is None
+                assert r["ffill_value"] == last_real
+            else:
+                last_real = r["hmax"]
+                assert r["ffill_value"] == r["hmax"]
+    assert gaps > 0, "corpus must exercise the fill"
