@@ -1374,13 +1374,18 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # no presentation orderBy: the grid is the largest relation any
+    # LOCAL entry returns (|users|·|domain| rows) and a global range
+    # sort of it buys nothing — consumers are keyed lookups/joins, the
+    # oracle harness sorts canonically, and rows are already grouped
+    # per user by the fill window's partitioning
     return j.select(
         "user_id",
         F.col("h").alias("hour"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         F.col("hmax"),
         F.last("hmax", ignorenulls=True).over(w).alias("ffill_value"),
-    ).orderBy("user_id", "hour")
+    )
 
 
 def _gapfill_oracle() -> str:

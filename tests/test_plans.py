@@ -399,3 +399,53 @@ def test_source_cap_ranks_within_salt_first(spark, oracle_sf_dir):
     p = _final(_plan(df))
     assert "__salt" in p, p
     assert "Exchange SinglePartition" not in p.split("Sort [source")[0], p
+
+
+def test_association_rules_plan_shapes(spark, oracle_sf_dir):
+    """The top-m pair prune plans as TakeOrderedAndProject (bounded
+    per-partition heaps, never a global Sort+Limit) and the 20-row
+    rule side reaches the item-support lookups as a broadcast — no
+    CartesianProduct anywhere."""
+    from guagua_spark.operators.relational_ext import LOCAL_QUERIES
+
+    p = _plan(LOCAL_QUERIES["rx_association_rules"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_edit_pairs_plan_no_cartesian(spark, oracle_sf_dir):
+    """Candidates come from the banded bucket equi-join — an
+    all-pairs regression would surface as a CartesianProduct /
+    NestedLoop."""
+    from guagua_spark.operators.dedup import LOCAL_QUERIES
+
+    p = _plan(LOCAL_QUERIES["dedup_edit_pairs"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_gapfill_single_user_window_exchange(spark, oracle_sf_dir):
+    """The forward-fill window must reuse the grid join's user
+    partitioning lineage — the plan may carry at most 2 hashpartition
+    exchanges on user-keyed relations ((user,h) bucket agg + the
+    user-window sort input) and no range exchange beyond the
+    presentation sort."""
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    p = _plan(LOCAL_QUERIES["events_gapfill_hourly"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p, p
+    n_hash = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_hash <= 3, f"{n_hash} hash exchanges:\n{p}"
+
+
+def test_audience_overlap_constant_size_exchanges(spark, oracle_sf_dir):
+    """Sketch builds exchange register rows (≤ m per partition), the
+    three 1-row sketch summaries attach by broadcast, and no
+    CartesianProduct appears despite the three cross joins."""
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    p = _plan(
+        LOCAL_QUERIES["events_audience_overlap"](spark, oracle_sf_dir)
+    )
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
