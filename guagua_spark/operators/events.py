@@ -495,7 +495,24 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joins and aggregations all hash on user_id so consecutive
     stages reuse one partitioning, and AQE still converts to broadcast
     at runtime when a side is genuinely under the threshold.
+
+    ``aov_*`` (round 10): the HLL audience-overlap certificate
+    (aov_cert_df — weighted register checksums, raw-estimate
+    inclusion-exclusion in µ-units, exact intersection/union) —
+    driver-certifies the events_audience_overlap LOCAL operator
+    inside this green row.
     """
+    from guagua_spark.operators.certmemo import cached_cert_row
+
+    aov = cached_cert_row(
+        spark,
+        sf_dir,
+        "audience_overlap",
+        ("events",),
+        "aov_reg_sum bigint, aov_raw_e6 bigint, "
+        "aov_exact_inter bigint, aov_exact_union bigint",
+        lambda: aov_cert_df(spark, sf_dir),
+    )
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
@@ -526,6 +543,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("click_ts").alias("n_click_after_signup"),
             F.count("purchase_ts").alias("n_purchase_after_click"),
         )
+        .crossJoin(F.broadcast(aov))
     )
 
 
@@ -1268,7 +1286,10 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _audience_overlap_oracle() -> str:
+def _aov_ctes() -> str:
+    """``ra`` → ``ex`` CTE body replaying events_audience_overlap —
+    shared by its standalone oracle and the aov_* certificate splice
+    in the funnel contract oracle (the _hll_rows_ctes pattern)."""
     from guagua_spark.functions.sketch import (
         hll_bucket_sql,
         hll_estimate_sql,
@@ -1287,8 +1308,7 @@ def _audience_overlap_oracle() -> str:
     pa = f"event_type = 'click' AND value >= {OVERLAP_VALUE_MIN!r}"
     pb = f"event_type = 'purchase' AND value >= {OVERLAP_VALUE_MIN!r}"
     est = hll_estimate_sql()
-    return f"""
-WITH {regs("ra", pa)},
+    return f"""{regs("ra", pa)},
 {regs("rb", pb)},
 ru AS (
   SELECT bucket, MAX(reg) AS reg
@@ -1312,7 +1332,12 @@ ex AS (
          CAST(COUNT(*) AS BIGINT) AS exact_union,
          CAST(SUM(ha * hb) AS BIGINT) AS exact_inter
   FROM aud
-)
+)"""
+
+
+def _audience_overlap_oracle() -> str:
+    return f"""
+WITH {_aov_ctes()}
 SELECT exact_a, exact_b, exact_union, exact_inter,
        ea.hll_reg_checksum AS a_reg_checksum,
        eb.hll_reg_checksum AS b_reg_checksum,
@@ -1330,6 +1355,86 @@ FROM ex, ea, eb, eu
 
 LOCAL_QUERIES["events_audience_overlap"] = events_audience_overlap
 LOCAL_ORACLE_SQL["events_audience_overlap"] = _audience_overlap_oracle()
+
+
+def aov_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row certificate binding events_audience_overlap into the
+    hash-checked funnel contract row (column-merge pattern, SURVEY.md
+    §7): a weighted sum of the three register checksums (weights 1/3/9
+    so sketches can't swap places unnoticed), the RAW-estimate
+    inclusion-exclusion in integer µ-units (the hll_raw_e6 precedent —
+    raw estimates are exact-by-construction dyadic sums, so no libm
+    enters the hash-certified path; the corrected LN-based estimates
+    stay under the rtol LOCAL oracle), and the two exact driver
+    cardinalities. A flipped register in ANY of the three sketches, a
+    drifted merge, or a wrong exact count each flip an integer."""
+    r = events_audience_overlap(spark, sf_dir)
+    return r.select(
+        (
+            F.col("a_reg_checksum")
+            + 3 * F.col("b_reg_checksum")
+            + 9 * F.col("u_reg_checksum")
+        )
+        .cast("bigint")
+        .alias("aov_reg_sum"),
+        F.round(
+            (
+                F.col("a_est_raw")
+                + F.col("b_est_raw")
+                - F.col("u_est_raw")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("aov_raw_e6"),
+        F.col("exact_inter").alias("aov_exact_inter"),
+        F.col("exact_union").alias("aov_exact_union"),
+    )
+
+
+def _funnel_aov_oracle() -> str:
+    """The funnel oracle with the aov_* audience-overlap certificate
+    CTEs spliced in (round 10) — same splice shape as the retention
+    row's lat_*/blm_* pair."""
+    return f"""
+WITH {_aov_ctes()},
+aovcert AS (
+  SELECT CAST(ea.hll_reg_checksum + 3 * eb.hll_reg_checksum
+              + 9 * eu.hll_reg_checksum AS BIGINT) AS aov_reg_sum,
+         CAST(ROUND((ea.hll_est_raw + eb.hll_est_raw - eu.hll_est_raw)
+                    * 1e6) AS BIGINT) AS aov_raw_e6,
+         exact_inter AS aov_exact_inter,
+         exact_union AS aov_exact_union
+  FROM ex, ea, eb, eu
+),
+s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT COUNT(*) AS n_signup,
+       COUNT(c.click_ts) AS n_click_after_signup,
+       COUNT(p.purchase_ts) AS n_purchase_after_click,
+       aov_reg_sum, aov_raw_e6, aov_exact_inter, aov_exact_union
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+       CROSS JOIN aovcert
+GROUP BY aov_reg_sum, aov_raw_e6, aov_exact_inter, aov_exact_union
+""".strip()
+
+
+# deferred: the funnel contract oracle splices the aov_* certificate
+# CTEs defined in this section
+ORACLE_SQL["events_funnel"] = _funnel_aov_oracle()
 
 
 # -- time-series gap-fill + forward fill (round 10) ---------------------------
