@@ -788,3 +788,43 @@ def streaming_value_rank_qcm(
         F.col("cell.j").alias("j"),
         F.col("cell.bucket").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def streaming_audience_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of events_audience_overlap's sketch state: both
+    audience register tables maintained live from one pass over the
+    stream (audience tag 'a' = high-value clickers, 'b' = high-value
+    purchasers — same predicates as the batch operator, imported so
+    the two can never drift). Register MAX is monotone, so a plain
+    complete-mode groupBy maintains the state incrementally; the union
+    sketch and the inclusion-exclusion overlap estimate are READ-TIME
+    arithmetic over these rows (union = MAX over the two audience
+    tags per bucket — hll_merge's law), never extra streaming state.
+    State is bounded at 2 × 1024 register rows BY CONSTRUCTION — the
+    audience-overlap question answered live with constant memory at
+    any event rate."""
+    from guagua_spark.functions.sketch import (
+        hll_bucket_col,
+        hll_rank_col,
+    )
+    from guagua_spark.operators.events import OVERLAP_VALUE_MIN
+
+    ev = _events_stream(spark, sf_dir)
+    hv = F.col("value") >= F.lit(OVERLAP_VALUE_MIN)
+    aud = (
+        F.when(F.col("event_type") == "click", "a")
+        .when(F.col("event_type") == "purchase", "b")
+    )
+    uid = F.col("user_id").cast("string")
+    return (
+        ev.filter(hv & F.col("event_type").isin("click", "purchase"))
+        .select(
+            aud.alias("aud"),
+            hll_bucket_col(uid).alias("bucket"),
+            hll_rank_col(uid).alias("rank"),
+        )
+        .groupBy("aud", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )

@@ -412,3 +412,37 @@ def test_streaming_qcm_counters_equal_batch(spark, sf_dir):
     want = qcm_counters(load_table(spark, sf_dir, "events"), "value")
     cols = ("lvl", "j", "bucket", "n")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_audience_registers_match_batch(spark, sf_dir):
+    """Both streamed audience sketches equal their batch register
+    builds exactly, and the read-time union (MAX over the two audience
+    tags) equals batch hll_merge — so the live inclusion-exclusion
+    overlap estimate is identical to events_audience_overlap's."""
+    from guagua_spark.functions.sketch import hll_merge, hll_registers
+    from guagua_spark.operators.events import OVERLAP_VALUE_MIN
+    from guagua_spark.streaming import streaming_audience_registers
+
+    got = run_available_now(
+        streaming_audience_registers(spark, sf_dir), "s_aov", "complete"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.col("value") >= F.lit(OVERLAP_VALUE_MIN)
+    reg = {
+        tag: hll_registers(
+            ev.filter(hv & (F.col("event_type") == etype)).select(
+                F.col("user_id").cast("string").alias("uid")
+            ),
+            "uid",
+        )
+        for tag, etype in [("a", "click"), ("b", "purchase")]
+    }
+    for tag in ("a", "b"):
+        assert _rows(
+            got.filter(F.col("aud") == tag), "bucket", "reg"
+        ) == _rows(reg[tag], "bucket", "reg")
+    union_live = got.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    union_batch = hll_merge(reg["a"], reg["b"])
+    assert _rows(union_live, "bucket", "reg") == _rows(
+        union_batch, "bucket", "reg"
+    )
