@@ -1521,3 +1521,93 @@ ORDER BY user_id, hour
 
 LOCAL_QUERIES["events_gapfill_hourly"] = events_gapfill_hourly
 LOCAL_ORACLE_SQL["events_gapfill_hourly"] = _gapfill_oracle()
+
+
+# -- session sequence mining (round 10) ---------------------------------------
+
+
+def events_session_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition mining: for every ordered in-session pair
+    of consecutive events, how often the transition occurs and in how
+    many distinct sessions — the Markov-chain / next-action matrix
+    over the same gap-based sessions as events_sessionize (identical
+    flag → cumsum construction, so the two can never disagree on
+    session boundaries).
+
+    100 TB shape: ONE user_id exchange + sort feeds both window passes
+    (session-id cumsum and the lag), then the transition counts are a
+    partial-agg groupBy over a ≤ |event types|² key space — the output
+    relation is domain-bounded (25 rows here) whatever the corpus.
+    Ties on ts break by event_id in BOTH engines, so the lag sequence
+    is a total order and the counts are deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag("ts").over(by_user)
+            > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    # a per-(user, session) lag would cost a second exchange on
+    # (user_id, session_seq); but under the per-user total order an
+    # in-session transition is EXACTLY a per-user lag row where
+    # new_session = 0 (a session-opening event's lag crosses the
+    # boundary and is excluded by the flag), so one window
+    # partitioning serves the session cumsum AND the pairing
+    pairs = with_flag.select(
+        "user_id",
+        (F.sum("new_session").over(by_user) + 1).alias("session_seq"),
+        F.lag("event_type").over(by_user).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+        "new_session",
+    ).filter(
+        (F.col("new_session") == 0) & F.col("src_type").isNotNull()
+    )
+    return (
+        pairs.groupBy("src_type", "dst_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id", "session_seq").alias("n_sessions"),
+        )
+        .orderBy("src_type", "dst_type")
+    )
+
+
+def _session_bigrams_oracle() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w)
+                   > {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+  FROM flagged
+),
+pairs AS (
+  SELECT user_id, session_seq,
+         LAG(event_type) OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) AS src_type,
+         event_type AS dst_type
+  FROM sess
+)
+SELECT src_type, dst_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT (user_id, session_seq)) AS BIGINT) AS n_sessions
+FROM pairs WHERE src_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+""".strip()
+
+
+LOCAL_QUERIES["events_session_bigrams"] = events_session_bigrams
+LOCAL_ORACLE_SQL["events_session_bigrams"] = _session_bigrams_oracle()

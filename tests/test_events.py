@@ -141,3 +141,51 @@ def test_gapfill_grid_and_locf_semantics(spark, oracle_sf_dir):
                 last_real = r["hmax"]
                 assert r["ffill_value"] == r["hmax"]
     assert gaps > 0, "corpus must exercise the fill"
+
+
+def test_session_bigrams_match_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.events import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["events_session_bigrams"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["events_session_bigrams"]
+    )
+
+
+def test_session_bigrams_agree_with_sessionize(spark, oracle_sf_dir):
+    """Transition totals are tied to events_sessionize's own session
+    inventory: Σ n_transitions = Σ (session length − 1) — every event
+    but each session's first is the target of exactly one in-session
+    transition. Proves the two operators share session boundaries."""
+    from guagua_spark.operators.events import LOCAL_QUERIES, QUERIES
+
+    trans = LOCAL_QUERIES["events_session_bigrams"](
+        spark, oracle_sf_dir
+    ).collect()
+    sess = QUERIES["events_sessionize"](spark, oracle_sf_dir).collect()
+    assert sum(r["n_transitions"] for r in trans) == sum(
+        r["n_events"] - 1 for r in sess
+    )
+    assert all(r["n_sessions"] <= r["n_transitions"] for r in trans)
+
+
+def test_session_bigrams_single_user_exchange(spark, oracle_sf_dir):
+    """Both window passes (session cumsum + pairing lag) must ride ONE
+    user_id exchange — the per-(user, session) second exchange is the
+    regression this pins."""
+    import re
+
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    df = LOCAL_QUERIES["events_session_bigrams"](spark, oracle_sf_dir)
+    p = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    n = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
+    assert n == 1, f"{n} user_id exchanges:\n{p}"
