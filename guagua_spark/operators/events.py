@@ -1611,3 +1611,133 @@ ORDER BY 1, 2
 
 LOCAL_QUERIES["events_session_bigrams"] = events_session_bigrams
 LOCAL_ORACLE_SQL["events_session_bigrams"] = _session_bigrams_oracle()
+
+
+# -- CM join-size estimation (round 10) ---------------------------------------
+
+
+def cm_join_size(counters_a: DataFrame, counters_b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min counter tables
+    over the join key (Cormode & Muthukrishnan, J.Alg'05 §4.3: the
+    sketch inner product): per depth row j, Σ_b cA[j,b]·cB[j,b]; the
+    estimate is the MIN across rows — NEVER an underestimate (each
+    product counts the true Σ_k fA(k)·fB(k) plus non-negative
+    collision cross-terms). One row (est_join bigint).
+
+    The inputs are ≤ d·w = 1024-row tables, so this costs a toy join
+    whatever the corpora; the SIZES of a 100 TB equi-join are
+    estimated without touching either side again — the optimizer /
+    capacity-planning primitive. Integer-exact while per-key counts
+    stay < ~3e9 per side (Σ 256 products of two such counts < 2⁶³);
+    beyond that the counters themselves need DECIMAL — the
+    binder-magnitude audit class (SCALE.md)."""
+    j = counters_a.alias("x").join(
+        counters_b.alias("y"), ["j", "bucket"]
+    )
+    per_row = j.groupBy("j").agg(
+        F.sum(F.col("x.n") * F.col("y.n")).alias("ip")
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("est_join"))
+
+
+def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many (click, purchase) row pairs join on user_id —
+    estimated from two 1024-cell CM sketches via the inner product,
+    with the exact answer alongside (Σ per-user clicks × purchases —
+    ONE partial-agg exchange over the filtered events). One row:
+    (est_join, exact_join, ca_checksum, cb_checksum); est ≥ exact
+    always, property-tested."""
+    from guagua_spark.functions.sketch import cm_counters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    ca = cm_counters(clicks, "user_id")
+    cb = cm_counters(purchases, "user_id")
+
+    def _chk(c: DataFrame, name: str) -> DataFrame:
+        from guagua_spark.functions.sketch import CM_WIDTH
+
+        return c.agg(
+            F.sum(
+                (F.col("j") * CM_WIDTH + F.col("bucket") + 1) * F.col("n")
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    per_user = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+    )
+    exact = per_user.agg(
+        F.sum(F.col("nc") * F.col("np")).cast("bigint").alias("exact_join")
+    )
+    return (
+        cm_join_size(ca, cb)
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(_chk(ca, "ca_checksum")))
+        .crossJoin(F.broadcast(_chk(cb, "cb_checksum")))
+    )
+
+
+def _join_size_cm_oracle() -> str:
+    from guagua_spark.functions.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_bucket_sql,
+    )
+
+    def counters(name: str, etype: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {j} AS j, {cm_bucket_sql(j, 'uid')} AS bucket"
+            " FROM base_" + name
+            for j in range(CM_DEPTH)
+        )
+        return f"""base_{name} AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+  WHERE event_type = '{etype}' AND user_id IS NOT NULL
+),
+{name} AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({rows}) GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH {counters("ca", "click")},
+{counters("cb", "purchase")},
+ip AS (
+  SELECT ca.j, SUM(ca.n * cb.n) AS ip
+  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+  GROUP BY 1
+),
+est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join FROM ip),
+pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+ex AS (SELECT CAST(SUM(nc * np) AS BIGINT) AS exact_join FROM pu),
+cka AS (SELECT CAST(SUM((j * {CM_WIDTH} + bucket + 1) * n) AS BIGINT)
+               AS ca_checksum FROM ca),
+ckb AS (SELECT CAST(SUM((j * {CM_WIDTH} + bucket + 1) * n) AS BIGINT)
+               AS cb_checksum FROM cb)
+SELECT est_join, exact_join, ca_checksum, cb_checksum
+FROM est, ex, cka, ckb
+""".strip()
+
+
+LOCAL_QUERIES["events_join_size_cm"] = events_join_size_cm
+LOCAL_ORACLE_SQL["events_join_size_cm"] = _join_size_cm_oracle()

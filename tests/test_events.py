@@ -189,3 +189,43 @@ def test_session_bigrams_single_user_exchange(spark, oracle_sf_dir):
     )
     n = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
     assert n == 1, f"{n} user_id exchanges:\n{p}"
+
+
+def test_join_size_cm_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.events import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["events_join_size_cm"](spark, oracle_sf_dir)
+    assert_matches_oracle(
+        df, duck, LOCAL_ORACLE_SQL["events_join_size_cm"]
+    )
+
+
+def test_join_size_cm_one_sided(spark, oracle_sf_dir):
+    """The inner-product estimate NEVER underestimates the true join
+    size (collision cross-terms are non-negative)."""
+    from guagua_spark.operators.events import LOCAL_QUERIES
+
+    r = LOCAL_QUERIES["events_join_size_cm"](spark, oracle_sf_dir).first()
+    assert r["est_join"] >= r["exact_join"] > 0
+
+
+def test_join_size_cm_exact_on_tiny_keys(spark):
+    """With key sets small enough that no CM buckets collide, the
+    inner product is EXACTLY the join size."""
+    from guagua_spark.functions.sketch import cm_counters
+    from guagua_spark.operators.events import cm_join_size
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 4]], "k long"
+    )
+    est = cm_join_size(
+        cm_counters(a, "k"), cm_counters(b, "k")
+    ).first()["est_join"]
+    # true join size: key 1 -> 3*1, key 2 -> 1*2, keys 3/4 unmatched
+    assert est == 5
