@@ -907,3 +907,106 @@ ORDER BY sup_ab DESC, part_a, part_b
 
 LOCAL_QUERIES["rx_association_rules"] = rx_association_rules
 LOCAL_ORACLE_SQL["rx_association_rules"] = _association_rules_oracle()
+
+
+# -- data-quality / constraint audit (round 10) ------------------------------
+
+
+def quality_audit_df(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Deequ-style constraint audit compiled into ONE row: per-table
+    row counts, primary-key duplicate counts, null-FK counts, orphan
+    counts (child keys with no parent), a domain check (non-positive
+    totalprice), and the observed date range. Every violation count is
+    a decomposable aggregate or a key-only anti join, so the whole
+    audit is a handful of partial-agg scans + two LEFT ANTI joins that
+    shuffle 8-byte keys — auditing 100 TB costs key traffic, never
+    payload traffic, and a green audit certifies load integrity before
+    any downstream pipeline runs (violations are counted, not assumed:
+    the planted-violation tests prove each check fires)."""
+    o_stats = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("orders_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("orders_dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orders_null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("orders_bad_price"),
+        F.min("o_orderdate").alias("orders_date_lo"),
+        F.max("o_orderdate").alias("orders_date_hi"),
+    )
+    o_orphans = (
+        orders.select("o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orders_orphans"))
+    )
+    l_stats = lineitem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("lineitem_rows")
+    )
+    l_orphans = (
+        lineitem.select(F.col("l_orderkey").alias("k"))
+        .join(
+            orders.select(F.col("o_orderkey").alias("k")),
+            "k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lineitem_orphans"))
+    )
+    return (
+        o_stats.crossJoin(F.broadcast(o_orphans))
+        .crossJoin(F.broadcast(l_stats))
+        .crossJoin(F.broadcast(l_orphans))
+    )
+
+
+def rx_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: the constraint audit over orders / customer /
+    lineitem."""
+    return quality_audit_df(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_QUALITY_AUDIT_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orders_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS orders_dup_keys,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS orders_null_cust,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS orders_bad_price,
+         MIN(o_orderdate) AS orders_date_lo,
+         MAX(o_orderdate) AS orders_date_hi
+  FROM orders
+),
+oo AS (
+  -- LEFT ANTI semantics: a NULL FK matches no parent and IS an
+  -- orphan (SQL NOT IN would silently drop NULL keys instead)
+  SELECT CAST(COUNT(*) AS BIGINT) AS orders_orphans
+  FROM orders WHERE o_custkey IS NULL
+     OR o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+l AS (SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_rows FROM lineitem),
+lo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_orphans
+  FROM lineitem
+  WHERE l_orderkey IS NULL
+     OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT * FROM o, oo, l, lo
+""".strip()
+
+
+LOCAL_QUERIES["rx_quality_audit"] = rx_quality_audit
+LOCAL_ORACLE_SQL["rx_quality_audit"] = _QUALITY_AUDIT_ORACLE

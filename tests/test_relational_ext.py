@@ -132,3 +132,51 @@ def test_association_rules_invariants(spark, oracle_sf_dir):
         assert 0 < r["conf_ab"] <= 1 and 0 < r["conf_ba"] <= 1
         assert r["sup_ab"] <= min(r["sup_a"], r["sup_b"])
         assert r["lift"] > 0
+
+
+def test_quality_audit_matches_oracle(spark, oracle_sf_dir, duck):
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["rx_quality_audit"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["rx_quality_audit"])
+
+
+def test_quality_audit_detects_planted_violations(spark):
+    """Each constraint check fires on planted defects: a duplicated
+    order key, a NULL customer FK, a non-positive price, an orphan
+    order, and an orphan lineitem — so a green production audit means
+    the checks ran and passed, not that they are vacuous."""
+    import datetime
+
+    from guagua_spark.operators.relational_ext import quality_audit_df
+
+    d = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, d, "x"),
+            (1, 10, "O", 5.0, d, "x"),      # dup key
+            (2, None, "O", 5.0, d, "x"),    # null FK
+            (3, 99, "O", -1.0, d, "x"),     # orphan + bad price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1,), (7,)], "l_orderkey long"  # 7 is an orphan
+    )
+    r = quality_audit_df(orders, customer, lineitem).first()
+    assert r["orders_rows"] == 4
+    assert r["orders_dup_keys"] == 1
+    assert r["orders_null_cust"] == 1
+    assert r["orders_bad_price"] == 1
+    # a NULL FK matches no parent, so it is BOTH a null-FK violation
+    # and an orphan (LEFT ANTI keeps NULL keys; the oracle's NOT IN is
+    # widened with IS NULL to match — plain SQL NOT IN would silently
+    # drop NULL keys and under-count)
+    assert r["orders_orphans"] == 2
+    assert r["lineitem_orphans"] == 1
