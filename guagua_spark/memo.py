@@ -101,5 +101,29 @@ def persisted_index(
             record_index_build(
                 f"{index_name}:save", time.monotonic() - t1
             )
+            # serve the READ-BACK of the stored table, not the build
+            # lineage: a build session would otherwise memoize a plan
+            # (repartition exchanges, UDF stages) that differs from
+            # what every warm session serves — the bench plan-diff
+            # flip-flopped on exactly this (multimodal shuffles 1↔2
+            # on every code edit), and the stored scan is also the
+            # cheaper frame to keep pinned
+            try:
+                t2 = time.monotonic()
+                reloaded = durable.load_frame(spark, index_name, dkey)
+                if reloaded is not None:
+                    reloaded = reloaded.persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                    reloaded.count()
+                    df.unpersist()
+                    df = reloaded
+                    record_index_build(
+                        f"{index_name}:reload", time.monotonic() - t2
+                    )
+            except Exception:
+                # torn read → keep serving the built frame; the next
+                # session will load the stored copy
+                pass
     cache[sf_dir] = (fingerprint, df)
     return df
