@@ -2077,3 +2077,56 @@ ORDER BY doc_a, doc_b
 
 LOCAL_QUERIES["dedup_edit_pairs"] = dedup_edit_pairs
 LOCAL_ORACLE_SQL["dedup_edit_pairs"] = _edit_pairs_oracle()
+
+
+def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: connected components over the
+    EDIT-DISTANCE-verified pair graph (block → verify → resolve — the
+    record-linkage pipeline's last stage). Each linked doc gets the
+    smallest doc_id reachable through ≤ EDIT_TAU edit edges as its
+    entity representative. Same star-contraction interior as
+    dedup_clusters; only the verifier differs (banded levenshtein
+    instead of shingle Jaccard), so transitivity artifacts — A~B~C
+    linked while d(A,C) > τ — are resolved the standard way: one
+    entity per component."""
+    pairs = edit_verified_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_a", "doc_b")
+    labels = connected_components(
+        pairs, "doc_a", "doc_b", algorithm="star"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _edit_clusters_oracle() -> str:
+    """Recursive-CTE component walk over the edit-verified edge set —
+    the _clusters_oracle shape with the levenshtein verify spliced in
+    place of the Jaccard one."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+epairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN documents x ON x.doc_id = cand.doc_a
+  JOIN documents y ON y.doc_id = cand.doc_b
+  WHERE levenshtein(x.text, y.text) <= {EDIT_TAU}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM epairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM epairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
+""".strip()
+
+
+LOCAL_QUERIES["dedup_edit_clusters"] = dedup_edit_clusters
+LOCAL_ORACLE_SQL["dedup_edit_clusters"] = _edit_clusters_oracle()

@@ -287,3 +287,23 @@ def test_edit_pairs_within_tau_and_below_candidates(spark, oracle_sf_dir):
     assert rows, "synthetic corpus plants near-dups"
     assert all(0 <= r["edit_dist"] <= EDIT_TAU for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_edit_clusters_cover_exactly_the_pair_nodes(spark, oracle_sf_dir):
+    """Every doc in ≥1 verified edit pair gets exactly one entity
+    label; the label is the component minimum (≤ the doc's own id);
+    and both endpoints of every pair share a label (transitive
+    resolution)."""
+    from guagua_spark.operators.dedup import LOCAL_QUERIES
+
+    pairs = LOCAL_QUERIES["dedup_edit_pairs"](spark, oracle_sf_dir).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in LOCAL_QUERIES["dedup_edit_clusters"](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    nodes = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert set(labels) == nodes
+    assert all(lbl <= d for d, lbl in labels.items())
+    assert all(labels[p["doc_a"]] == labels[p["doc_b"]] for p in pairs)
