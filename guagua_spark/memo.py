@@ -108,6 +108,7 @@ def persisted_index(
             # flip-flopped on exactly this (multimodal shuffles 1↔2
             # on every code edit), and the stored scan is also the
             # cheaper frame to keep pinned
+            reloaded = None
             try:
                 t2 = time.monotonic()
                 reloaded = durable.load_frame(spark, index_name, dkey)
@@ -123,7 +124,13 @@ def persisted_index(
                     )
             except Exception:
                 # torn read → keep serving the built frame; the next
-                # session will load the stored copy
-                pass
+                # session will load the stored copy. Drop the
+                # half-persisted reload so it can't leak in the block
+                # manager (same discipline as the load path above).
+                try:
+                    if reloaded is not None and reloaded is not df:
+                        reloaded.unpersist()
+                except Exception:
+                    pass
     cache[sf_dir] = (fingerprint, df)
     return df

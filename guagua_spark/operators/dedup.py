@@ -457,6 +457,28 @@ def minhash_pairs_from_index(spark: SparkSession, name: str) -> DataFrame:
     )
 
 
+def _candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from a
+    (doc_id, band, bucket) relation — THE candidate generation, shared
+    by the Jaccard verifier (minhash_pairs_for) and the edit-distance
+    verifier (edit_verified_pairs) so a band/bucket change can never
+    make the two diverge."""
+    return (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_pairs_for(docs: DataFrame) -> DataFrame:
     """Unordered MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) for
     an arbitrary (doc_id, text) DataFrame — shared by
@@ -480,20 +502,7 @@ def minhash_pairs_for(docs: DataFrame) -> DataFrame:
         *[F.col(f"__mh{j}") for j in range(NUM_HASHES)],
     ).localCheckpoint()
     buckets = _band_buckets(sig)
-    cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _candidate_pairs(buckets)
     sh = sig.select("doc_id", "__shingles")
     joined = (
         cand.join(
@@ -541,6 +550,7 @@ def clear_caches() -> None:
     from guagua_spark.memo import unpersist_all
 
     unpersist_all(_PAIR_CACHE)
+    unpersist_all(_EDIT_PAIR_CACHE)
 
 
 def _minhash_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2014,20 +2024,7 @@ def edit_verified_pairs(docs: DataFrame, tau: int = EDIT_TAU) -> DataFrame:
         .localCheckpoint()
     )
     buckets = _band_buckets(sig)
-    cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _candidate_pairs(buckets)
     t = docs.select("doc_id", "text")
     joined = cand.join(
         t.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
@@ -2049,12 +2046,37 @@ def edit_verified_pairs(docs: DataFrame, tau: int = EDIT_TAU) -> DataFrame:
     )
 
 
+#: session memo of the edit-verified pair graph per sf_dir — same
+#: contract as _PAIR_CACHE (fingerprint-keyed, one live entry,
+#: clear_caches() drops it): the k·|shingles| signature pass dominates
+#: and must not rerun for every consumer (pairs entry + clusters)
+_EDIT_PAIR_CACHE: dict = {}
+
+
+def _edit_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guagua_spark.memo import persisted_index
+    from guagua_spark.sources.tables import table_fingerprint
+
+    # repartition before signatures for the same reason as
+    # _minhash_pair_df: the md5 folds run below the first exchange
+    return persisted_index(
+        _EDIT_PAIR_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        "edit_pairs",
+        lambda: edit_verified_pairs(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        ),
+    )
+
+
 def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query entry: verified (doc_a, doc_b, len_a, len_b, edit_dist)
-    near-dup pairs of the documents table, edit_dist ≤ EDIT_TAU."""
-    return edit_verified_pairs(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).orderBy("doc_a", "doc_b")
+    near-dup pairs of the documents table, edit_dist ≤ EDIT_TAU —
+    served from the session pair-graph memo."""
+    return _edit_pair_df(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _edit_pairs_oracle() -> str:
@@ -2089,9 +2111,7 @@ def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of shingle Jaccard), so transitivity artifacts — A~B~C
     linked while d(A,C) > τ — are resolved the standard way: one
     entity per component."""
-    pairs = edit_verified_pairs(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_a", "doc_b")
+    pairs = _edit_pair_df(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(
         pairs, "doc_a", "doc_b", algorithm="star"
     )

@@ -639,27 +639,10 @@ FROM clk c ASOF LEFT JOIN pur p
   ON c.user_id = p.user_id AND p.ts <= c.ts
 ORDER BY c.event_id
 """.strip(),
-    "events_funnel": """
-WITH s AS (
-  SELECT user_id, MIN(ts) AS signup_ts
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-),
-c AS (
-  SELECT e.user_id, MIN(e.ts) AS click_ts
-  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
-  WHERE e.event_type = 'click' GROUP BY 1
-),
-p AS (
-  SELECT e.user_id, MIN(e.ts) AS purchase_ts
-  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
-  WHERE e.event_type = 'purchase' GROUP BY 1
-)
-SELECT COUNT(*) AS n_signup,
-       COUNT(c.click_ts) AS n_click_after_signup,
-       COUNT(p.purchase_ts) AS n_purchase_after_click
-FROM s LEFT JOIN c ON s.user_id = c.user_id
-       LEFT JOIN p ON s.user_id = p.user_id
-""".strip(),
+    # events_funnel is assigned at the bottom of the module
+    # (_funnel_aov_oracle): its oracle splices the aov_*
+    # audience-overlap certificate CTEs (round 10)
+    "events_funnel": None,
     # events_histogram is assigned at the bottom of the module: its
     # oracle splices the qcm_* dyadic-rank certificate CTEs (round 10)
     "events_histogram": None,
@@ -1630,14 +1613,29 @@ def cm_join_size(counters_a: DataFrame, counters_b: DataFrame) -> DataFrame:
     capacity-planning primitive. Integer-exact while per-key counts
     stay < ~3e9 per side (Σ 256 products of two such counts < 2⁶³);
     beyond that the counters themselves need DECIMAL — the
-    binder-magnitude audit class (SCALE.md)."""
+    binder-magnitude audit class (SCALE.md).
+
+    A depth row with NO shared buckets has inner product 0 (it
+    certifies the true join size is 0), but the bucket equi-join
+    simply drops such rows — so the row products left-join a literal
+    depth spine and coalesce to 0, otherwise disjoint key sets would
+    return NULL (and partially-empty rows would lose the zero bound),
+    breaking the one-sided contract."""
+    from guagua_spark.functions.sketch import CM_DEPTH
+
     j = counters_a.alias("x").join(
         counters_b.alias("y"), ["j", "bucket"]
     )
     per_row = j.groupBy("j").agg(
         F.sum(F.col("x.n") * F.col("y.n")).alias("ip")
     )
-    return per_row.agg(F.min("ip").cast("bigint").alias("est_join"))
+    spine = counters_a.sparkSession.range(CM_DEPTH).select(
+        F.col("id").cast("int").alias("j")
+    )
+    full = spine.join(per_row, "j", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return full.agg(F.min("ip").cast("bigint").alias("est_join"))
 
 
 def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,7 +1719,11 @@ ip AS (
   FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
   GROUP BY 1
 ),
-est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join FROM ip),
+spine AS (SELECT UNNEST(generate_series(0, {CM_DEPTH - 1})) AS j),
+est AS (
+  SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est_join
+  FROM spine LEFT JOIN ip ON ip.j = spine.j
+),
 pu AS (
   SELECT user_id,
          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,

@@ -263,10 +263,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     The edge list is read by FOUR subtrees (both union directions, the
     degree joins, the wedge self-join's closing side); Spark reuses
-    exchanges but NOT arbitrary common subtrees, so an unpersisted
-    input would re-run its whole upstream plan per occurrence — it is
-    persisted here (callers pass a pruned, bounded relation)."""
-    edges = edges.persist()
+    exchanges but NOT arbitrary common subtrees, so callers with a
+    non-trivial edge plan should pass a PERSISTED relation (as
+    graph_triangles does — and unpersist it after materializing, the
+    pagerank discipline)."""
     und = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -326,9 +326,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (global total + top-k) at a fixed cost independent of corpus size;
     the top-k is again TakeOrderedAndProject and the 1-row total
     attaches via an explicit broadcast (a bare 1-row cross join plans
-    a CartesianProduct — the round-10 retention-certificate lesson)."""
-    cnt = triangle_counts(supplier_affinity_edges(spark, sf_dir))
-    cnt.persist()
+    a CartesianProduct — the round-10 retention-certificate lesson).
+    The ≤ TRI_TOPK-row result is materialized eagerly so both interim
+    caches unpersist before return — the pagerank discipline (repeated
+    invocations must not accumulate block-manager entries)."""
+    edges = supplier_affinity_edges(spark, sf_dir).persist()
+    cnt = triangle_counts(edges).persist()
+    out = _triangles_result_plan(cnt).localCheckpoint(eager=True)
+    cnt.unpersist()
+    edges.unpersist()
+    return out
+
+
+def _triangles_result_plan(cnt: DataFrame) -> DataFrame:
+    """The (top-k ⨯ broadcast total) result shape over a per-node
+    count relation — factored out so tests can pin the LAZY plan
+    (graph_triangles materializes through localCheckpoint, which
+    collapses the executed plan to an ExistingRDD scan)."""
     tot = cnt.agg(
         F.expr(
             "CAST(COALESCE(SUM(n_tri), 0) DIV 3 AS BIGINT)"
@@ -339,10 +353,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRI_TOPK)
         .select(F.col("node").alias("s_suppkey"), "n_tri")
     )
-    out = top.crossJoin(F.broadcast(tot)).orderBy(
+    return top.crossJoin(F.broadcast(tot)).orderBy(
         F.col("n_tri").desc(), "s_suppkey"
     )
-    return out
 
 
 def _triangles_oracle() -> str:

@@ -843,17 +843,19 @@ def rx_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    rules_a = item_sup.join(
+        F.broadcast(top),
+        item_sup["l_partkey"] == top["part_a"],
+    ).select(
+        "part_a", "part_b", "sup_ab", F.col("sup_item").alias("sup_a")
+    )
     out = (
-        item_sup.join(
-            F.broadcast(top),
-            item_sup["l_partkey"] == top["part_a"],
-        )
-        .select("part_a", "part_b", "sup_ab", F.col("sup_item").alias("sup_a"))
-        .join(
-            item_sup.withColumnRenamed("l_partkey", "part_b")
-            .withColumnRenamed("sup_item", "sup_b"),
-            "part_b",
-        )
+        # the ≤20-row rule side is the broadcast side of BOTH
+        # item-support lookups — post-limit stats don't always
+        # propagate, so the second hint is explicit too
+        item_sup.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("sup_item", "sup_b")
+        .join(F.broadcast(rules_a), "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",

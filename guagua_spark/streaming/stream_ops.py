@@ -690,8 +690,12 @@ def streaming_distinct_users_hll(
 
     ev = _events_stream(spark, sf_dir)
     uid = F.col("user_id").cast("string")
+    # NULL user_id must be excluded exactly as batch hll_registers
+    # does (v.isNotNull()): a NULL hashes to (bucket NULL, rank 33) —
+    # a spurious state row the batch build never has
     return (
-        ev.select(
+        ev.filter(uid.isNotNull())
+        .select(
             "event_type",
             hll_bucket_col(uid).alias("bucket"),
             hll_rank_col(uid).alias("rank"),
@@ -818,8 +822,14 @@ def streaming_audience_registers(
         .when(F.col("event_type") == "purchase", "b")
     )
     uid = F.col("user_id").cast("string")
+    # same NULL-uid exclusion as batch hll_registers — see the
+    # distinct-users twin above
     return (
-        ev.filter(hv & F.col("event_type").isin("click", "purchase"))
+        ev.filter(
+            hv
+            & F.col("event_type").isin("click", "purchase")
+            & uid.isNotNull()
+        )
         .select(
             aud.alias("aud"),
             hll_bucket_col(uid).alias("bucket"),

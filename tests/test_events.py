@@ -229,3 +229,19 @@ def test_join_size_cm_exact_on_tiny_keys(spark):
     ).first()["est_join"]
     # true join size: key 1 -> 3*1, key 2 -> 1*2, keys 3/4 unmatched
     assert est == 5
+
+
+def test_join_size_cm_zero_on_disjoint_keys(spark):
+    """Disjoint key sets: some depth row almost surely shares no
+    bucket, and an empty intersection certifies join size 0 — the
+    estimate must be 0 (never NULL, never collision-inflated): the
+    inner-product rows left-join a depth spine with COALESCE 0."""
+    from guagua_spark.functions.sketch import cm_counters
+    from guagua_spark.operators.events import cm_join_size
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    est = cm_join_size(
+        cm_counters(a, "k"), cm_counters(b, "k")
+    ).first()["est_join"]
+    assert est == 0

@@ -130,8 +130,20 @@ def test_triangles_total_consistency(spark, sf_dir):
 def test_triangles_plan_has_no_cartesian_and_bounded_topk(spark, sf_dir):
     """The 1-row total attaches by broadcast (no CartesianProduct) and
     both global selections (edge prune, top-k) plan as
-    TakeOrderedAndProject — never a full global Sort + Limit."""
-    df = LOCAL_QUERIES["graph_triangles"](spark, sf_dir)
-    p = df._jdf.queryExecution().executedPlan().toString()
+    TakeOrderedAndProject — never a full global Sort + Limit. Pins the
+    LAZY result plan (the query entry materializes + unpersists, which
+    collapses its executed plan to an ExistingRDD scan)."""
+    from guagua_spark.operators.graph import (
+        _triangles_result_plan,
+        supplier_affinity_edges,
+        triangle_counts,
+    )
+
+    cnt = triangle_counts(supplier_affinity_edges(spark, sf_dir))
+    p = _plan(_triangles_result_plan(cnt))
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -411,7 +411,7 @@ def test_association_rules_plan_shapes(spark, oracle_sf_dir):
     p = _plan(LOCAL_QUERIES["rx_association_rules"](spark, oracle_sf_dir))
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
-    assert "BroadcastHashJoin" in p, p
+    assert p.split("== Initial Plan ==")[0].count("BroadcastHashJoin") >= 2, p
 
 
 def test_edit_pairs_plan_no_cartesian(spark, oracle_sf_dir):
