@@ -1403,15 +1403,22 @@ p AS (
   SELECT e.user_id, MIN(e.ts) AS purchase_ts
   FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
   WHERE e.event_type = 'purchase' GROUP BY 1
+),
+f AS (
+  -- aggregate the funnel FIRST (a global COUNT is always exactly one
+  -- row, even on a corpus with zero signups) and only then attach the
+  -- one-row certificate: grouping the joined relation BY the cert
+  -- columns would return 0 rows on an empty funnel while the Spark
+  -- side's global .agg() returns 1 (driver ADVICE r10)
+  SELECT COUNT(*) AS n_signup,
+         COUNT(c.click_ts) AS n_click_after_signup,
+         COUNT(p.purchase_ts) AS n_purchase_after_click
+  FROM s LEFT JOIN c ON s.user_id = c.user_id
+         LEFT JOIN p ON s.user_id = p.user_id
 )
-SELECT COUNT(*) AS n_signup,
-       COUNT(c.click_ts) AS n_click_after_signup,
-       COUNT(p.purchase_ts) AS n_purchase_after_click,
+SELECT n_signup, n_click_after_signup, n_purchase_after_click,
        aov_reg_sum, aov_raw_e6, aov_exact_inter, aov_exact_union
-FROM s LEFT JOIN c ON s.user_id = c.user_id
-       LEFT JOIN p ON s.user_id = p.user_id
-       CROSS JOIN aovcert
-GROUP BY aov_reg_sum, aov_raw_e6, aov_exact_inter, aov_exact_union
+FROM f CROSS JOIN aovcert
 """.strip()
 
 

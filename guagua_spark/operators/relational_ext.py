@@ -866,7 +866,10 @@ def rx_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sup_ab") / F.col("sup_a")).alias("conf_ab"),
             (F.col("sup_ab") / F.col("sup_b")).alias("conf_ba"),
             (
-                F.col("n_orders")
+                # DOUBLE before the product: bigint·bigint can overflow
+                # int64 at extreme counts where the oracle's
+                # CAST(n_orders AS DOUBLE) degrades gracefully
+                F.col("n_orders").cast("double")
                 * F.col("sup_ab")
                 / (F.col("sup_a") * F.col("sup_b"))
             ).alias("lift"),
@@ -994,17 +997,22 @@ WITH o AS (
 ),
 oo AS (
   -- LEFT ANTI semantics: a NULL FK matches no parent and IS an
-  -- orphan (SQL NOT IN would silently drop NULL keys instead)
+  -- orphan. NOT EXISTS rather than NOT IN: if the PARENT key column
+  -- ever contains a NULL, NOT IN evaluates to NULL for every probe
+  -- and silently undercounts orphans — fragile for a dirty-data
+  -- audit (driver ADVICE r10)
   SELECT CAST(COUNT(*) AS BIGINT) AS orders_orphans
-  FROM orders WHERE o_custkey IS NULL
-     OR o_custkey NOT IN (SELECT c_custkey FROM customer)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+  )
 ),
 l AS (SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_rows FROM lineitem),
 lo AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_orphans
-  FROM lineitem
-  WHERE l_orderkey IS NULL
-     OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  FROM lineitem li
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey
+  )
 )
 SELECT * FROM o, oo, l, lo
 """.strip()
