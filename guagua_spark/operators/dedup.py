@@ -1808,9 +1808,11 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the (doc, pos) shingle relation is ~|corpus chars|
     rows — the honest cost of substring-level dedup (the suffix-array
     construction it replaces is the same size); shingles travel as
-    16-byte md5s keyed BY HASH so the duplicate test is one
-    partially-aggregated window count per hash (map-side combine
-    collapses same-hash positions per partition first), and the island
+    16-byte md5s keyed BY HASH, and the duplicate test is two-phase:
+    groupBy(h).count() (map-side combine collapses repeated shingles
+    per partition before the shuffle) then an AQE-skew-splittable
+    join-back of the count>1 hash set — never a window over h, which
+    a boilerplate shingle would funnel into one partition. The island
     merge windows partition BY DOC — bounded by document length, never
     corpus-sized. No full text ever shuffles."""
     return dedup_spans_df(
@@ -1836,12 +1838,21 @@ def dedup_spans_df(docs: DataFrame) -> DataFrame:
         "p",
         F.md5(F.col("text").substr(F.col("p"), F.lit(SPAN_W))).alias("h"),
     )
-    dup = (
-        pos.withColumn(
-            "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
+    # two-phase dup test instead of count() OVER (PARTITION BY h): a
+    # boilerplate shingle shared by millions of docs would land every
+    # occurrence in ONE window partition, and AQE's skew mitigation
+    # splits skewed JOINS, not window exchanges. groupBy gets map-side
+    # combine (repeated shingles collapse per partition before the
+    # shuffle) and the join-back on h IS AQE-skew-splittable — same
+    # values, strictly better worst case (round-10 verdict #2).
+    dup_hashes = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
-        .select("doc_id", "n_chars", "p", (F.col("p") + (SPAN_W - 1)).alias("e"))
+        .select("h")
+    )
+    dup = pos.join(dup_hashes, "h").select(
+        "doc_id", "n_chars", "p", (F.col("p") + (SPAN_W - 1)).alias("e")
     )
     by_doc = Window.partitionBy("doc_id").orderBy("p")
     prev_end = F.max("e").over(

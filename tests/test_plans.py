@@ -359,9 +359,11 @@ def test_retention_cert_joins_broadcast_not_cartesian(spark, oracle_sf_dir):
 
 def test_dedup_spans_windows_partition_by_doc(spark, oracle_sf_dir):
     """Span dedup's island-merge windows must partition by doc_id
-    (bounded by document length), the dup-count window by the shingle
-    hash — never SinglePartition — and the documents scan must read
-    only (doc_id, text)."""
+    (bounded by document length); the GLOBAL dup test must be the
+    two-phase partial-agg + join-back — a partial_count HashAggregate
+    on the shingle hash and NO window partitioned by h (a window's
+    exchange cannot be AQE-skew-split, so a boilerplate shingle would
+    funnel into one task). Scan must read only (doc_id, text)."""
     from guagua_spark.operators.dedup import dedup_spans
 
     df = dedup_spans(spark, oracle_sf_dir)
@@ -370,6 +372,9 @@ def test_dedup_spans_windows_partition_by_doc(spark, oracle_sf_dir):
     assert "Exchange SinglePartition" not in p, p
     wins = re.findall(r"Window \[[^\n]*", p)
     assert wins, p
+    assert "windowspecdefinition(h#" not in p, p
+    assert "windowspecdefinition(doc_id#" in p, p
+    assert re.search(r"partial_count|HashAggregate\(keys=\[h#", p), p
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
         assert "lang" not in m.group(1) and "source" not in m.group(1), p
 

@@ -506,3 +506,37 @@ def test_dedup_spans_planted_duplicates(spark):
     # whole 64 chars are one span
     assert out[3].n_dup_spans == 1 and out[3].dup_chars == 64
     assert 4 not in out and 5 not in out
+
+
+def test_dedup_spans_boilerplate_shingle_skew(spark):
+    """One boilerplate prefix shared by 50% of 200 docs — the skew
+    shape that killed the round-10 window-on-h form (every occurrence
+    of a hot shingle in ONE window partition, un-splittable by AQE).
+    The two-phase groupBy+join form must return exact values: each
+    boilerplate doc's dup region is exactly the 40-char prefix, and
+    fully-unique docs are absent."""
+    import pandas as pd
+
+    from guagua_spark.operators import dedup as D
+
+    W = D.SPAN_W  # 25
+    boiler = "BOILERPLATE-HEADER-" + "x" * 21  # 40 chars
+    assert len(boiler) == 40
+    rows = []
+    for i in range(200):
+        # distinct single leading char per doc (wide unicode block) so
+        # every boiler+tail straddle window is unique to its doc
+        tail = chr(0x4E00 + i) + f"-unique-tail-{i:04d}-" + "z" * 20
+        if i % 2 == 0:
+            rows.append((i, boiler + tail))
+        else:
+            rows.append((i, tail + tail))  # self-repeating, no boiler
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.doc_id: r for r in D.dedup_spans_df(docs).collect()}
+    for i in range(0, 200, 2):
+        # windows p=1..16 sit fully inside the boiler -> span [1, 40]
+        assert out[i].n_dup_spans == 1, out[i]
+        assert out[i].dup_chars == 40, out[i]
+    for i in range(1, 200, 2):
+        # tail+tail self-repeats over its full length
+        assert out[i].n_dup_spans == 1, out[i]
