@@ -107,7 +107,7 @@ SEM_CERT_VECS = 500
 
 
 def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-row (sem_kept, sem_kept_id_sum) certificate of semantic_dedup
+    """1-row (sem_kept, sem_kept_hash) certificate of semantic_dedup
     over the first SEM_CERT_VECS embeddings — the certificate is O(1)
     by construction but costs two applyInPandas stages, so it is
     memoized per embeddings fingerprint (certmemo — recomputing it per
@@ -118,7 +118,7 @@ def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guagua_spark.operators.certmemo import cached_cert_row
 
-    schema = "sem_kept bigint, sem_kept_id_sum bigint"
+    schema = "sem_kept bigint, sem_kept_hash bigint"
     if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         return spark.createDataFrame([(None, None)], schema)
 
@@ -128,9 +128,16 @@ def _sem_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("vec_id") < SEM_CERT_VECS)
             .select("vec_id", "embedding")
         )
+        from guagua_spark.functions.scale import binder_hash_col
+
         return semantic_dedup_df(emb).agg(
             F.count(F.lit(1)).alias("sem_kept"),
-            F.sum("vec_id").alias("sem_kept_id_sum"),
+            # Σ-safe binder (ex sem_kept_id_sum — bounded here by the
+            # vec_id < SEM_CERT_VECS slice, migrated anyway to close
+            # the plain-id-sum class; SCALE.md binder audit)
+            F.sum(binder_hash_col("semb", F.col("vec_id")))
+            .cast("bigint")
+            .alias("sem_kept_hash"),
         )
 
     return cached_cert_row(
@@ -1660,6 +1667,7 @@ def _exact_stats_oracle() -> str:
     spn_binder = binder_hash_sql(
         "spn", "CAST(doc_id AS VARCHAR)", "CAST(dup_chars AS VARCHAR)"
     )
+    sem_binder = binder_hash_sql("semb", "CAST(vec_id AS VARCHAR)")
     return f"""
 WITH cert AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_CERT_VECS}
@@ -1667,7 +1675,7 @@ WITH cert AS (
 {_semantic_dropped_ctes(source="cert")},
 sem AS (
   SELECT COUNT(*) AS sem_kept,
-         CAST(SUM(vec_id) AS BIGINT) AS sem_kept_id_sum
+         CAST(SUM({sem_binder}) AS BIGINT) AS sem_kept_hash
   FROM cert WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 ),
 spncert AS (
@@ -1705,7 +1713,7 @@ inc AS (
 )
 SELECT d.total, d.distinct_texts, d.removed,
        i.inc_flagged, i.inc_match_total, i.inc_dup_of_sum, i.inc_jac_musum,
-       s.sem_kept, s.sem_kept_id_sum,
+       s.sem_kept, s.sem_kept_hash,
        p.spn_docs, p.spn_spans, p.spn_chars, p.spn_hash
 FROM (
   SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,

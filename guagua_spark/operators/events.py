@@ -443,10 +443,14 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "latest_per_key",
         ("events",),
-        "lat_n_users bigint, lat_eid_sum bigint, lat_hash bigint",
+        "lat_n_users bigint, lat_eid_hash bigint, lat_hash bigint",
         lambda: rx_latest_per_key(spark, sf_dir).agg(
             F.count(F.lit(1)).alias("lat_n_users"),
-            F.sum("event_id").alias("lat_eid_sum"),
+            # Σ-safe binder (ex lat_eid_sum = Σ per-user max event_id
+            # ~ users·N — overflow horizon ~4e9 users; SCALE.md audit)
+            F.sum(binder_hash_col("late", F.col("event_id")))
+            .cast("bigint")
+            .alias("lat_eid_hash"),
             # Σ-safe binder (round 10): Σ user_id·event_id reaches
             # ~1e20 at sf100 — the ts_checksum overflow class
             F.sum(
@@ -946,7 +950,7 @@ ranked AS (
 ),
 lat AS (
   SELECT COUNT(*) AS lat_n_users,
-         CAST(SUM(event_id) AS BIGINT) AS lat_eid_sum,
+         CAST(SUM(CAST(CAST(('0x' || substr(md5('late|' || CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS lat_eid_hash,
          CAST(SUM(CAST(CAST(('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS lat_hash
   FROM ranked WHERE rn = 1
 ),
@@ -959,7 +963,7 @@ ret AS (
   GROUP BY 1, 2
 )
 SELECT ret.cohort_day, ret.day_offset, ret.n_users,
-       lat.lat_n_users, lat.lat_eid_sum, lat.lat_hash,
+       lat.lat_n_users, lat.lat_eid_hash, lat.lat_hash,
        blm.blm_bits, blm.blm_pass, blm.blm_ev_wsum, blm.blm_buyers
 FROM ret CROSS JOIN lat CROSS JOIN blm
 ORDER BY ret.cohort_day, ret.day_offset

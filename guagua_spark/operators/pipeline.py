@@ -147,7 +147,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standalone stratified-sample / source-mix operators are
     certified through these columns):
 
-    - ``strat_docs`` / ``strat_id_sum``: how many clean docs the
+    - ``strat_docs`` / ``strat_hash``: how many clean docs the
       per-language Bernoulli rule (stratified_keep — the SAME column
       expression the standalone operator and its streaming twin use)
       keeps, and the sum of their doc_ids (binds WHICH docs, not just
@@ -253,7 +253,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_diff",
         ("documents",),
         "dif_added bigint, dif_removed bigint, dif_changed bigint, "
-        "dif_id_wsum bigint, rch_chunks bigint, rch_tok_sum bigint, "
+        "dif_hash bigint, rch_chunks bigint, rch_tok_sum bigint, "
         "rch_checksum bigint",
         lambda: diff_rechunk_cert_df(spark, sf_dir),
     )
@@ -295,9 +295,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
             F.sum(F.when(strat, 1).otherwise(0)).alias("strat_docs"),
-            F.sum(F.when(strat, F.col("doc_id")).otherwise(0)).alias(
-                "strat_id_sum"
-            ),
+            # Σ-safe binder (ex strat_id_sum — Σ doc_id overflowed
+            # BIGINT at ~4e9 rows; binder-magnitude audit, SCALE.md)
+            F.sum(
+                F.when(
+                    strat, binder_hash_col("stratb", F.col("doc_id"))
+                ).otherwise(0)
+            ).alias("strat_hash"),
             F.sum(F.when(mix, 1).otherwise(0)).alias("mix_docs"),
             F.sum(F.when(mix, F.col("n_chars")).otherwise(0)).alias(
                 "mix_chars"
@@ -379,14 +383,16 @@ SELECT lang, cl.source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(CASE WHEN {strat_keep} THEN 1 ELSE 0 END) AS BIGINT)
          AS strat_docs,
-       CAST(SUM(CASE WHEN {strat_keep} THEN doc_id ELSE 0 END) AS BIGINT)
-         AS strat_id_sum,
+       CAST(SUM(CASE WHEN {strat_keep}
+                THEN {binder_hash_sql("stratb", "CAST(doc_id AS VARCHAR)")}
+                ELSE 0 END) AS BIGINT)
+         AS strat_hash,
        CAST(SUM(CASE WHEN {mix_keep} THEN 1 ELSE 0 END) AS BIGINT)
          AS mix_docs,
        CAST(SUM(CASE WHEN {mix_keep} THEN n_chars ELSE 0 END) AS BIGINT)
          AS mix_chars,
        ts_n_seqs, ts_tokens, ts_checksum,
-       dif_added, dif_removed, dif_changed, dif_id_wsum,
+       dif_added, dif_removed, dif_changed, dif_hash,
        rch_chunks, rch_tok_sum, rch_checksum,
        tm_sources, tm_kept, tm_rate_e6, tm_hash,
        skw_rows, skw_n_sum, skw_share_e6, skw_hash,
@@ -394,7 +400,7 @@ SELECT lang, cl.source, COUNT(*) AS n_docs,
 FROM clean cl JOIN rates r ON cl.source = r.source, tcert, dcert, rcert,
      tmcert, skwcert, budcert
 GROUP BY lang, cl.source, ts_n_seqs, ts_tokens, ts_checksum,
-         dif_added, dif_removed, dif_changed, dif_id_wsum,
+         dif_added, dif_removed, dif_changed, dif_hash,
          rch_chunks, rch_tok_sum, rch_checksum,
          tm_sources, tm_kept, tm_rate_e6, tm_hash,
          skw_rows, skw_n_sum, skw_share_e6, skw_hash,
@@ -638,9 +644,12 @@ def pipeline_temperature_mix(
             F.min("n_docs").alias("n_docs"),
             F.round(F.min("rate"), 6).alias("rate"),
             F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
-            F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias(
-                "kept_id_sum"
-            ),
+            # Σ-safe binder (ex kept_id_sum — binder-magnitude audit)
+            F.sum(
+                F.when(
+                    keep, binder_hash_col("tmixb", F.col("doc_id"))
+                ).otherwise(0)
+            ).alias("kept_hash"),
         )
         .orderBy("source")
     )
@@ -670,7 +679,8 @@ SELECT d.source, CAST(MIN(r.n_docs) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN {u32} < r.rate * 4294967296.0
                 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
        CAST(SUM(CASE WHEN {u32} < r.rate * 4294967296.0
-                THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+                THEN {binder_hash_sql("tmixb", "CAST(doc_id AS VARCHAR)")}
+                ELSE 0 END) AS BIGINT) AS kept_hash
 FROM documents d JOIN rates r ON d.source = r.source
 GROUP BY d.source ORDER BY d.source
 """.strip()
@@ -1033,20 +1043,27 @@ def diff_rechunk_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("status") == "changed").cast("bigint")).alias(
             "dif_changed"
         ),
-        F.sum(F.col("doc_id") * w).cast("bigint").alias("dif_id_wsum"),
-    )
-    key = F.concat_ws(
-        "|",
-        F.col("doc_id").cast("string"),
-        F.col("chunk_id").cast("string"),
-        F.col("chunk_md5"),
+        # Σ-safe binder (ex dif_id_wsum = Σ doc_id·{1,2,3} — overflow
+        # horizon ~2.5e9 docs; binder-magnitude audit, SCALE.md)
+        F.sum(binder_hash_col("dif", F.col("doc_id"), w))
+        .cast("bigint")
+        .alias("dif_hash"),
     )
     rcert = _incremental_chunk_rows(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("rch_chunks"),
         F.sum("chunk_toks").cast("bigint").alias("rch_tok_sum"),
-        F.sum(u32_hash("cdiff", key)).cast("bigint").alias(
-            "rch_checksum"
-        ),
+        # per-row terms bounded < 1e6 (ex Σ raw u32, overflow at ~2e9
+        # chunks; binder-magnitude audit, SCALE.md)
+        F.sum(
+            binder_hash_col(
+                "cdiff",
+                F.col("doc_id"),
+                F.col("chunk_id"),
+                F.col("chunk_md5"),
+            )
+        )
+        .cast("bigint")
+        .alias("rch_checksum"),
     )
     return dcert.crossJoin(rcert)
 
@@ -1056,7 +1073,7 @@ def temperature_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked contract row (the column-merge pattern, SURVEY.md §7):
     source count, total kept, Σ round(rate·10⁶) over the 6dp-rounded
     tempered rates, and a u32(md5) over each source's full
-    (source, kept, kept_id_sum) result row — so a wrong rate law, a
+    (source, kept, kept_hash) result row — so a wrong rate law, a
     flipped membership, or a miscounted source all flip an integer.
     Runs the REAL operator (not a re-derivation), so the oracle's
     independent replay certifies the whole temperature-mix pipeline."""
@@ -1069,7 +1086,7 @@ def temperature_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
             F.coalesce(F.col("source"), F.lit("~")),
             F.col("kept").cast("string"),
-            F.col("kept_id_sum").cast("string"),
+            F.col("kept_hash").cast("string"),
         ),
     )
     return tm.agg(
@@ -1094,7 +1111,7 @@ def _temperature_cert_ctes() -> str:
     u32_row = (
         "CAST(('0x' || substr(md5('tm|' || coalesce(source, '~') ||"
         " '|' || CAST(kept AS VARCHAR) || '|' ||"
-        " CAST(kept_id_sum AS VARCHAR)), 1, 8)) AS UBIGINT)"
+        " CAST(kept_hash AS VARCHAR)), 1, 8)) AS UBIGINT)"
     )
     return f"""tm_counts AS (
   SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -1114,7 +1131,8 @@ tm_rows AS (
          CAST(SUM(CASE WHEN {u32_doc} < r.rate * 4294967296.0
                   THEN 1 ELSE 0 END) AS BIGINT) AS kept,
          CAST(SUM(CASE WHEN {u32_doc} < r.rate * 4294967296.0
-                  THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+                  THEN {binder_hash_sql("tmixb", "CAST(doc_id AS VARCHAR)")}
+                  ELSE 0 END) AS BIGINT) AS kept_hash
   FROM documents d JOIN tm_rates r ON d.source = r.source
   GROUP BY d.source
 ),
@@ -1235,10 +1253,17 @@ def _diff_cert_ctes() -> str:
         _chunks_ctes,
     )
 
-    u32 = (
-        "CAST(('0x' || substr(md5('cdiff|' || CAST(doc_id AS VARCHAR)"
-        " || '|' || CAST(chunk_id AS VARCHAR) || '|' || chunk_md5),"
-        " 1, 8)) AS UBIGINT)"
+    rch_hash = binder_hash_sql(
+        "cdiff",
+        "CAST(doc_id AS VARCHAR)",
+        "CAST(chunk_id AS VARCHAR)",
+        "chunk_md5",
+    )
+    dif_hash = binder_hash_sql(
+        "dif",
+        "CAST(doc_id AS VARCHAR)",
+        "CAST(CASE status WHEN 'added' THEN 1"
+        " WHEN 'removed' THEN 2 ELSE 3 END AS VARCHAR)",
     )
     return f"""{_diff_ctes()},
 dcert AS (
@@ -1248,16 +1273,14 @@ dcert AS (
               AS BIGINT) AS dif_removed,
          CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
               AS BIGINT) AS dif_changed,
-         CAST(SUM(doc_id * CASE status WHEN 'added' THEN 1
-                           WHEN 'removed' THEN 2 ELSE 3 END)
-              AS BIGINT) AS dif_id_wsum
+         CAST(SUM({dif_hash}) AS BIGINT) AS dif_hash
   FROM dstat WHERE status <> 'unchanged'
 ),
 {_chunks_ctes("dtodo")},
 rcert AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS rch_chunks,
          CAST(SUM(chunk_toks) AS BIGINT) AS rch_tok_sum,
-         CAST(SUM({u32}) AS BIGINT) AS rch_checksum
+         CAST(SUM({rch_hash}) AS BIGINT) AS rch_checksum
   FROM (SELECT {_CHUNKS_ROW_EXPRS} FROM c)
 )"""
 

@@ -169,7 +169,7 @@ def streaming_temperature_mix(
     same md5-Bernoulli rule as the batch
     operator: stateless, so late/replayed docs decide identically and
     the drained kept-set EQUALS the batch operator's per-source
-    kept/kept_id_sum rollup (asserted in tests/test_streaming.py).
+    kept/kept_hash rollup (asserted in tests/test_streaming.py).
     Emits one row per KEPT document (doc_id, source)."""
     from guagua_spark.functions.scale import u32_hash
     from guagua_spark.operators.pipeline import temperature_rates

@@ -335,9 +335,10 @@ def test_streaming_temperature_mix_matches_batch(spark, sf_dir):
     """The tempered rates are frozen from the static corpus snapshot
     and membership is the md5-Bernoulli rule, so the drained kept-set's
     per-source rollup must equal the batch operator's kept /
-    kept_id_sum columns exactly."""
+    kept_hash columns exactly."""
     import pyspark.sql.functions as F
 
+    from guagua_spark.functions.scale import binder_hash_col
     from guagua_spark.operators.pipeline import pipeline_temperature_mix
     from guagua_spark.streaming.stream_ops import (
         streaming_temperature_mix,
@@ -351,12 +352,14 @@ def test_streaming_temperature_mix_matches_batch(spark, sf_dir):
         for r in got.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("kept"),
-            F.sum("doc_id").alias("kept_id_sum"),
+            F.sum(binder_hash_col("tmixb", F.col("doc_id"))).alias(
+                "kept_hash"
+            ),
         )
         .collect()
     )
     want = sorted(
-        (r.source, r.kept, r.kept_id_sum)
+        (r.source, r.kept, r.kept_hash)
         for r in pipeline_temperature_mix(spark, sf_dir).collect()
         if r.kept > 0
     )
