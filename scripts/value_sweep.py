@@ -164,6 +164,20 @@ def _adjudicate(sdf, odf, rtol: float = FLOAT_RTOL) -> dict:
     }
 
 
+def _rec_ok(rec: dict) -> bool:
+    """A sweep record's pass verdict — the same rule the loop applies,
+    factored out so --resume can re-derive it from a prior artifact."""
+    if rec.get("err") is not None:
+        return False
+    if rec.get("rows_only"):
+        return rec.get("spark_rows", 0) > 0
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        and (rec.get("hash_match") or rec.get("float_gate_pass", False))
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default=os.path.join(_REPO, "testdata_sf1"))
@@ -177,6 +191,15 @@ def main() -> None:
         " SWEEP_SAMPLED twin, skipping the full spark+oracle attempt —"
         " for scales where even the full Spark side is"
         " all-pairs-infeasible (e.g. dedup_embedding_pairs at sf10)",
+    )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="load --out if it exists and SKIP queries already recorded"
+        " as passing there (their records are kept in the merged"
+        " artifact) — so one dead Spark session doesn't orphan the"
+        " completed rows of a long sweep (round-10 lesson: SWEEP_SF100"
+        " died at query 5/50 and lost 4 green rows to the retry file)",
     )
     ap.add_argument(
         "--oracle-timeout",
@@ -230,16 +253,31 @@ def main() -> None:
     results: dict = {}
     n_pass = n_fail = n_err = 0
     out = args.out or os.path.join(_REPO, "SWEEP.json")
+    prior_pass: set = set()
+    if args.resume and os.path.exists(out):
+        with open(out) as f:
+            prior = json.load(f)
+        for pname, prec in prior.get("results", {}).items():
+            if _rec_ok(prec):
+                results[pname] = prec
+                prior_pass.add(pname)
+                n_pass += 1
+        print(
+            f"resume: kept {len(prior_pass)} passing rows from {out}",
+            flush=True,
+        )
     summary = {
         "sf_dir": sf_dir,
-        "passed": 0,
+        "passed": n_pass,
         "failed": 0,
         "errors": 0,
-        "total": 0,
+        "total": len(results),
         "results": results,
     }
     for name, fn in qs.items():
         if (only and name not in only) or name in skip:
+            continue
+        if name in prior_pass:
             continue
         rec: dict = {}
         use_fn, use_sql = fn, oracles.get(name)
