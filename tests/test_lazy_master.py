@@ -194,6 +194,45 @@ def test_engine_two_pass_master_on_lazy_path(spark):
     assert r.value == 36
 
 
+class LenTwoPassMaster(MasterComputable):
+    """len()s AND double-iterates every iteration — the exact access
+    pattern the round-10 ADVICE predicted would crash a one-shot
+    stream — and BINDS both observations into the returned value so a
+    silent divergence between the lazy and eager paths cannot pass."""
+
+    def compute(self, context) -> SumState:
+        first = sum(r.value for r in context.worker_results if r)
+        second = sum(r.value for r in context.worker_results if r)
+        n = len(context.worker_results)  # defined after a full pass
+        assert first == second, (first, second)
+        return SumState(value=first * 1000 + second + n)
+
+
+def test_len_two_pass_master_lazy_equals_eager(spark):
+    """Reference-parity golden (round-10 verdict #7): the disk-spill
+    lazy worker_results must be value-identical to the eager collect
+    path for a master that len()s and double-iterates past the budget
+    threshold (AbstractMasterCoordinator.java:243-310's two-pass
+    contract). budget=0 forces streaming; a huge budget forces eager."""
+    lazy = IterativeEngine(spark).run(
+        LenTwoPassMaster(),
+        BigWorker(),
+        _df(spark, 4),
+        total_iteration=2,
+        result_bytes_budget=0,
+    )
+    eager = IterativeEngine(spark).run(
+        LenTwoPassMaster(),
+        BigWorker(),
+        _df(spark, 4),
+        total_iteration=2,
+        result_bytes_budget=1 << 40,
+    )
+    assert lazy.value == eager.value
+    # 4 partitions sum 36: first == second == 36, n == 4 each round
+    assert eager.value == 36 * 1000 + 36 + 4
+
+
 class SkewWorker(WorkerComputable):
     """Result payload proportional to the partition's data — partition
     0 carries value 1 (1 KiB), the rest carry 1 MiB each."""
