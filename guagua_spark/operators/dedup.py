@@ -161,7 +161,13 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       rounded integers are engine-exact.
     - ``sem_*``: the semantic-dedup certificate (kept-row count and
       kept-id sum over the first SEM_CERT_VECS embeddings; memoized
-      per table fingerprint, NULL when embeddings are absent)."""
+      per table fingerprint, NULL when embeddings are absent).
+    - ``edt_*`` (round 11): the edit-distance block→verify→resolve
+      certificate (_edit_cert_df) — verified pair count, a Σ-safe
+      binder over (doc_a, doc_b, edit_dist), linked-node and entity
+      counts of the resolved components — promoting the record-linkage
+      pipeline (dedup_edit_pairs / dedup_edit_clusters) into the
+      hash-certified tier inside the 50-slot cap."""
     docs = load_table(spark, sf_dir, "documents")
     cross = _minhash_pair_df(spark, sf_dir).filter(
         (F.col("doc_a") < INC_SPLIT) & (F.col("doc_b") >= INC_SPLIT)
@@ -195,6 +201,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(inc))
         .crossJoin(F.broadcast(_sem_cert_df(spark, sf_dir)))
         .crossJoin(F.broadcast(_spans_cert_df(spark, sf_dir)))
+        .crossJoin(F.broadcast(_edit_cert_df(spark, sf_dir)))
     )
 
 
@@ -1668,8 +1675,14 @@ def _exact_stats_oracle() -> str:
         "spn", "CAST(doc_id AS VARCHAR)", "CAST(dup_chars AS VARCHAR)"
     )
     sem_binder = binder_hash_sql("semb", "CAST(vec_id AS VARCHAR)")
+    edt_binder = binder_hash_sql(
+        "edt",
+        "CAST(doc_a AS VARCHAR)",
+        "CAST(doc_b AS VARCHAR)",
+        "CAST(edit_dist AS VARCHAR)",
+    )
     return f"""
-WITH cert AS (
+WITH RECURSIVE cert AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_CERT_VECS}
 ),
 {_semantic_dropped_ctes(source="cert")},
@@ -1710,16 +1723,48 @@ inc AS (
          CAST(COALESCE(SUM(CAST(ROUND(best_jaccard * 1000000) AS BIGINT)),
                        0) AS BIGINT) AS inc_jac_musum
   FROM inc_per
+),
+edt_pairs_cte AS (
+  SELECT doc_a, doc_b,
+         levenshtein(x.text, y.text) AS edit_dist
+  FROM cand
+  JOIN documents x ON x.doc_id = cand.doc_a
+  JOIN documents y ON y.doc_id = cand.doc_b
+  WHERE levenshtein(x.text, y.text) <= {EDIT_TAU}
+),
+edtp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS edt_pairs,
+         CAST(COALESCE(SUM({edt_binder}), 0) AS BIGINT) AS edt_hash
+  FROM edt_pairs_cte
+),
+edt_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edt_pairs_cte
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edt_pairs_cte
+),
+edt_walk(node, label) AS (
+  SELECT src, src FROM edt_edges
+  UNION
+  SELECT e.dst, w.label FROM edt_walk w JOIN edt_edges e ON e.src = w.node
+),
+edt_lab AS (
+  SELECT node, MIN(label) AS label FROM edt_walk GROUP BY node
+),
+edtc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS edt_nodes,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS edt_entities
+  FROM edt_lab
 )
 SELECT d.total, d.distinct_texts, d.removed,
        i.inc_flagged, i.inc_match_total, i.inc_dup_of_sum, i.inc_jac_musum,
        s.sem_kept, s.sem_kept_hash,
-       p.spn_docs, p.spn_spans, p.spn_chars, p.spn_hash
+       p.spn_docs, p.spn_spans, p.spn_chars, p.spn_hash,
+       e1.edt_pairs, e1.edt_hash, e2.edt_nodes, e2.edt_entities
 FROM (
   SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,
          COUNT(*) - COUNT(DISTINCT text) AS removed
   FROM documents
-) d, inc i, sem s, spn p
+) d, inc i, sem s, spn p, edtp e1, edtc e2
 """.strip()
 
 
@@ -2005,11 +2050,6 @@ def _spans_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# deferred from the INC_SPLIT block above: the exact-stats oracle
-# splices the spn_* CTE chain, whose pieces live in the span section
-ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
-
-
 # -- edit-distance verification of LSH candidates (round 10) -----------------
 
 #: max Levenshtein distance for a candidate pair to count as a verified
@@ -2169,3 +2209,61 @@ FROM walk GROUP BY node ORDER BY doc_id
 
 LOCAL_QUERIES["dedup_edit_clusters"] = dedup_edit_clusters
 LOCAL_ORACLE_SQL["dedup_edit_clusters"] = _edit_clusters_oracle()
+
+# deferred from the INC_SPLIT block above: the exact-stats oracle
+# splices the spn_* CTE chain (span section) and the edt_* CTE chain
+# (this section — EDIT_TAU must be bound before the f-string renders)
+ORACLE_SQL["dedup_exact_stats"] = _exact_stats_oracle()
+
+
+def _edit_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row ``edt_*`` certificate binding the edit-distance
+    block→verify→resolve pipeline into the dedup_exact_stats contract
+    row (round-10 verdict #6): verified pair count, a Σ-safe binder
+    over every (doc_a, doc_b, edit_dist) triple (a missed pair, an
+    extra pair, or a wrong distance all flip it), and the resolved
+    component rollup (linked nodes, distinct entities). Reuses the
+    memoized pair graph (_edit_pair_df — shared LSH candidates, banded
+    levenshtein verify) and the star-contraction resolver, so the cost
+    is one certmemo miss per corpus fingerprint."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_row
+
+    schema = (
+        "edt_pairs bigint, edt_hash bigint, edt_nodes bigint, "
+        "edt_entities bigint"
+    )
+
+    def build() -> DataFrame:
+        pairs = _edit_pair_df(spark, sf_dir)
+        p = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("edt_pairs"),
+            F.coalesce(
+                F.sum(
+                    binder_hash_col(
+                        "edt",
+                        F.col("doc_a"),
+                        F.col("doc_b"),
+                        F.col("edit_dist"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("edt_hash"),
+        )
+        labels = connected_components(
+            pairs.select("doc_a", "doc_b"), "doc_a", "doc_b",
+            algorithm="star",
+        )
+        c = labels.agg(
+            F.count(F.lit(1)).cast("bigint").alias("edt_nodes"),
+            F.coalesce(F.count_distinct("label"), F.lit(0))
+            .cast("bigint")
+            .alias("edt_entities"),
+        )
+        return p.crossJoin(c)
+
+    return cached_cert_row(
+        spark, sf_dir, "edit_dedup", ("documents",), schema, build
+    )
