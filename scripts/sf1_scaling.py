@@ -66,6 +66,17 @@ def generate(dst: str, replicas: int) -> None:
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # stream the COPY instead of materializing the whole replicated
+    # relation: with order preservation on (the default), the sf100
+    # lineitem CTAS buffers ~600M rows (~100 GB RSS — observed OOM
+    # trajectory); row order is meaningless in these synthetic decks
+    # and every consumer sorts/aggregates, so let DuckDB write row
+    # groups as they are produced under a bounded memory budget
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='48GB'")
+    tmp = os.path.join(dst, "_duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     # guard the hardcoded offsets against a regenerated sf0.1 with
     # larger cardinalities: a collision would silently corrupt the
     # synthetic dataset and the published exponents (round-8 advice)
