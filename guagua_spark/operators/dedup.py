@@ -1516,6 +1516,111 @@ SWEEP_SAMPLED = {
 }
 
 
+#: sf100 twin subset for the MinHash family: 50k docs keeps the DuckDB
+#: pair replay + recursive component walk at sf0.1-scale cost whatever
+#: the corpus (the full clusters walk measured 341 s at sf10 — 10x
+#: decades past the watchdog at sf100); pair membership and Jaccard
+#: are per-doc/per-pair, so pairs(subset) == pairs(corpus) cut to
+#: subset x subset — the same exactness argument as the ngram twin.
+DOC_SAMPLE_TARGET = 50_000
+
+
+def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guagua_spark.functions.scale import u32_hash
+
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    rate = min(1.0, DOC_SAMPLE_TARGET / max(docs_all.count(), 1))
+    return docs_all.filter(
+        u32_hash("docsamp", F.col("doc_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
+    )
+
+
+def _docsamp_ctes() -> str:
+    keep = (
+        "CAST(('0x' || substr(md5('docsamp|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < drate.rate * 4294967296.0"
+    )
+    return f"""drate AS (
+  SELECT LEAST(1.0, {float(DOC_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM documents
+),
+dsamp AS (SELECT doc_id, text FROM documents, drate WHERE {keep})"""
+
+
+def dedup_minhash_pairs_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_minhash_pairs over the deterministic md5 doc subset —
+    the sweep's scale-feasible twin (same LSH interior)."""
+    return minhash_pairs_for(
+        _sampled_docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle_sampled() -> str:
+    return f"""
+WITH {_docsamp_ctes()},
+{_minhash_pair_ctes(source="dsamp")}
+SELECT doc_a, doc_b, jaccard FROM pairs
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+def dedup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters (star-contraction CC) over the sampled pair
+    graph — certifies the same resolve interior at any sf."""
+    pairs = minhash_pairs_for(
+        _sampled_docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _clusters_oracle_sampled() -> str:
+    return f"""
+WITH RECURSIVE {_docsamp_ctes()},
+{_minhash_pair_ctes(source="dsamp")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
+""".strip()
+
+
+_DOCSAMP_RULE = (
+    "u32(md5('docsamp|doc_id')) <"
+    f" min(1, {DOC_SAMPLE_TARGET}/n_docs)*2^32"
+)
+SWEEP_SAMPLED["dedup_minhash_pairs"] = (
+    dedup_minhash_pairs_sampled,
+    _minhash_oracle_sampled(),
+    _DOCSAMP_RULE,
+)
+SWEEP_SAMPLED["dedup_clusters"] = (
+    dedup_clusters_sampled,
+    _clusters_oracle_sampled(),
+    _DOCSAMP_RULE,
+)
+
+
 def dedup_clusters_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_clusters computed by min-label propagation instead of the
     star contraction the contract row runs — SAME semantics, same

@@ -381,7 +381,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_train_oracle() -> str:
+def _kmeans_train_oracle(source: str = "embeddings", pre: str = "") -> str:
     """kmeans_train as one DuckDB recursive CTE: the anchor derives the
     deterministic init (stride filter on dense vec_id → norm-sort →
     pick k evenly — exactly _kmeans_contract_init); each recursive round
@@ -417,12 +417,12 @@ def _kmeans_train_oracle() -> str:
     )
     return f"""
 WITH RECURSIVE
-params AS (SELECT GREATEST(COUNT(*) // {k}, 1) AS m FROM embeddings),
+{pre}params AS (SELECT GREATEST(COUNT(*) // {k}, 1) AS m FROM {source}),
 cand AS (
   SELECT vec_id, embedding, ROW_NUMBER() OVER (
            ORDER BY ({norm}), vec_id) - 1 AS crn,
          COUNT(*) OVER () AS nc
-  FROM embeddings WHERE vec_id % (SELECT m FROM params) = 0
+  FROM {source} WHERE vec_id % (SELECT m FROM params) = 0
 ),
 it AS (
   SELECT 0 AS i, CAST(crn // GREATEST(nc // {k}, 1) AS INT) AS tag, {init_cols}
@@ -436,7 +436,7 @@ it AS (
     FROM (
       SELECT c.i, p.vec_id, arg_min(c.tag, ({dist})) AS atag,
              any_value(p.embedding) AS emb
-      FROM (SELECT * FROM it WHERE i < {rounds}) c, embeddings p
+      FROM (SELECT * FROM it WHERE i < {rounds}) c, {source} p
       GROUP BY c.i, p.vec_id
     ) asg
     GROUP BY i, atag
@@ -564,7 +564,7 @@ def nn_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(row)], schema)
 
 
-def _nn_train_gd_oracle() -> str:
+def _nn_train_gd_oracle(source: str = "lineitem", pre: str = "") -> str:
     """nn_train_gd as one generated DuckDB recursive CTE.
 
     The CTE threads all 49 weights and their 49 momentum velocities as
@@ -635,11 +635,11 @@ def _nn_train_gd_oracle() -> str:
     )
     v_upd = ", ".join(f"{mom}*v_{c} - {lr}*(g_{c}/n) AS v_{c}" for c in cols)
     return f"""
-WITH RECURSIVE feats AS (
+WITH RECURSIVE {pre}feats AS (
   SELECT l_quantity/50.0 AS f1, l_discount*10.0 AS f2,
          l_extendedprice/100000.0 AS f3, l_tax*10.0 AS f4,
          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
-  FROM lineitem
+  FROM {source}
 ),
 it AS (
   {anchor}
@@ -702,4 +702,244 @@ LOCAL_ORACLE_SQL = {
     "lr_gradient_step": _lr_oracle(),
     "kmeans_assign_counts": _kmeans_oracle(),
     # nn_train: rows-only (see module docstring above)
+}
+
+
+# -- sf100 sampled twins (round 11) -----------------------------------------
+#
+# The full-trainer oracles replay 5 full-batch rounds over the whole
+# fact table in DuckDB — linear per decade, so the sf100 rung (600M
+# lineitem rows) pushes them past any reasonable watchdog (lr 46 s,
+# kmeans 97 s at sf10 ==> ~8/16 min at sf100; the Spark sides are 13-45
+# MINUTES each at that scale). The sweep twins train on a
+# deterministic md5 row subset at sf0.1-scale cost whatever the
+# corpus: the ENGINE interior (load-once persist, map-side folds,
+# treeReduce, broadcast model, halt protocol) and the update rules are
+# identical — only the input relation shrinks, and both engines select
+# it with the same u32(md5) Bernoulli rule (the ngram-twin exactness
+# argument, dedup.py NGRAM_SAMPLE_TARGET).
+
+LI_SAMPLE_TARGET = 600_000
+KM_SAMPLE_TARGET = 60_000
+
+
+def _li_sample_keep():
+    from guagua_spark.functions.scale import u32_hash
+
+    return u32_hash(
+        "lisamp",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+
+
+_LI_KEEP_SQL = (
+    "CAST(('0x' || substr(md5('lisamp|' || CAST(l_orderkey AS VARCHAR)"
+    " || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    " < lirate.rate * 4294967296.0"
+)
+
+
+def _lirate_ctes(cols: str) -> str:
+    return f"""lirate AS (
+  SELECT LEAST(1.0, {float(LI_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM lineitem
+),
+lisamp AS (
+  SELECT {cols} FROM lineitem, lirate WHERE {_LI_KEEP_SQL}
+),
+"""
+
+
+def lr_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lr_train's engine run over the md5 lineitem subset — the
+    sweep's scale-feasible twin (training columns only; the inf_*
+    certificate family is certified by the full row at sf<=10)."""
+    from guagua_spark.algorithms.gradient import (
+        GradientDescentMaster,
+        LogisticGradientWorker,
+    )
+    from guagua_spark.engine import IterativeEngine
+
+    li_all = load_table(spark, sf_dir, "lineitem")
+    rate = min(1.0, LI_SAMPLE_TARGET / max(li_all.count(), 1))
+    li = (
+        li_all.filter(_li_sample_keep() < F.lit(rate * 4294967296.0))
+        .select(
+            "l_quantity",
+            "l_discount",
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    model = IterativeEngine(spark).run(
+        GradientDescentMaster(dim=2, learning_rate=0.5),
+        LogisticGradientWorker(("l_quantity", "l_discount"), "label"),
+        li,
+        total_iteration=5,
+    )
+    w = [round(float(x), 6) for x in model.weights]
+    return spark.createDataFrame(
+        [
+            (
+                w[0],
+                w[1],
+                w[2],
+                round(float(model.loss), 6),
+                int(model.iteration),
+            )
+        ],
+        "w_bias double, w_qty double, w_disc double, loss double, "
+        "iterations int",
+    )
+
+
+def _lr_oracle_sampled() -> str:
+    from guagua_spark.operators.lr_sql import lr_train_it_cte
+
+    pre = _lirate_ctes("l_quantity, l_discount, l_returnflag")
+    return f"""
+WITH RECURSIVE {pre}{lr_train_it_cte(source="lisamp")}
+SELECT ROUND(w0, 6) AS w_bias, ROUND(w1, 6) AS w_qty,
+       ROUND(w2, 6) AS w_disc, ROUND(loss, 6) AS loss,
+       CAST(i AS INT) AS iterations
+FROM it WHERE i = 5
+""".strip()
+
+
+def nn_train_gd_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nn_train_gd's engine run (backprop+momentum, 5 rounds) over the
+    md5 lineitem subset — same seeded init, same output row."""
+    from guagua_spark.algorithms.nn import NNMaster, NNWorker
+    from guagua_spark.engine import IterativeEngine
+
+    li_all = load_table(spark, sf_dir, "lineitem")
+    rate = min(1.0, LI_SAMPLE_TARGET / max(li_all.count(), 1))
+    li = (
+        li_all.filter(_li_sample_keep() < F.lit(rate * 4294967296.0))
+        .select(
+            (F.col("l_quantity") / 50.0).alias("f1"),
+            (F.col("l_discount") * 10.0).alias("f2"),
+            (F.col("l_extendedprice") / 100000.0).alias("f3"),
+            (F.col("l_tax") * 10.0).alias("f4"),
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("target"),
+        )
+        .repartition(_nn_partitions(spark))
+    )
+    model = IterativeEngine(spark).run(
+        NNMaster(NN_GD_LAYERS, learning_rate=NN_GD_LR, algorithm="backprop"),
+        NNWorker(("f1", "f2", "f3", "f4"), "target", validation_rate=0.0),
+        li,
+        total_iteration=NN_GD_ROUNDS,
+    )
+    (_, _), (w2, b2) = model.weights
+    hidden = NN_GD_LAYERS[1]
+    row = (
+        [round(float(model.train_error), 6), int(model.iteration)]
+        + [round(float(w2[j, 0]), 6) for j in range(hidden)]
+        + [round(float(b2[0]), 6)]
+    )
+    schema = (
+        "train_error double, iterations int, "
+        + ", ".join(f"w2_{j} double" for j in range(hidden))
+        + ", b2 double"
+    )
+    return spark.createDataFrame([tuple(row)], schema)
+
+
+def _nn_oracle_sampled() -> str:
+    pre = _lirate_ctes(
+        "l_quantity, l_discount, l_extendedprice, l_tax, l_returnflag"
+    )
+    return _nn_train_gd_oracle(source="lisamp", pre=pre)
+
+
+def kmeans_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_train's engine run over the md5 embedding subset: the
+    deterministic contract init rule (stride on vec_id -> norm-sort ->
+    pick k evenly) is applied to the SAMPLED relation on both sides,
+    then 4 engine update rounds from those centroids."""
+    import numpy as np
+
+    from guagua_spark.algorithms.kmeans import (
+        KMeansMaster,
+        KMeansWorker,
+        select_centroids_by_norm,
+    )
+    from guagua_spark.engine import IterativeEngine
+    from guagua_spark.functions.scale import u32_hash
+
+    emb_all = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rate = min(1.0, KM_SAMPLE_TARGET / max(emb_all.count(), 1))
+    emb = emb_all.filter(
+        u32_hash("kmsamp", F.col("vec_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
+    )
+    n = emb.count()
+    m = max(1, n // KMEANS_K)
+    cands_rows = (
+        emb.filter(F.col("vec_id") % m == 0).orderBy("vec_id").collect()
+    )
+    init = select_centroids_by_norm(
+        np.array(
+            [[float(v) for v in r["embedding"]] for r in cands_rows],
+            dtype=np.float64,
+        ),
+        KMEANS_K,
+    )
+    model = IterativeEngine(spark).run(
+        KMeansMaster(k=KMEANS_K, tolerance=0.0, init_centroids=init),
+        KMeansWorker(k=KMEANS_K),
+        emb.select("embedding"),
+        total_iteration=1 + KMEANS_UPDATE_ROUNDS,
+    )
+    rows = [
+        (int(i), *[round(float(v), 6) for v in c[:4]])
+        for i, c in enumerate(model.centroids)
+    ]
+    return spark.createDataFrame(
+        rows, "tag int, c0 double, c1 double, c2 double, c3 double"
+    )
+
+
+def _kmeans_oracle_sampled() -> str:
+    keep = (
+        "CAST(('0x' || substr(md5('kmsamp|' || CAST(vec_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < kmrate.rate * 4294967296.0"
+    )
+    pre = f"""kmrate AS (
+  SELECT LEAST(1.0, {float(KM_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM embeddings
+),
+kmsamp AS (
+  SELECT vec_id, embedding FROM embeddings, kmrate WHERE {keep}
+),
+"""
+    return _kmeans_train_oracle(source="kmsamp", pre=pre)
+
+
+_LI_RULE = (
+    "u32(md5('lisamp|l_orderkey|l_linenumber')) <"
+    f" min(1, {LI_SAMPLE_TARGET}/n_rows)*2^32"
+)
+SWEEP_SAMPLED = {
+    "lr_train": (lr_train_sampled, _lr_oracle_sampled(), _LI_RULE),
+    "nn_train_gd": (nn_train_gd_sampled, _nn_oracle_sampled(), _LI_RULE),
+    "kmeans_train": (
+        kmeans_train_sampled,
+        _kmeans_oracle_sampled(),
+        "u32(md5('kmsamp|vec_id')) <"
+        f" min(1, {KM_SAMPLE_TARGET}/n_vecs)*2^32",
+    ),
 }

@@ -10,7 +10,7 @@ from __future__ import annotations
 DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
-def lr_train_it_cte() -> str:
+def lr_train_it_cte(source: str = "lineitem") -> str:
     """The 5-step LR training loop as the body of a recursive CTE named
     ``it`` — shared verbatim between lr_train's hash-certified oracle
     and the inference oracles, so the weights the scoring oracles
@@ -36,7 +36,7 @@ def lr_train_it_cte() -> str:
            1.0/(1.0 + EXP(-(w0 + w1*l_quantity + w2*l_discount)))
              - (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS err,
            l_quantity, l_discount
-    FROM it, lineitem
+    FROM it, {source}
     WHERE i < 5
   ) s
   GROUP BY i, w0, w1, w2

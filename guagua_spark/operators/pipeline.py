@@ -1374,3 +1374,121 @@ ORDER BY source, cap_rank
 
 LOCAL_QUERIES["pipeline_source_cap"] = pipeline_source_cap
 LOCAL_ORACLE_SQL["pipeline_source_cap"] = _source_cap_oracle()
+
+
+# -- sf100 sampled twin (round 11) ------------------------------------------
+
+
+def pipeline_clean_corpus_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The clean-corpus composition (quality filter -> LSH near-dup
+    removal -> per-(lang, source) rollup) over the deterministic md5
+    doc subset — the sweep's scale-feasible twin. The full oracle's
+    DuckDB replay is ~17 min at sf10 (pair CTEs + recursive component
+    walk over every doc) and linear per decade, so sf100 is decades
+    past any watchdog; the twin keeps the replay at sf0.1-scale cost
+    whatever the corpus. Certificate columns are omitted: each cert
+    family is independently certified by its own host row at sf<=10,
+    and the twin certifies the COMPOSITION interior (filter -> pairs
+    within the filtered set -> components -> anti-join -> rollup).
+    Same subset rule as the dedup twins ('docsamp' tag), so
+    pairs(subset) == pairs(corpus) cut to subset x subset."""
+    from guagua_spark.functions.scale import u32_hash
+    from guagua_spark.operators.dedup import (
+        DOC_SAMPLE_TARGET,
+        minhash_pairs_for,
+    )
+
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    rate = min(1.0, DOC_SAMPLE_TARGET / max(docs_all.count(), 1))
+    docs = docs_all.filter(
+        u32_hash("docsamp", F.col("doc_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
+    )
+    filtered = docs.filter(_quality_pred())
+    pairs = minhash_pairs_for(
+        filtered.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    clean = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
+    return (
+        clean.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _clean_corpus_oracle_sampled() -> str:
+    from guagua_spark.operators.dedup import (
+        DOC_SAMPLE_TARGET,
+        _minhash_pair_ctes,
+    )
+
+    keep = (
+        "CAST(('0x' || substr(md5('docsamp|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < drate.rate * 4294967296.0"
+    )
+    return f"""
+WITH RECURSIVE drate AS (
+  SELECT LEAST(1.0, {float(DOC_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM documents
+),
+dsamp AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents, drate WHERE {keep}
+),
+filtered AS (
+  SELECT doc_id, text, lang, source, n_chars FROM dsamp
+  WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+    AND CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / LENGTH(text) >= {MIN_ALPHA_RATIO}
+),
+{_minhash_pair_ctes(source="filtered")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+drop_ids AS (
+  SELECT node FROM walk GROUP BY node HAVING node != MIN(label)
+),
+clean AS (
+  SELECT * FROM filtered
+  WHERE doc_id NOT IN (SELECT node FROM drop_ids)
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM clean GROUP BY lang, source ORDER BY lang, source
+""".strip()
+
+
+SWEEP_SAMPLED = {
+    "pipeline_clean_corpus": (
+        pipeline_clean_corpus_sampled,
+        _clean_corpus_oracle_sampled(),
+        "u32(md5('docsamp|doc_id')) < min(1, 50000/n_docs)*2^32;"
+        " certificate columns omitted (independently certified at"
+        " sf<=10 by their host rows)",
+    ),
+}

@@ -307,3 +307,29 @@ def test_edit_clusters_cover_exactly_the_pair_nodes(spark, oracle_sf_dir):
     assert set(labels) == nodes
     assert all(lbl <= d for d, lbl in labels.items())
     assert all(labels[p["doc_a"]] == labels[p["doc_b"]] for p in pairs)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_pairs",
+        "dedup_clusters",
+        "lr_train",
+        "kmeans_train",
+        "nn_train_gd",
+        "pipeline_clean_corpus",
+    ],
+)
+def test_round11_sampled_twins_match_their_oracles(
+    spark, oracle_sf_dir, duck, name
+):
+    """The sf100 twins added in round 11 (md5-subset engine trainers,
+    MinHash pairs/clusters, the clean-corpus composition) must match
+    their own oracles. At the small test sf the rate saturates at 1.0,
+    so each twin also regression-pins the full operator's interior."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    fn, sql, rule = entry.sweep_sampled()[name]
+    assert "samp" in rule
+    assert_matches_oracle(fn(spark, oracle_sf_dir), duck, sql, rtol=1e-6)
