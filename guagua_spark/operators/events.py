@@ -1754,3 +1754,160 @@ FROM est, ex, cka, ckb
 
 LOCAL_QUERIES["events_join_size_cm"] = events_join_size_cm
 LOCAL_ORACLE_SQL["events_join_size_cm"] = _join_size_cm_oracle()
+
+
+# -- sf100 sampled twins (round 11) -----------------------------------------
+#
+# events_sessionize / events_asof_purchase produce PER-EVENT-scale
+# results (9.5M / 2M rows at sf10 -> ~95M / ~20M at sf100): the
+# sweep's driver-side row-hash compare (toPandas + canonical sort on
+# BOTH engines) is memory- and time-infeasible there, and was the
+# plausible proximate cause of the round-10 sf100 session deaths.
+# Both computations are PER-USER (a user's sessions / asof matches
+# depend only on that user's events), so a deterministic md5 USER
+# subset is an exact twin: results(subset) == results(corpus)
+# restricted to sampled users.
+
+USER_SAMPLE_TARGET = 20_000
+
+
+def _sampled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guagua_spark.functions.scale import u32_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    rate = min(1.0, USER_SAMPLE_TARGET / max(n_users, 1))
+    return ev.filter(
+        u32_hash("usersamp", F.col("user_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
+    )
+
+
+_USAMP_CTES = f"""urate AS (
+  SELECT LEAST(1.0, {float(USER_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(DISTINCT user_id), 1)) AS rate
+  FROM events
+),
+esamp AS (
+  SELECT events.* FROM events, urate
+  WHERE CAST(('0x' || substr(md5('usersamp|' || CAST(user_id AS VARCHAR)),
+             1, 8)) AS UBIGINT) < urate.rate * 4294967296.0
+)"""
+
+
+def events_sessionize_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events_sessionize over the md5 user subset — same two-window
+    one-exchange interior."""
+    ev = _sampled_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag("ts").over(by_user)
+            > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(by_user) + 1
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def events_asof_purchase_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events_asof_purchase over the md5 user subset — same pre-dedup
+    + asof_join interior."""
+    ev = _sampled_events(spark, sf_dir)
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        clk,
+        pur,
+        on="user_id",
+        right_cols=("pvalue",),
+        prefix="last_purchase_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_value",
+        F.col("last_purchase_ts"),
+        F.col("last_purchase_pvalue").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+_USAMP_RULE = (
+    "u32(md5('usersamp|user_id')) <"
+    f" min(1, {USER_SAMPLE_TARGET}/n_users)*2^32;"
+    " certificate columns omitted where the full row carries them"
+)
+
+SWEEP_SAMPLED = {
+    "events_sessionize": (
+        events_sessionize_sampled,
+        f"""
+WITH {_USAMP_CTES},
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM esamp
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) + 1
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""".strip(),
+        _USAMP_RULE,
+    ),
+    "events_asof_purchase": (
+        events_asof_purchase_sampled,
+        f"""
+WITH {_USAMP_CTES},
+pur AS (
+  SELECT user_id, ts, MAX(value) AS pvalue
+  FROM esamp WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clk AS (
+  SELECT event_id, user_id, ts, value AS click_value
+  FROM esamp WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, c.click_value,
+       p.ts AS last_purchase_ts, p.pvalue AS last_purchase_value
+FROM clk c ASOF LEFT JOIN pur p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.event_id
+""".strip(),
+        _USAMP_RULE,
+    ),
+}

@@ -586,3 +586,72 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
 }
+
+
+# -- sf100 sampled twin (round 11) ------------------------------------------
+
+
+def multimodal_frame_sample_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """multimodal_frame_sample over the md5 doc subset — per-asset
+    computation, so the subset twin is exact; keeps the ~17M-row sf100
+    output at row-hash-comparable scale."""
+    from guagua_spark.functions.scale import u32_hash
+    from guagua_spark.operators.dedup import DOC_SAMPLE_TARGET
+
+    assets_all = media_assets(spark, sf_dir)
+    n = assets_all.count()
+    rate = min(1.0, DOC_SAMPLE_TARGET / max(n, 1))
+    assets = assets_all.filter(
+        (F.col("meta.kind") == "video")
+        & (
+            u32_hash("docsamp", F.col("doc_id").cast("string"))
+            < F.lit(rate * 4294967296.0)
+        )
+    )
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames = [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                _, _, nf, _ = _decode(m)
+                for fi in range(0, nf, FRAME_STEP):
+                    ids.append(doc_id)
+                    frames.append(fi)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": frames})
+
+    return assets.mapInPandas(
+        sample, "doc_id long, frame_idx int"
+    ).orderBy("doc_id", "frame_idx")
+
+
+def _frame_sample_oracle_sampled() -> str:
+    from guagua_spark.operators.dedup import DOC_SAMPLE_TARGET
+
+    keep = (
+        "CAST(('0x' || substr(md5('docsamp|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < drate.rate * 4294967296.0"
+    )
+    return f"""
+WITH drate AS (
+  SELECT LEAST(1.0, {float(DOC_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM documents
+),
+dsamp AS (SELECT doc_id FROM documents, drate WHERE {keep})
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx
+FROM dsamp,
+     UNNEST(range(0, 1 + doc_id % 24, {FRAME_STEP})) AS t(frame_idx)
+WHERE doc_id % 24 <> 0
+ORDER BY doc_id, frame_idx
+""".strip()
+
+
+SWEEP_SAMPLED = {
+    "multimodal_frame_sample": (
+        multimodal_frame_sample_sampled,
+        _frame_sample_oracle_sampled(),
+        "u32(md5('docsamp|doc_id')) < min(1, 50000/n_docs)*2^32",
+    ),
+}

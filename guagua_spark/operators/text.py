@@ -1973,3 +1973,105 @@ cmcert AS (
 
 
 ORACLE_SQL["text_tfidf_top_terms"] = _tfidf_oracle()
+
+
+# -- sf100 sampled twin (round 11) ------------------------------------------
+
+
+def tfidf_top_terms_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_top_terms over the deterministic md5 doc subset (the
+    'docsamp' rule shared with the dedup twins) — the sweep's
+    scale-feasible twin. TF-IDF is a corpus-level statistic, so the
+    twin recomputes df/N on the SUBSET corpus (both engines do — same
+    interior, same score law); the bm_*/fi_*/cm_* certificates ride
+    only the full row (independently certified at sf<=10). The full
+    row's 15M output rows at sf100 are past the sweep's row-hash
+    compare; ~50k docs keeps both engines at sf0.1 cost."""
+    from guagua_spark.functions.scale import u32_hash
+    from guagua_spark.operators.dedup import DOC_SAMPLE_TARGET
+
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    rate = min(1.0, DOC_SAMPLE_TARGET / max(docs_all.count(), 1))
+    docs = docs_all.filter(
+        u32_hash("docsamp", F.col("doc_id").cast("string"))
+        < F.lit(rate * 4294967296.0)
+    )
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    by_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(by_term))
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def _tfidf_oracle_sampled() -> str:
+    from guagua_spark.operators.dedup import DOC_SAMPLE_TARGET
+
+    keep = (
+        "CAST(('0x' || substr(md5('docsamp|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < drate.rate * 4294967296.0"
+    )
+    return f"""
+WITH drate AS (
+  SELECT LEAST(1.0, {float(DOC_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM documents
+),
+dsamp AS (SELECT doc_id, text FROM documents, drate WHERE {keep}),
+toks AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM dsamp
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_docs FROM dsamp),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tfidf
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rnk
+""".strip()
+
+
+SWEEP_SAMPLED = {
+    "text_tfidf_top_terms": (
+        tfidf_top_terms_sampled,
+        _tfidf_oracle_sampled(),
+        "u32(md5('docsamp|doc_id')) < min(1, 50000/n_docs)*2^32;"
+        " df/N recomputed on the subset corpus; certificate columns"
+        " omitted (certified by the full row at sf<=10)",
+    ),
+}

@@ -318,6 +318,10 @@ def test_edit_clusters_cover_exactly_the_pair_nodes(spark, oracle_sf_dir):
         "kmeans_train",
         "nn_train_gd",
         "pipeline_clean_corpus",
+        "events_sessionize",
+        "events_asof_purchase",
+        "text_tfidf_top_terms",
+        "multimodal_frame_sample",
     ],
 )
 def test_round11_sampled_twins_match_their_oracles(
