@@ -877,13 +877,30 @@ def kmeans_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guagua_spark.engine import IterativeEngine
     from guagua_spark.functions.scale import u32_hash
 
+    from pyspark.sql import Window as _W
+
     emb_all = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     rate = min(1.0, KM_SAMPLE_TARGET / max(emb_all.count(), 1))
-    emb = emb_all.filter(
-        u32_hash("kmsamp", F.col("vec_id").cast("string"))
-        < F.lit(rate * 4294967296.0)
+    # re-id the sampled vectors DENSELY (row_number over vec_id order):
+    # the contract init strides vec_id % (n//k) == 0, which on a sparse
+    # md5 subset would select a binomially-varying candidate count
+    # (possibly < k); dense surrogate ids restore the full rule's
+    # guarantee on both sides. The single-partition window is fine at
+    # the bounded sample size.
+    emb = (
+        emb_all.filter(
+            u32_hash("kmsamp", F.col("vec_id").cast("string"))
+            < F.lit(rate * 4294967296.0)
+        )
+        .select(
+            (F.row_number().over(_W.orderBy("vec_id")) - 1).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
     )
     n = emb.count()
     m = max(1, n // KMEANS_K)
@@ -922,8 +939,12 @@ def _kmeans_oracle_sampled() -> str:
                / GREATEST(COUNT(*), 1)) AS rate
   FROM embeddings
 ),
-kmsamp AS (
+kmsamp0 AS (
   SELECT vec_id, embedding FROM embeddings, kmrate WHERE {keep}
+),
+kmsamp AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS vec_id, embedding
+  FROM kmsamp0
 ),
 """
     return _kmeans_train_oracle(source="kmsamp", pre=pre)

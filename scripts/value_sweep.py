@@ -222,6 +222,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # bound the in-process oracle: DuckDB's default budget is ~80% of
+    # RAM and shares the address space with the Spark driver JVM — the
+    # round-11 sf100 run was OOM-killed at 76 GB anon RSS inside the
+    # q4 oracle. 24 GB + disk spill keeps the replay alive (slower is
+    # fine; the watchdog still bounds it).
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET preserve_insertion_order=false")
+    _tmp = os.path.join(_REPO, ".duck_sweep_tmp")
+    os.makedirs(_tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{_tmp}'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
