@@ -225,9 +225,14 @@ def main() -> None:
     # bound the in-process oracle: DuckDB's default budget is ~80% of
     # RAM and shares the address space with the Spark driver JVM — the
     # round-11 sf100 run was OOM-killed at 76 GB anon RSS inside the
-    # q4 oracle. 24 GB + disk spill keeps the replay alive (slower is
-    # fine; the watchdog still bounds it).
-    con.execute("SET memory_limit='24GB'")
+    # q4 oracle. A budget + disk spill keeps the replay alive (slower
+    # is fine; the watchdog still bounds it). Overridable because the
+    # right split depends on the Spark driver heap chosen for the run
+    # ($SWEEP_DUCK_MEM, e.g. '56GB' for the q4 pagerank-edge build at
+    # sf100, whose spill exceeds free disk at the default).
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '24GB')}'"
+    )
     con.execute("SET preserve_insertion_order=false")
     _tmp = os.path.join(_REPO, ".duck_sweep_tmp")
     os.makedirs(_tmp, exist_ok=True)
