@@ -2372,3 +2372,193 @@ def _edit_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_cert_row(
         spark, sf_dir, "edit_dedup", ("documents",), schema, build
     )
+
+
+def dedup_exact_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_stats over the md5 doc subset — the sweep's
+    scale-feasible twin. The full row's oracle replays the MinHash
+    pair CTEs AND (round 11) an unbanded levenshtein over every
+    corpus-wide candidate pair, which is decades past the watchdog at
+    sf100. The twin computes the doc stats, the incremental-ingest
+    inc_* rollup, and the edit-resolve edt_* block over the SAMPLED
+    corpus (pair membership is per-pair, so the subset is exact); the
+    sem_*/spn_* certificates are already bounded slices (vec_id < 500
+    / doc_id < 400) and stay IDENTICAL to the full row on both sides."""
+    docs = _sampled_docs(spark, sf_dir)
+    pairs = minhash_pairs_for(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
+    cross = pairs.filter(
+        (F.col("doc_a") < INC_SPLIT) & (F.col("doc_b") >= INC_SPLIT)
+    )
+    per_new = cross.groupBy("doc_b").agg(
+        F.min("doc_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    inc = per_new.agg(
+        F.count(F.lit(1)).alias("inc_flagged"),
+        F.coalesce(F.sum("n_matches"), F.lit(0))
+        .cast("bigint")
+        .alias("inc_match_total"),
+        F.coalesce(F.sum("dup_of"), F.lit(0))
+        .cast("bigint")
+        .alias("inc_dup_of_sum"),
+        F.coalesce(
+            F.sum(F.round(F.col("best_jaccard") * 1e6).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("inc_jac_musum"),
+    )
+    epairs = edit_verified_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
+    from guagua_spark.functions.scale import binder_hash_col
+
+    ep = epairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("edt_pairs"),
+        F.coalesce(
+            F.sum(
+                binder_hash_col(
+                    "edt",
+                    F.col("doc_a"),
+                    F.col("doc_b"),
+                    F.col("edit_dist"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("edt_hash"),
+    )
+    elabels = connected_components(
+        epairs.select("doc_a", "doc_b"), "doc_a", "doc_b", algorithm="star"
+    )
+    ec = elabels.agg(
+        F.count(F.lit(1)).cast("bigint").alias("edt_nodes"),
+        F.coalesce(F.count_distinct("label"), F.lit(0))
+        .cast("bigint")
+        .alias("edt_entities"),
+    )
+    return (
+        docs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("text").alias("distinct_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("removed"),
+        )
+        .crossJoin(F.broadcast(inc))
+        .crossJoin(F.broadcast(_sem_cert_df(spark, sf_dir)))
+        .crossJoin(F.broadcast(_spans_cert_df(spark, sf_dir)))
+        .crossJoin(F.broadcast(ep))
+        .crossJoin(F.broadcast(ec))
+    )
+
+
+def _exact_stats_oracle_sampled() -> str:
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    spn_binder = binder_hash_sql(
+        "spn", "CAST(doc_id AS VARCHAR)", "CAST(dup_chars AS VARCHAR)"
+    )
+    sem_binder = binder_hash_sql("semb", "CAST(vec_id AS VARCHAR)")
+    edt_binder = binder_hash_sql(
+        "edt",
+        "CAST(doc_a AS VARCHAR)",
+        "CAST(doc_b AS VARCHAR)",
+        "CAST(edit_dist AS VARCHAR)",
+    )
+    return f"""
+WITH RECURSIVE {_docsamp_ctes()},
+cert AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_CERT_VECS}
+),
+{_semantic_dropped_ctes(source="cert")},
+sem AS (
+  SELECT COUNT(*) AS sem_kept,
+         CAST(SUM({sem_binder}) AS BIGINT) AS sem_kept_hash
+  FROM cert WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+),
+spncert AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {SPN_CERT_DOCS}
+),
+{_spans_ctes(source="spncert")},
+spndoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+  FROM sspans GROUP BY doc_id
+),
+spn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS spn_docs,
+         CAST(COALESCE(SUM(n_dup_spans), 0) AS BIGINT) AS spn_spans,
+         CAST(COALESCE(SUM(dup_chars), 0) AS BIGINT) AS spn_chars,
+         CAST(COALESCE(SUM({spn_binder}), 0) AS BIGINT) AS spn_hash
+  FROM spndoc
+),
+{_minhash_pair_ctes(source="dsamp")},
+inc_per AS (
+  SELECT doc_b, MIN(doc_a) AS dup_of, COUNT(*) AS n_matches,
+         MAX(jaccard) AS best_jaccard
+  FROM pairs
+  WHERE doc_a < {INC_SPLIT} AND doc_b >= {INC_SPLIT}
+  GROUP BY doc_b
+),
+inc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS inc_flagged,
+         CAST(COALESCE(SUM(n_matches), 0) AS BIGINT) AS inc_match_total,
+         CAST(COALESCE(SUM(dup_of), 0) AS BIGINT) AS inc_dup_of_sum,
+         CAST(COALESCE(SUM(CAST(ROUND(best_jaccard * 1000000) AS BIGINT)),
+                       0) AS BIGINT) AS inc_jac_musum
+  FROM inc_per
+),
+edt_pairs_cte AS (
+  SELECT doc_a, doc_b,
+         levenshtein(x.text, y.text) AS edit_dist
+  FROM cand
+  JOIN dsamp x ON x.doc_id = cand.doc_a
+  JOIN dsamp y ON y.doc_id = cand.doc_b
+  WHERE levenshtein(x.text, y.text) <= {EDIT_TAU}
+),
+edtp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS edt_pairs,
+         CAST(COALESCE(SUM({edt_binder}), 0) AS BIGINT) AS edt_hash
+  FROM edt_pairs_cte
+),
+edt_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edt_pairs_cte
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edt_pairs_cte
+),
+edt_walk(node, label) AS (
+  SELECT src, src FROM edt_edges
+  UNION
+  SELECT e.dst, w.label FROM edt_walk w JOIN edt_edges e ON e.src = w.node
+),
+edt_lab AS (
+  SELECT node, MIN(label) AS label FROM edt_walk GROUP BY node
+),
+edtc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS edt_nodes,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS edt_entities
+  FROM edt_lab
+)
+SELECT d.total, d.distinct_texts, d.removed,
+       i.inc_flagged, i.inc_match_total, i.inc_dup_of_sum, i.inc_jac_musum,
+       s.sem_kept, s.sem_kept_hash,
+       p.spn_docs, p.spn_spans, p.spn_chars, p.spn_hash,
+       e1.edt_pairs, e1.edt_hash, e2.edt_nodes, e2.edt_entities
+FROM (
+  SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,
+         COUNT(*) - COUNT(DISTINCT text) AS removed
+  FROM dsamp
+) d, inc i, sem s, spn p, edtp e1, edtc e2
+""".strip()
+
+
+SWEEP_SAMPLED["dedup_exact_stats"] = (
+    dedup_exact_stats_sampled,
+    _exact_stats_oracle_sampled(),
+    _DOCSAMP_RULE
+    + "; sem_*/spn_* certificate slices unchanged (already id-bounded)",
+)

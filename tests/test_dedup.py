@@ -312,6 +312,7 @@ def test_edit_clusters_cover_exactly_the_pair_nodes(spark, oracle_sf_dir):
 @pytest.mark.parametrize(
     "name",
     [
+        "dedup_exact_stats",
         "dedup_minhash_pairs",
         "dedup_clusters",
         "lr_train",
