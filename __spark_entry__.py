@@ -53,6 +53,7 @@ _MODULE_ORDER = (
     "packing",
     "inference",
     "graph",
+    "tokenizer",
 )
 
 

@@ -37,10 +37,13 @@ DST = os.path.join(_REPO, "testdata_sf1000_sketch")
 REPLICAS = 10_000
 
 #: the probe rows: (name, use_sampled_twin)
+#: histogram last — its qcm certificate build is the long pole at 1B
+#: events (~linear from the 1502 s sf100 measurement), and the probe
+#: writes the artifact incrementally after each row
 PROBE = [
     ("events_windowed_agg", False),
-    ("events_histogram", False),
     ("text_tfidf_top_terms", True),
+    ("events_histogram", False),
 ]
 
 
