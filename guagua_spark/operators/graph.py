@@ -403,3 +403,100 @@ LOCAL_ORACLE_SQL = {
     "graph_pagerank": _pagerank_oracle(),
     "graph_triangles": _triangles_oracle(),
 }
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (iterative frontier expansion)
+
+
+#: hop cap for the BFS query — the symmetric trade graph is bipartite
+#: and near-connected, so every reachable node appears within a few
+#: hops; the cap bounds BOTH the Spark loop and the oracle's recursion
+BFS_MAX_DEPTH = 6
+
+
+def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
+    """Minimum hop distance from ``source`` over a directed edge list
+    ``(a, b)`` — Pregel BFS collapsed to the Spark-idiomatic loop
+    (SURVEY.md §2.3 note: the superstep IS a join + distinct): each
+    round joins the frontier against the edges, anti-joins the visited
+    set, and unions the newly discovered nodes at depth d.
+
+    100 TB shape: per round one equi-join on the node key (AQE
+    skew-splits a celebrity node) and one LEFT ANTI against the visited
+    set — both key-only relations (~tens of bytes/row); the frontier is
+    persisted and replaces its parent each round so lineage stays one
+    round deep, and rounds are bounded by ``max_depth``, not the data.
+    The visited set never leaves the cluster (no driver collect)."""
+    spark = edges.sparkSession
+    src_col, dst_col = edges.columns[0], edges.columns[1]
+    dist = spark.createDataFrame(
+        [(source, 0)], "node string, depth int"
+    ).persist()
+    dist.count()
+    frontier = dist.select("node")
+    retired: list[DataFrame] = []
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src_col])
+            .select(F.col(dst_col).alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_dist = dist.union(nxt).persist()
+        new_dist.count()
+        retired.extend((dist, nxt))
+        dist, frontier = new_dist, nxt.select("node")
+    for df in retired:
+        df.unpersist()
+    return dist
+
+
+def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: BFS hop distances on the symmetric trade graph from
+    the lexicographically-smallest customer node — (node, depth) for
+    every node within BFS_MAX_DEPTH hops."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    try:
+        source = edges.agg(
+            F.min(
+                F.when(F.col("a").startswith("c"), F.col("a"))
+            ).alias("src")
+        ).first()["src"]
+        return bfs_depths(edges, source, BFS_MAX_DEPTH)
+    finally:
+        edges.unpersist()
+
+
+def _bfs_oracle() -> str:
+    """Recursive replay with UNION (not UNION ALL): the recursion
+    carries (node, depth) PAIRS and the set-union dedups them, so the
+    row count is bounded by nodes x depth — path enumeration under
+    UNION ALL would be combinatorial on this dense bipartite graph.
+    MIN(depth) per node is exactly the frontier BFS's first-discovery
+    depth."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+walk(node, depth) AS (
+  SELECT (SELECT MIN(a) FROM e WHERE a LIKE 'c%') AS node, 0 AS depth
+  UNION
+  SELECT e.b, w.depth + 1
+  FROM walk w JOIN e ON e.a = w.node
+  WHERE w.depth < {BFS_MAX_DEPTH}
+)
+SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
+""".strip()
+
+
+LOCAL_QUERIES["graph_bfs_depth"] = graph_bfs_depth
+LOCAL_ORACLE_SQL["graph_bfs_depth"] = _bfs_oracle()

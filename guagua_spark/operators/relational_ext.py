@@ -1020,3 +1020,113 @@ SELECT * FROM o, oo, l, lo
 
 LOCAL_QUERIES["rx_quality_audit"] = rx_quality_audit
 LOCAL_ORACLE_SQL["rx_quality_audit"] = _QUALITY_AUDIT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bin join)
+
+
+#: bin width in days for the interval join — wider than the longest
+#: interval on either side (windows ≤ 60 d, lineitem spans ≤ 14 d), so
+#: every interval lands in at most 2 buckets and the per-pair dedup
+#: rule below fires exactly once
+_IVJ_BIN_DAYS = 64
+_IVJ_EPOCH = "1992-01-01"
+_IVJ_WINDOW_EPOCH = "1995-01-01"
+
+
+def rx_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the classic BIN JOIN: overlap counts of
+    25 deterministic nation-derived audit windows against per-lineitem
+    ship intervals ``[shipdate, shipdate + qty%14 + 1 d]``.
+
+    Spark has no interval-join operator; the naive formulation is a
+    theta join (``l.s <= w.end AND l.e >= w.start``) that Catalyst can
+    only run as BroadcastNestedLoopJoin / cartesian — a scale-killer
+    when BOTH sides are large. The bin join makes it an EQUI join:
+    explode each interval into the fixed-width day buckets it covers
+    (≤2 per side at this width), hash-join on the bucket, re-check the
+    exact overlap predicate, and count each qualifying pair exactly
+    once via the standard dedup rule — keep the pair only in the bucket
+    containing ``GREATEST(l.s, w.start)`` (both intervals cover that
+    day, and it lies in exactly one bucket). At 100 TB both sides
+    shuffle on a dense integer key, AQE can skew-split a hot bucket,
+    and the fan-out is bounded by ``interval_len/bin + 1`` per row —
+    the plan test pins the absence of any nested-loop join.
+
+    Oracle: the theta join DuckDB runs natively (its IEJoin handles
+    interval predicates — the luxury Spark lacks, which is the point
+    of this operator)."""
+    n = load_table(spark, sf_dir, "nation")
+    day0 = F.to_date(F.lit(_IVJ_EPOCH))
+    wep = F.to_date(F.lit(_IVJ_WINDOW_EPOCH))
+
+    def bkt(d: Column) -> Column:
+        return F.floor(F.datediff(d, day0) / _IVJ_BIN_DAYS).cast("int")
+
+    win = n.select(
+        F.col("n_nationkey").cast("int").alias("window_id"),
+        F.date_add(wep, (F.col("n_nationkey") * 97).cast("int")).alias(
+            "w_start"
+        ),
+        F.date_add(
+            wep,
+            (
+                F.col("n_nationkey") * 97
+                + 20
+                + (F.col("n_nationkey") * 13) % 40
+            ).cast("int"),
+        ).alias("w_end"),
+    )
+    win_b = win.withColumn(
+        "bkt", F.explode(F.sequence(bkt(F.col("w_start")), bkt(F.col("w_end"))))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.floor(F.col("l_quantity")).cast("int") % 14 + 1),
+        ).alias("e"),
+        "l_quantity",
+    )
+    li_b = li.withColumn(
+        "bkt", F.explode(F.sequence(bkt(F.col("s")), bkt(F.col("e"))))
+    )
+    pairs = (
+        li_b.join(win_b, "bkt")
+        .where(
+            (F.col("s") <= F.col("w_end"))
+            & (F.col("e") >= F.col("w_start"))
+            & (F.col("bkt") == bkt(F.greatest(F.col("s"), F.col("w_start"))))
+        )
+    )
+    return pairs.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = f"""
+WITH windows AS (
+  SELECT CAST(n_nationkey AS INT) AS window_id,
+         DATE '{_IVJ_WINDOW_EPOCH}' + CAST(n_nationkey * 97 AS INT) AS w_start,
+         DATE '{_IVJ_WINDOW_EPOCH}'
+           + CAST(n_nationkey * 97 + 20 + (n_nationkey * 13) % 40 AS INT) AS w_end
+  FROM nation),
+iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST(CAST(FLOOR(l_quantity) AS INT) % 14 + 1 AS INT) AS e,
+         l_quantity
+  FROM lineitem)
+SELECT w.window_id,
+       COUNT(*) AS n_overlap,
+       CAST(SUM(iv.l_quantity) AS DOUBLE) AS sum_qty
+FROM windows w
+JOIN iv ON iv.s <= w.w_end AND iv.e >= w.w_start
+GROUP BY 1
+""".strip()
+
+
+LOCAL_QUERIES["rx_interval_join"] = rx_interval_join
+LOCAL_ORACLE_SQL["rx_interval_join"] = _INTERVAL_JOIN_ORACLE

@@ -147,3 +147,38 @@ def test_triangles_plan_has_no_cartesian_and_bounded_topk(spark, sf_dir):
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bfs_depth_matches_oracle(spark, oracle_sf_dir, duck):
+    df = LOCAL_QUERIES["graph_bfs_depth"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["graph_bfs_depth"])
+
+
+def test_bfs_tiny_graph_hand_depths(spark):
+    """Path a-b-c-d plus a detour a-x-c: min-hop semantics must pick
+    depth 2 for c (through either parent), and the depth cap must
+    truncate discovery."""
+    from guagua_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x"), ("x", "c")],
+        "a string, b string",
+    )
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, "a", 6).collect()}
+    assert got == {"a": 0, "b": 1, "x": 1, "c": 2, "d": 3}
+    capped = {
+        r["node"]: r["depth"] for r in bfs_depths(edges, "a", 2).collect()
+    }
+    assert capped == {"a": 0, "b": 1, "x": 1, "c": 2}
+
+
+def test_bfs_unreachable_nodes_absent(spark):
+    """Disconnected component never appears (BFS emits reached nodes
+    only — the oracle's recursive walk has the same property)."""
+    from guagua_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("p", "q")], "a string, b string"
+    )
+    got = {r["node"] for r in bfs_depths(edges, "a", 6).collect()}
+    assert got == {"a", "b"}

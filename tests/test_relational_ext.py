@@ -180,3 +180,61 @@ def test_quality_audit_detects_planted_violations(spark):
     # drop NULL keys and under-count)
     assert r["orders_orphans"] == 2
     assert r["lineitem_orphans"] == 1
+
+
+def test_interval_join_matches_oracle_and_plan(spark, oracle_sf_dir, duck):
+    """Bin-join interval overlap must match DuckDB's native theta join
+    AND plan as an equi hash/sort-merge join — no nested-loop or
+    cartesian fallback (the whole point of the bucket strategy)."""
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    df = LOCAL_QUERIES["rx_interval_join"](spark, oracle_sf_dir)
+    assert_matches_oracle(df, duck, LOCAL_ORACLE_SQL["rx_interval_join"])
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
+def test_interval_join_dedup_rule_counts_each_pair_once(spark):
+    """Planted intervals that straddle a bucket boundary: the pair
+    appears in BOTH buckets' join output without the dedup rule; the
+    GREATEST(s, w_start)-bucket rule must keep exactly one copy."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from guagua_spark.operators.relational_ext import _IVJ_BIN_DAYS
+
+    day0 = datetime.date(1992, 1, 1)
+    # window and interval both spanning the bucket-0/bucket-1 boundary
+    boundary = day0 + datetime.timedelta(days=_IVJ_BIN_DAYS)
+    w = spark.createDataFrame(
+        [(0, boundary - datetime.timedelta(days=5),
+          boundary + datetime.timedelta(days=5))],
+        "window_id int, w_start date, w_end date",
+    )
+    iv = spark.createDataFrame(
+        [(boundary - datetime.timedelta(days=3),
+          boundary + datetime.timedelta(days=3))],
+        "s date, e date",
+    )
+
+    def bkt(c):
+        return F.floor(
+            F.datediff(c, F.to_date(F.lit("1992-01-01"))) / _IVJ_BIN_DAYS
+        ).cast("int")
+
+    wb = w.withColumn("bkt", F.explode(F.sequence(bkt(F.col("w_start")),
+                                                  bkt(F.col("w_end")))))
+    ib = iv.withColumn("bkt", F.explode(F.sequence(bkt(F.col("s")),
+                                                   bkt(F.col("e")))))
+    joined = ib.join(wb, "bkt").where(
+        (F.col("s") <= F.col("w_end")) & (F.col("e") >= F.col("w_start"))
+    )
+    assert joined.count() == 2  # both buckets see the pair...
+    deduped = joined.where(
+        F.col("bkt") == bkt(F.greatest(F.col("s"), F.col("w_start")))
+    )
+    assert deduped.count() == 1  # ...the rule keeps exactly one
