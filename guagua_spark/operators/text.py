@@ -98,6 +98,12 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     values as pipeline_doc_chunks, summed per doc instead of exploded),
     certifying the chunking operator in this row too. Map-side only.
 
+    ``bpe_*``: the engine-trained BPE merge-list certificate
+    (tokenizer.bpe_cert_cols — merge count, Σ pair_freq, rank-weighted
+    binder), certifying the iterative-engine tokenizer trainer's full
+    merge sequence in this row. Memoized per documents fingerprint
+    (miss reports as _index:cert:bpe); warm calls are literals.
+
     ``cds_*``: the span-level chunk-dedup certificate — a 1-row rollup
     of the ACTUAL chunk_dedup_stats output (packing.py): corpus total
     of shared-chunk occurrences, count of docs holding any shared
@@ -114,6 +120,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_dedup_stats,
         pack_assignment,
     )
+    from guagua_spark.operators.tokenizer import bpe_cert_cols
 
     docs = load_table(spark, sf_dir, "documents")
     bucket, seq, _ = pack_assignment(
@@ -149,6 +156,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_chunks.alias("n_chunks"),
             chunk_hash_sum.alias("chunk_hash_sum"),
             *cds_cols,
+            *bpe_cert_cols(spark, sf_dir),
         )
         .orderBy("doc_id")
     )
@@ -1190,9 +1198,12 @@ def _token_counts_oracle() -> str:
         "CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))"
         " AS UBIGINT)"
     )
+    from guagua_spark.operators.tokenizer import sql_bpe_cert_cte
+
     n_chunks, chunk_hash_sum = sql_chunk_certificate()
     return f"""
 WITH {sql_chunk_dedup_cert_cte()},
+{sql_bpe_cert_cte()},
 base AS (
   SELECT doc_id,
          len({_sql_tokens()}) AS n_tokens,
@@ -1211,8 +1222,9 @@ SELECT doc_id, n_tokens, n_distinct_tokens, n_bpe_tokens,
                                      ROWS UNBOUNDED PRECEDING) - capped)
                   / {float(SEQ_TOKENS)!r}) AS BIGINT) AS pack_seq,
        n_chunks, chunk_hash_sum,
-       cds_shared_total, cds_docs_shared, cds_id_wsum
-FROM base CROSS JOIN cd_cert ORDER BY doc_id
+       cds_shared_total, cds_docs_shared, cds_id_wsum,
+       bpe_n_merges, bpe_freq_total, bpe_merge_binder
+FROM base CROSS JOIN cd_cert CROSS JOIN bpe_cert ORDER BY doc_id
 """.strip()
 
 

@@ -213,40 +213,110 @@ def bpe_train_serial(
     return merges
 
 
-def _bpe_oracle(k: int = BPE_MERGES) -> str:
-    """Unrolled K-round DuckDB replay: vocabulary as the double-space
-    symbol encoding (module docstring), per round one pair-count
-    aggregate + one argmax + one REPLACE rewrite."""
+def _bpe_ctes(k: int = BPE_MERGES) -> tuple[str, str]:
+    """(CTE chain, merges-union subquery) for the unrolled K-round
+    DuckDB replay: vocabulary as the double-space symbol encoding
+    (module docstring), per round one pair-count aggregate + one argmax
+    + one REPLACE rewrite. Names are ``bpe_``-prefixed so host oracles
+    can splice the chain, and every CTE is MATERIALIZED — DuckDB
+    inlines CTEs by default and each round references its predecessor
+    ~4x, which un-materialized explodes to ~4^K scans (EMFILE'd at
+    K=8)."""
     parts = [
-        "WITH words AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM "
+        "bpe_words AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM "
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t "
         "WHERE w <> '' GROUP BY w)",
-        "v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'),"
-        f" '  ') || '  {EOW} ' AS enc, freq FROM words)",
+        "bpe_v0 AS MATERIALIZED (SELECT ' ' || "
+        "array_to_string(regexp_extract_all(w, '.'),"
+        f" '  ') || '  {EOW} ' AS enc, freq FROM bpe_words)",
     ]
     for r in range(k):
         parts.append(
-            f"p{r} AS MATERIALIZED (SELECT s[i] AS lft, s[i+1] AS rgt, SUM(freq) AS cnt "
+            f"bpe_p{r} AS MATERIALIZED (SELECT s[i] AS lft, s[i+1] AS rgt, "
+            "SUM(freq) AS cnt "
             f"FROM (SELECT unnest(generate_series(1, len(s) - 1)) AS i, s, freq "
-            f"FROM (SELECT string_split(trim(enc), '  ') AS s, freq FROM v{r}) q) u "
+            f"FROM (SELECT string_split(trim(enc), '  ') AS s, freq FROM bpe_v{r}) q) u "
             "GROUP BY 1, 2)"
         )
         parts.append(
-            f"b{r} AS MATERIALIZED (SELECT lft, rgt, cnt FROM p{r} "
+            f"bpe_b{r} AS MATERIALIZED (SELECT lft, rgt, cnt FROM bpe_p{r} "
             "ORDER BY cnt DESC, lft || ' ' || rgt LIMIT 1)"
         )
         if r + 1 < k:
             parts.append(
-                f"v{r + 1} AS MATERIALIZED (SELECT REPLACE(enc, "
-                f"' ' || (SELECT lft FROM b{r}) || '  ' || (SELECT rgt FROM b{r}) || ' ', "
-                f"' ' || (SELECT lft || rgt FROM b{r}) || ' ') AS enc, freq FROM v{r})"
+                f"bpe_v{r + 1} AS MATERIALIZED (SELECT REPLACE(enc, "
+                f"' ' || (SELECT lft FROM bpe_b{r}) || '  ' || "
+                f"(SELECT rgt FROM bpe_b{r}) || ' ', "
+                f"' ' || (SELECT lft || rgt FROM bpe_b{r}) || ' ') AS enc, "
+                f"freq FROM bpe_v{r})"
             )
     union = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, lft, rgt, CAST(cnt AS BIGINT) AS pair_freq "
-        f"FROM b{r}"
+        f"FROM bpe_b{r}"
         for r in range(k)
     )
-    return ",\n".join(parts) + "\n" + union
+    return ",\n".join(parts), union
+
+
+def _bpe_oracle(k: int = BPE_MERGES) -> str:
+    chain, union = _bpe_ctes(k)
+    return f"WITH {chain}\n{union}"
+
+
+def sql_bpe_cert_cte() -> str:
+    """``bpe_cert`` 1-row CTE (+ the chain it needs) for splicing into
+    a host contract row's oracle — the DuckDB twin of bpe_cert_cols."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    chain, union = _bpe_ctes()
+    binder = binder_hash_sql(
+        "bpe",
+        "CAST(merge_rank AS VARCHAR)",
+        "lft",
+        "rgt",
+        "CAST(pair_freq AS VARCHAR)",
+    )
+    return (
+        f"{chain},\n"
+        "bpe_cert AS MATERIALIZED (SELECT "
+        "COUNT(*) AS bpe_n_merges, "
+        "CAST(SUM(pair_freq) AS BIGINT) AS bpe_freq_total, "
+        f"CAST(SUM({binder}) AS BIGINT) AS bpe_merge_binder "
+        f"FROM ({union}) m)"
+    )
+
+
+def bpe_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """The BPE training certificate as memoized literal columns for a
+    contract-row host (certmemo pattern — built ONCE per documents
+    fingerprint, warm host calls replay literals with zero Spark jobs):
+    merge count, Σ pair_freq, and the Σ-safe rank-weighted binder over
+    (merge_rank, lft, rgt, pair_freq) — a reordered, renamed, or
+    recounted merge flips the binder. Certifies the engine-trained
+    merge list inside the 50-slot cap (SURVEY.md §7)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "bpe",
+        ("documents",),
+        "bpe_n_merges bigint, bpe_freq_total bigint, bpe_merge_binder bigint",
+        lambda: bpe_train(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("bpe_n_merges"),
+            F.sum("pair_freq").alias("bpe_freq_total"),
+            F.sum(
+                binder_hash_col(
+                    "bpe",
+                    F.col("merge_rank"),
+                    F.col("lft"),
+                    F.col("rgt"),
+                    F.col("pair_freq"),
+                )
+            ).alias("bpe_merge_binder"),
+        ),
+    )
 
 
 #: oracle-tested locally (tests/test_tokenizer.py); 50-slot contract full
