@@ -1130,3 +1130,95 @@ GROUP BY 1
 
 LOCAL_QUERIES["rx_interval_join"] = rx_interval_join
 LOCAL_ORACLE_SQL["rx_interval_join"] = _INTERVAL_JOIN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (sort-merge-bucket)
+
+
+#: bucket count for the co-located join demo — matched on BOTH sides
+#: (Spark only elides the exchange when the counts are equal)
+_SMB_BUCKETS = 16
+
+
+def _bucketed_twin(
+    spark: SparkSession, sf_dir: str, table: str, key: str, cols: list[str]
+) -> str:
+    """Materialize ``table`` as a managed parquet table bucketed AND
+    sorted on ``key`` — the write-time investment that makes every
+    later equi-join on that key shuffle-free. Memoized by embedding
+    (table fingerprint, code version) in the table name; a stale twin
+    for the same source table is dropped on rebuild, a hit is a pure
+    catalog lookup (zero jobs)."""
+    import hashlib
+
+    from guagua_spark.durable import code_version
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = hashlib.md5(
+        repr(
+            (table_fingerprint(sf_dir, table), code_version(), _SMB_BUCKETS)
+        ).encode()
+    ).hexdigest()[:12]
+    name = f"g_smb_{table}_{fp}"
+    if not spark.catalog.tableExists(name):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"g_smb_{table}_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        (
+            load_table(spark, sf_dir, table)
+            .select(*cols)
+            .write.mode("overwrite")
+            .bucketBy(_SMB_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return name
+
+
+def rx_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with BOTH sides pre-bucketed on the join key —
+    the sort-merge-bucket pattern that turns the dominant cost of a
+    100 TB star join (two corpus-sized shuffles, re-paid per query)
+    into a one-time write-layout decision: Spark's bucketed scan
+    reports the hash partitioning to Catalyst, which plans the
+    SortMergeJoin with NO Exchange under either side (the plan test
+    pins exactly one Exchange in the whole query — the final grouped
+    aggregate's). The broadcast escape is deliberately absent here:
+    this is the big-big shape where broadcasting is impossible and
+    bucketing is the only shuffle eliminator.
+
+    Returns revenue per order priority over the joined relation —
+    oracle is the plain join DuckDB runs directly."""
+    ot = _bucketed_twin(
+        spark, sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    lt = _bucketed_twin(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    o, li = spark.table(ot), spark.table(lt)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""".strip()
+
+
+LOCAL_QUERIES["rx_bucketed_join"] = rx_bucketed_join
+LOCAL_ORACLE_SQL["rx_bucketed_join"] = _BUCKETED_JOIN_ORACLE

@@ -238,3 +238,52 @@ def test_interval_join_dedup_rule_counts_each_pair_once(spark):
         F.col("bkt") == bkt(F.greatest(F.col("s"), F.col("w_start")))
     )
     assert deduped.count() == 1  # ...the rule keeps exactly one
+
+
+def test_bucketed_join_matches_oracle_and_is_shuffle_free(
+    spark, oracle_sf_dir, duck
+):
+    """Both sides pre-bucketed on the join key: the SortMergeJoin must
+    plan with NO exchange on either join input (the only exchange in
+    the query is the final groupBy's) and still match the plain-join
+    oracle. Broadcast is disabled so the bucketed path is what's
+    actually exercised."""
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_ORACLE_SQL,
+        LOCAL_QUERIES,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = LOCAL_QUERIES["rx_bucketed_join"](spark, oracle_sf_dir)
+        assert_matches_oracle(
+            df, duck, LOCAL_ORACLE_SQL["rx_bucketed_join"]
+        )
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        # no shuffle on either JOIN key — the groupBy exchange is on
+        # o_orderpriority, which is fine and expected
+        assert "Exchange hashpartitioning(o_orderkey" not in p, p
+        assert "Exchange hashpartitioning(l_orderkey" not in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_twin_is_memoized_and_invalidates_by_name(spark, oracle_sf_dir):
+    """Second call with unchanged inputs reuses the catalog table
+    (same name); the name embeds the fingerprint+code hash so a data
+    or code change misses to a rebuild."""
+    from guagua_spark.operators.relational_ext import _bucketed_twin
+
+    a = _bucketed_twin(
+        spark, oracle_sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    b = _bucketed_twin(
+        spark, oracle_sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    assert a == b
+    assert spark.catalog.tableExists(a)
