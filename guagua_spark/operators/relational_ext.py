@@ -10,6 +10,8 @@ plan, noted per operator.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1165,6 +1167,20 @@ def _bucketed_twin(
         for t in spark.catalog.listTables():
             if t.name.startswith(f"g_smb_{table}_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        # the default session catalog is in-memory (session.py): a twin
+        # directory from a PREVIOUS process survives in the warehouse
+        # with no catalog entry, and saveAsTable refuses the location —
+        # stale derived state, remove it (a persistent-catalog session
+        # never reaches here for an unchanged fingerprint)
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
+        ).removeprefix("file:")
+        if os.path.isdir(wh):
+            for d in os.listdir(wh):
+                if d.startswith(f"g_smb_{table}_"):
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
         (
             load_table(spark, sf_dir, table)
             .select(*cols)
