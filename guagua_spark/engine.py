@@ -647,7 +647,7 @@ class IterativeEngine:
         worker_interceptors: Sequence["WorkerInterceptor"],
         run_id: str,
         marker_rdd,
-        ensure_df: DataFrame,
+        ensure_rdd,
         df: DataFrame,
         num_partitions: int,
     ) -> list[_Partial]:
@@ -670,7 +670,7 @@ class IterativeEngine:
                 "prepared files missing for partitions %s at iteration "
                 "%d; re-preparing", missing, iteration,
             )
-            sc.runJob(ensure_df.rdd, lambda it: list(it), missing)
+            sc.runJob(ensure_rdd, lambda it: list(it), missing)
             retried = sc.runJob(
                 marker_rdd, lambda it: list(ffn(it)), missing
             )
@@ -684,9 +684,20 @@ class IterativeEngine:
                     worker_interceptors,
                 )
                 out = df.mapInArrow(arrow_fn, "result binary")
-                rows = sc.runJob(out.rdd, lambda it: list(it), still)
-                for pid, row in zip(still, rows):
-                    got[pid] = bytes(row.result)
+                out_rdd = out.rdd  # fresh realization — count may differ
+                if out_rdd.getNumPartitions() == num_partitions:
+                    rows = sc.runJob(out_rdd, lambda it: list(it), still)
+                    for pid, row in zip(still, rows):
+                        got[pid] = bytes(row.result)
+                else:
+                    # AQE re-planned the input with a different
+                    # partition count: the cached pids don't map onto
+                    # this realization, so partial reuse would double
+                    # count — recompute the WHOLE iteration from the
+                    # fresh realization instead (complete cover, no
+                    # overlap; correctness over cache thrift)
+                    rows = out_rdd.collect()
+                    got = {pid: bytes(r.result) for pid, r in enumerate(rows)}
         return [_unwrap_partial(got[pid]) for pid in sorted(got)]
 
     def _collect_partial_barrier(
@@ -1034,6 +1045,7 @@ class IterativeEngine:
         prep_rdd = None
         marker_rdd = None
         ensure_df = None
+        ensure_rdd = None
         run_id = None
         use_file_cache = False
         if prepared_mode:
@@ -1062,9 +1074,18 @@ class IterativeEngine:
                 ensure_df = df.mapInArrow(
                     _make_prepare_write_fn(worker, run_id), "pid long"
                 )
-                marker_rdd = ensure_df.rdd.map(
+                # realize the plan ONCE and derive everything from that
+                # realization: under AQE a shuffle-rooted input can
+                # re-plan with a DIFFERENT partition count on every
+                # .rdd call, so a fresh realization in the retry path
+                # would make the cached markers' partition ids dangle
+                # (observed: repeated runs over a groupBy-rooted vocab
+                # flip between 1 and 2 post-AQE partitions)
+                ensure_rdd = ensure_df.rdd
+                marker_rdd = ensure_rdd.map(
                     lambda row: row.pid
                 ).persist(storage_level)
+                num_partitions = marker_rdd.getNumPartitions()
             else:
                 prep_fn = _make_prepare_fn(worker)
                 prep_rdd = (
@@ -1185,7 +1206,7 @@ class IterativeEngine:
                         collected = self._collect_file_cached(
                             worker, iteration, total_iteration, bc,
                             worker_interceptors, run_id, marker_rdd,
-                            ensure_df, df, num_partitions,
+                            ensure_rdd, df, num_partitions,
                         )
                         results = [p.result for p in collected]
                         all_halt = bool(collected) and all(

@@ -94,3 +94,32 @@ def test_oracle_encoding_matches_list_merge(word, n):
         symbols = merge_symbols(symbols, lft, rgt)
         assert enc.strip(" ").split("  ") == symbols, (word, lft, rgt)
     con.close()
+
+
+def test_bpe_failover_resume_equals_uninterrupted(spark, tmp_path):
+    """The engine's FailOverCommand analogue on the BPE workload: train
+    4 merges with checkpointing, then resume the same checkpoint dir to
+    8 — the merge list must equal an uninterrupted 8-merge run (the
+    master result carries the full merge history, so resume needs no
+    replay of completed supersteps)."""
+    from guagua_spark.engine import IterativeEngine
+    from guagua_spark.operators.tokenizer import (
+        BPEMaster,
+        BPEWorker,
+        build_vocabulary,
+    )
+    from guagua_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vocab = build_vocabulary(load_table(spark, sf, "documents"))
+    ckpt = str(tmp_path / "bpe_ckpt")
+    e1 = IterativeEngine(spark, checkpoint_dir=ckpt, checkpoint_interval=1)
+    m4 = e1.run(BPEMaster(), BPEWorker(), vocab, total_iteration=4)
+    assert len(m4.merges) == 4
+    e2 = IterativeEngine(spark, checkpoint_dir=ckpt, checkpoint_interval=1)
+    m8 = e2.run(BPEMaster(), BPEWorker(), vocab, total_iteration=8)
+    assert len(e2.iteration_seconds) == 4  # only supersteps 5..8 ran
+    full = IterativeEngine(spark).run(
+        BPEMaster(), BPEWorker(), vocab, total_iteration=8
+    )
+    assert m8.merges == full.merges
