@@ -838,3 +838,43 @@ def streaming_audience_registers(
         .groupBy("aud", "bucket")
         .agg(F.max("rank").alias("reg"))
     )
+
+
+def streaming_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the BPE trainer's first-superstep statistic
+    (operators/tokenizer.py): corpus-wide adjacent symbol-pair counts
+    over a document stream, maintained incrementally by a complete-mode
+    grouped count.
+
+    State is bounded by the DISTINCT pair domain (≈ alphabet² — symbol
+    pairs, never words or documents), so the live tokenizer-stats
+    monitor costs constant state however long the stream runs. The
+    batch equality: a drained stream equals the oracle chain's bpe_p0
+    pair-count CTE exactly (integer counts)."""
+    from guagua_spark.operators.tokenizer import EOW
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    sym = F.concat(
+        F.split(F.col("w"), ""), F.array(F.lit(EOW))
+    )
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select(sym.alias("sym"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(sym) - 2),"
+                    " i -> struct(sym[i] AS lft, sym[i+1] AS rgt))"
+                )
+            ).alias("p")
+        )
+        .select("p.lft", "p.rgt")
+        .groupBy("lft", "rgt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -449,3 +449,37 @@ def test_streaming_audience_registers_match_batch(spark, sf_dir):
     assert _rows(union_live, "bucket", "reg") == _rows(
         union_batch, "bucket", "reg"
     )
+
+
+def test_streaming_bpe_pair_counts_match_oracle_round0(spark, sf_dir):
+    """The drained stream's pair counts equal the BPE oracle chain's
+    round-0 pair aggregate (integer-exact)."""
+    import duckdb
+
+    from guagua_spark.streaming.stream_ops import (
+        run_available_now,
+        streaming_bpe_pair_counts,
+    )
+
+    got = {
+        (r["lft"], r["rgt"]): r["cnt"]
+        for r in run_available_now(
+            streaming_bpe_pair_counts(spark, sf_dir), "s_bpe_pairs"
+        ).collect()
+    }
+    from guagua_spark.operators.tokenizer import _bpe_ctes
+
+    chain, _ = _bpe_ctes(1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (l, r): int(c)
+        for l, r, c in con.execute(
+            f"WITH {chain} SELECT lft, rgt, cnt FROM bpe_p0"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) > 10
