@@ -684,20 +684,16 @@ class IterativeEngine:
                     worker_interceptors,
                 )
                 out = df.mapInArrow(arrow_fn, "result binary")
-                out_rdd = out.rdd  # fresh realization — count may differ
-                if out_rdd.getNumPartitions() == num_partitions:
-                    rows = sc.runJob(out_rdd, lambda it: list(it), still)
-                    for pid, row in zip(still, rows):
-                        got[pid] = bytes(row.result)
-                else:
-                    # AQE re-planned the input with a different
-                    # partition count: the cached pids don't map onto
-                    # this realization, so partial reuse would double
-                    # count — recompute the WHOLE iteration from the
-                    # fresh realization instead (complete cover, no
-                    # overlap; correctness over cache thrift)
-                    rows = out_rdd.collect()
-                    got = {pid: bytes(r.result) for pid, r in enumerate(rows)}
+                # this is a FRESH realization of the plan: under AQE
+                # even an equal partition count doesn't prove the same
+                # row→partition assignment as the pinned realization
+                # (coalesce boundaries are stats-dependent), so partial
+                # reuse could double count rows — recompute the WHOLE
+                # iteration from this one realization instead
+                # (complete cover, no overlap; correctness over cache
+                # thrift on an already-rare double-miss path)
+                rows = out.rdd.collect()
+                got = {pid: bytes(r.result) for pid, r in enumerate(rows)}
         return [_unwrap_partial(got[pid]) for pid in sorted(got)]
 
     def _collect_partial_barrier(

@@ -435,7 +435,7 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
     ).persist()
     dist.count()
     frontier = dist.select("node")
-    retired: list[DataFrame] = []
+    prev_nxt: DataFrame | None = None
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges[src_col])
@@ -450,10 +450,17 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
             break
         new_dist = dist.union(nxt).persist()
         new_dist.count()
-        retired.extend((dist, nxt))
+        # eager release: once new_dist is materialized the parent dist
+        # is dead (peak cache = 2 dist copies + 2 frontiers, NOT one
+        # cumulative copy per round); the previous frontier fed THIS
+        # round's join and dies with it
+        dist.unpersist()
+        if prev_nxt is not None:
+            prev_nxt.unpersist()
+        prev_nxt = nxt
         dist, frontier = new_dist, nxt.select("node")
-    for df in retired:
-        df.unpersist()
+    if prev_nxt is not None:
+        prev_nxt.unpersist()
     return dist
 
 

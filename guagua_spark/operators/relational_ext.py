@@ -1159,28 +1159,34 @@ def _bucketed_twin(
 
     fp = hashlib.md5(
         repr(
-            (table_fingerprint(sf_dir, table), code_version(), _SMB_BUCKETS)
+            (
+                table_fingerprint(sf_dir, table),
+                code_version(),
+                _SMB_BUCKETS,
+                key,
+                tuple(cols),
+            )
         ).encode()
     ).hexdigest()[:12]
     name = f"g_smb_{table}_{fp}"
     if not spark.catalog.tableExists(name):
-        for t in spark.catalog.listTables():
-            if t.name.startswith(f"g_smb_{table}_"):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        # the default session catalog is in-memory (session.py): a twin
-        # directory from a PREVIOUS process survives in the warehouse
-        # with no catalog entry, and saveAsTable refuses the location —
-        # stale derived state, remove it (a persistent-catalog session
-        # never reaches here for an unchanged fingerprint)
+        # the default session catalog is in-memory (session.py): THIS
+        # name's directory from a PREVIOUS process can survive in the
+        # warehouse with no catalog entry, and saveAsTable refuses the
+        # location — remove exactly that stale directory. Other
+        # g_smb_* variants are content-addressed twins of OTHER
+        # (data, key, cols, code) combinations — possibly live in this
+        # or a concurrent session (e.g. alternating scale dirs) — and
+        # must NOT be dropped here; orphans are bounded by distinct
+        # fingerprints and cost only warehouse disk.
         import shutil
 
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
         ).removeprefix("file:")
-        if os.path.isdir(wh):
-            for d in os.listdir(wh):
-                if d.startswith(f"g_smb_{table}_"):
-                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+        stale = os.path.join(wh, name)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
         (
             load_table(spark, sf_dir, table)
             .select(*cols)

@@ -226,8 +226,11 @@ def _bpe_ctes(k: int = BPE_MERGES) -> tuple[str, str]:
         "bpe_words AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM "
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t "
         "WHERE w <> '' GROUP BY w)",
+        # 's' (dotall): RE2's '.' skips \n by default, which would
+        # silently DROP newline symbols the Python worker keeps —
+        # list(word) and the extract must see identical code points
         "bpe_v0 AS MATERIALIZED (SELECT ' ' || "
-        "array_to_string(regexp_extract_all(w, '.'),"
+        "array_to_string(regexp_extract_all(w, '.', 0, 's'),"
         f" '  ') || '  {EOW} ' AS enc, freq FROM bpe_words)",
     ]
     for r in range(k):
