@@ -445,7 +445,7 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
             .withColumn("depth", F.lit(d))
             .persist()
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:  # one action: materializes the persist too
             nxt.unpersist()
             break
         new_dist = dist.union(nxt).persist()

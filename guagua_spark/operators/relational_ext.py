@@ -1172,25 +1172,38 @@ def _bucketed_twin(
     if not spark.catalog.tableExists(name):
         # the default session catalog is in-memory (session.py): THIS
         # name's directory from a PREVIOUS process can survive in the
-        # warehouse with no catalog entry, and saveAsTable refuses the
-        # location — remove exactly that stale directory. Other
-        # g_smb_* variants are content-addressed twins of OTHER
-        # (data, key, cols, code) combinations — possibly live in this
-        # or a concurrent session (e.g. alternating scale dirs) — and
-        # must NOT be dropped here; orphans are bounded by distinct
-        # fingerprints and cost only warehouse disk.
+        # warehouse with no catalog entry (the name is content-
+        # addressed, so the files are exactly this twin's data). A
+        # COMPLETE directory (_SUCCESS marker) is re-registered as an
+        # external bucketed table — the cross-session warm path, zero
+        # jobs, bucketing metadata restored by declaring the same
+        # CLUSTERED BY spec the writer used. A torn write rebuilds.
+        # Other g_smb_* variants are twins of OTHER (data, key, cols,
+        # code) combinations — possibly live in this or a concurrent
+        # session — and are never touched; orphans are bounded by
+        # distinct fingerprints and cost only warehouse disk.
         import shutil
 
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
         ).removeprefix("file:")
         stale = os.path.join(wh, name)
+        src = load_table(spark, sf_dir, table).select(*cols)
+        if os.path.exists(os.path.join(stale, "_SUCCESS")):
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {_SMB_BUCKETS} BUCKETS LOCATION '{stale}'"
+            )
+            return name
         if os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
         (
-            load_table(spark, sf_dir, table)
-            .select(*cols)
-            .write.mode("overwrite")
+            src.write.mode("overwrite")
             .bucketBy(_SMB_BUCKETS, key)
             .sortBy(key)
             .saveAsTable(name)

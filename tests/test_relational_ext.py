@@ -287,3 +287,65 @@ def test_bucketed_twin_is_memoized_and_invalidates_by_name(spark, oracle_sf_dir)
     )
     assert a == b
     assert spark.catalog.tableExists(a)
+
+
+_SMB_SESSION_SCRIPT = """
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from guagua_spark.session import get_spark
+from guagua_spark.operators.relational_ext import LOCAL_QUERIES
+spark = get_spark(master="local[4]", shuffle_partitions=8,
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.sql.warehouse.dir": {wh!r},
+                               "spark.sql.autoBroadcastJoinThreshold": "-1"}})
+spark.sparkContext.setLogLevel("ERROR")
+df = LOCAL_QUERIES["rx_bucketed_join"](spark, {sf!r})
+rows = sorted((r["o_orderpriority"], r["n_lines"], round(r["revenue"], 2))
+              for r in df.collect())
+plan = df._jdf.queryExecution().executedPlan().toString()
+mtimes = {{}}
+for d in os.listdir({wh!r}):
+    if d.startswith("g_smb_"):
+        p = os.path.join({wh!r}, d)
+        mtimes[d] = max(os.path.getmtime(os.path.join(p, f))
+                        for f in os.listdir(p) if f.endswith(".parquet"))
+with open({out!r}, "w") as f:
+    json.dump({{"rows": rows,
+                "bucketed": plan.count("Bucketed: true"),
+                "key_exchange": ("Exchange hashpartitioning(o_orderkey" in plan
+                                 or "Exchange hashpartitioning(l_orderkey" in plan),
+                "mtimes": mtimes}}, f)
+spark.stop()
+"""
+
+
+def test_bucketed_twin_reattaches_across_sessions(tmp_path):
+    """Session B (a separate process — the in-memory catalog has
+    forgotten everything) must RE-REGISTER the surviving twin
+    directories as external bucketed tables instead of rebuilding:
+    identical results, still no join-key exchange, and the parquet
+    part files untouched (same mtimes — a rebuild would rewrite
+    them)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = os.environ.get("GUAGUA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    wh = str(tmp_path / "wh")
+    results = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / f"smb_{tag}.json")
+        script = _SMB_SESSION_SCRIPT.format(repo=repo, wh=wh, sf=sf, out=out)
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    a, b = results
+    assert a["rows"] == b["rows"] and len(a["rows"]) == 5
+    assert b["bucketed"] >= 2 and not b["key_exchange"]
+    assert a["mtimes"] == b["mtimes"], "session B rewrote the twin files"
