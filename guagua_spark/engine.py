@@ -691,7 +691,16 @@ class IterativeEngine:
                 # reuse could double count rows — recompute the WHOLE
                 # iteration from this one realization instead
                 # (complete cover, no overlap; correctness over cache
-                # thrift on an already-rare double-miss path)
+                # thrift on an already-rare double-miss path).
+                # Interceptor semantics here are AT-LEAST-ONCE: the
+                # partitions that already produced file-cached results
+                # ran their worker hooks in ffn above, and this full
+                # recompute runs them a second time — the same contract
+                # a reference worker has under a Hadoop task reattempt
+                # (WorkerInterceptor hooks re-fire on the new attempt,
+                # GuaguaMapper re-runs the iteration wholesale), so
+                # side-effectful interceptors must be idempotent per
+                # (run_id, iteration) just as they must be on YARN.
                 rows = out.rdd.collect()
                 got = {pid: bytes(r.result) for pid, r in enumerate(rows)}
         return [_unwrap_partial(got[pid]) for pid in sorted(got)]

@@ -1065,14 +1065,18 @@ def _qcm_ctes() -> str:
   SELECT {qcm_quantize_sql("value")} AS vq FROM events
   WHERE value IS NOT NULL
 ),
+vcnt AS MATERIALIZED (
+  SELECT vq, COUNT(*) AS vn FROM v GROUP BY 1
+),
 fan AS (
   SELECT l.lvl, j.j,
-         {_qcm_bucket_sql("l.lvl", "j.j", "v.vq >> l.lvl")} AS bucket
-  FROM v,
+         {_qcm_bucket_sql("l.lvl", "j.j", "v.vq >> l.lvl")} AS bucket,
+         v.vn
+  FROM vcnt v,
        (SELECT unnest(range({QCM_LEVELS})) AS lvl) l,
        (SELECT unnest(range({CM_DEPTH})) AS j) j
 ),
-cnt AS (SELECT lvl, j, bucket, COUNT(*) AS n FROM fan GROUP BY 1, 2, 3),
+cnt AS (SELECT lvl, j, bucket, SUM(vn) AS n FROM fan GROUP BY 1, 2, 3),
 cells(probe_q, lvl, cell) AS (VALUES
     {cell_rows}
 ),
@@ -1095,10 +1099,10 @@ est AS (
 ),
 exact AS (
   SELECT p.probe_q,
-         CAST(SUM(CASE WHEN v.vq <= p.probe_q THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN v.vq <= p.probe_q THEN v.vn ELSE 0 END)
               AS BIGINT) AS exact_rank,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM (VALUES {probe_rows}) p(probe_q), v
+         CAST(SUM(v.vn) AS BIGINT) AS n
+  FROM (VALUES {probe_rows}) p(probe_q), vcnt v
   GROUP BY 1
 )"""
 

@@ -424,44 +424,44 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
 
     100 TB shape: per round one equi-join on the node key (AQE
     skew-splits a celebrity node) and one LEFT ANTI against the visited
-    set — both key-only relations (~tens of bytes/row); the frontier is
-    persisted and replaces its parent each round so lineage stays one
-    round deep, and rounds are bounded by ``max_depth``, not the data.
-    The visited set never leaves the cluster (no driver collect)."""
+    set — both key-only relations (~tens of bytes/row); exactly ONE
+    action per round (the frontier count, which doubles as its persist
+    materialization). The visited set is the union of the persisted
+    per-depth layers (every leaf cached, so the anti-join never
+    recomputes a prior round) and never leaves the cluster (no driver
+    collect). The result is ``localCheckpoint``-ed before every layer
+    is unpersisted: the caller gets materialized, lineage-free data
+    whose executor blocks the ContextCleaner reclaims on GC — nothing
+    stays pinned in the cache for the session's lifetime."""
     spark = edges.sparkSession
     src_col, dst_col = edges.columns[0], edges.columns[1]
-    dist = spark.createDataFrame(
+    seed = spark.createDataFrame(
         [(source, 0)], "node string, depth int"
     ).persist()
-    dist.count()
-    frontier = dist.select("node")
-    prev_nxt: DataFrame | None = None
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges[src_col])
-            .select(F.col(dst_col).alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .withColumn("depth", F.lit(d))
-            .persist()
-        )
-        if nxt.count() == 0:  # one action: materializes the persist too
-            nxt.unpersist()
-            break
-        new_dist = dist.union(nxt).persist()
-        new_dist.count()
-        # eager release: once new_dist is materialized the parent dist
-        # is dead (peak cache = 2 dist copies + 2 frontiers, NOT one
-        # cumulative copy per round); the previous frontier fed THIS
-        # round's join and dies with it
-        dist.unpersist()
-        if prev_nxt is not None:
-            prev_nxt.unpersist()
-        prev_nxt = nxt
-        dist, frontier = new_dist, nxt.select("node")
-    if prev_nxt is not None:
-        prev_nxt.unpersist()
-    return dist
+    layers = [seed]  # per-depth (node, depth) layers, each persisted
+    visited = seed
+    frontier = seed.select("node")
+    try:
+        seed.count()
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges[src_col])
+                .select(F.col(dst_col).alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("depth", F.lit(d))
+                .persist()
+            )
+            if nxt.count() == 0:  # the round's ONLY action
+                nxt.unpersist()
+                break
+            layers.append(nxt)
+            visited = visited.union(nxt)
+            frontier = nxt.select("node")
+        return visited.localCheckpoint(eager=True)
+    finally:
+        for layer in layers:
+            layer.unpersist()
 
 
 def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:

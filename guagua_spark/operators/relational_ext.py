@@ -1181,15 +1181,25 @@ def _bucketed_twin(
         # Other g_smb_* variants are twins of OTHER (data, key, cols,
         # code) combinations — possibly live in this or a concurrent
         # session — and are never touched; orphans are bounded by
-        # distinct fingerprints and cost only warehouse disk.
+        # distinct fingerprints and cost only warehouse disk. Two
+        # sessions racing on the SAME fingerprint are serialized by an
+        # atomic mkdir lock beside the directory: the loser waits,
+        # then reattaches the winner's (byte-identical, content-
+        # addressed) output instead of rmtree-ing it mid-write.
         import shutil
+        import time
+        from urllib.parse import urlparse
 
-        wh = spark.conf.get(
+        raw = spark.conf.get(
             "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
-        ).removeprefix("file:")
+        )
+        # file:/x, file:///x and plain /x all normalize to a POSIX path
+        wh = urlparse(raw).path if raw.startswith("file:") else raw
         stale = os.path.join(wh, name)
+        done = os.path.join(stale, "_SUCCESS")
         src = load_table(spark, sf_dir, table).select(*cols)
-        if os.path.exists(os.path.join(stale, "_SUCCESS")):
+
+        def _reattach() -> None:
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in src.schema.fields
@@ -1199,15 +1209,38 @@ def _bucketed_twin(
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                 f"INTO {_SMB_BUCKETS} BUCKETS LOCATION '{stale}'"
             )
+
+        if os.path.exists(done):
+            _reattach()
             return name
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
-        (
-            src.write.mode("overwrite")
-            .bucketBy(_SMB_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
+        os.makedirs(wh, exist_ok=True)
+        lock = stale + "._lock"
+        deadline = time.monotonic() + 600
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                if os.path.exists(done):  # concurrent builder finished
+                    _reattach()
+                    return name
+                if time.monotonic() > deadline:  # crashed builder
+                    shutil.rmtree(lock, ignore_errors=True)
+                time.sleep(0.5)
+        try:
+            if os.path.exists(done):  # lost an earlier race, now warm
+                _reattach()
+                return name
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            (
+                src.write.mode("overwrite")
+                .bucketBy(_SMB_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)
     return name
 
 

@@ -859,8 +859,13 @@ def streaming_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
+    # filter(... != '') makes the char-split robust across Spark
+    # versions: 4.1.2's split(w, '') emits no trailing '' but older
+    # releases keep it under limit -1, which would silently add
+    # ('lastchar','') / ('','</w>') pairs and break the bpe_p0 equality
     sym = F.concat(
-        F.split(F.col("w"), ""), F.array(F.lit(EOW))
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+        F.array(F.lit(EOW)),
     )
     return (
         docs.select(F.explode(F.split("text", " ")).alias("w"))

@@ -36,14 +36,18 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(_REPO, "testdata_sf1000_sketch")
 REPLICAS = 10_000
 
-#: the probe rows: (name, use_sampled_twin)
-#: histogram last — its qcm certificate build is the long pole at 1B
-#: events (~linear from the 1502 s sf100 measurement), and the probe
+#: the probe rows: (name, use_sampled_twin). Round 12 additions: the
+#: qcm build's 64x-per-event fan is gone (pre-aggregated on the 2^16
+#: quantized domain, sketch.py), unblocking events_histogram, and the
+#: remaining two constant-exchange sketch hosts (events_funnel's aov_*
+#: registers, events_retention's blm_* bits) join the rung — the probe
 #: writes the artifact incrementally after each row
 PROBE = [
     ("events_windowed_agg", False),
     ("text_tfidf_top_terms", True),
     ("events_histogram", False),
+    ("events_funnel", False),
+    ("events_retention", False),
 ]
 
 
@@ -121,6 +125,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # budget the oracle: an unbudgeted in-process DuckDB at this rung
+    # OOM-kills the SHARED process (the round-10 awaitResult deaths)
+    con.execute("SET memory_limit='48GB'")
+    tmp = os.path.join(DST, "_duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in ("events", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -130,7 +140,19 @@ def main() -> None:
     qs, oracles = entry.queries(), entry.oracle_sql()
     sampled = entry.sweep_sampled()
     results: dict = {}
+    out_path = os.path.join(_REPO, "SWEEP_SF1000_SKETCH.json")
+    if "--resume" in sys.argv and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("results", {})
+        results = {
+            k: v
+            for k, v in prior.items()
+            if v.get("err") is None and v.get("rows_match")
+        }
+        print("resume: keeping", sorted(results), flush=True)
     for name, use_twin in PROBE:
+        if name in results:
+            continue
         rec: dict = {}
         fn, sql = qs[name], oracles[name]
         if use_twin:
