@@ -507,3 +507,50 @@ SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
 
 LOCAL_QUERIES["graph_bfs_depth"] = graph_bfs_depth
 LOCAL_ORACLE_SQL["graph_bfs_depth"] = _bfs_oracle()
+
+
+def bfs_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``bfs_*`` certificate as memoized literal columns for the q4
+    contract host (certmemo pattern, same ride as ``pr_*`` — the two
+    graph certificates share the `_trade_edges` build): reachable node
+    count, Σ first-discovery depth, and the Σ-safe binder over
+    (node, depth) — a node discovered at the wrong hop, dropped, or
+    double-counted flips it. Puts the LOCAL frontier-BFS operator
+    behind the driver's value-hash gate inside the 50-slot cap."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        d = graph_bfs_depth(spark, sf_dir)
+        return d.agg(
+            F.count(F.lit(1)).cast("bigint").alias("bfs_n_nodes"),
+            F.sum("depth").cast("bigint").alias("bfs_depth_sum"),
+            F.sum(binder_hash_col("bfs", F.col("node"), F.col("depth")))
+            .cast("bigint")
+            .alias("bfs_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "bfs",
+        ("orders", "lineitem"),
+        "bfs_n_nodes bigint, bfs_depth_sum bigint, bfs_binder bigint",
+        _build,
+    )
+
+
+def sql_bfs_cert_cte() -> str:
+    """``bfsc`` 1-row CTE wrapping the standalone recursive-CTE BFS
+    oracle verbatim — the DuckDB twin of bfs_cert_cols, spliced into
+    the q4 contract oracle."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql("bfs", "node", "CAST(depth AS VARCHAR)")
+    return (
+        "bfsc AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS bfs_n_nodes,\n"
+        "         CAST(SUM(depth) AS BIGINT) AS bfs_depth_sum,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS bfs_binder\n"
+        f"  FROM ({_bfs_oracle()}) bq)"
+    )

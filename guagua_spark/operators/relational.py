@@ -124,6 +124,11 @@ def q4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pr_n_nodes bigint, pr_rank_wsum double",
         _build,
     )
+    # bfs_* (round 12): the frontier-BFS hop-distance certificate joins
+    # its PageRank sibling on the same host (shared trade-graph build)
+    from guagua_spark.operators.graph import bfs_cert_cols
+
+    bfs_cols = bfs_cert_cols(spark, sf_dir)
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -147,7 +152,7 @@ def q4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(F.sum("rev_term").alias("revenue"))
-        .select("*", *cert_cols)
+        .select("*", *cert_cols, *bfs_cols)
         .orderBy(F.col("revenue").desc())
     )
 
@@ -202,7 +207,7 @@ ORACLE_SQL["q2_partial_agg"] = _q2_oracle()
 
 
 def _q4_oracle() -> str:
-    from guagua_spark.operators.graph import _pagerank_oracle
+    from guagua_spark.operators.graph import _pagerank_oracle, sql_bfs_cert_cte
 
     return f"""
 WITH prc AS (
@@ -212,6 +217,7 @@ WITH prc AS (
            AS pr_rank_wsum
   FROM ({_pagerank_oracle()})
 ),
+{sql_bfs_cert_cte()},
 q4 AS (
   SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
   FROM lineitem
@@ -220,8 +226,9 @@ q4 AS (
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT n_name, revenue, pr_n_nodes, pr_rank_wsum
-FROM q4 CROSS JOIN prc ORDER BY revenue DESC
+SELECT n_name, revenue, pr_n_nodes, pr_rank_wsum,
+       bfs_n_nodes, bfs_depth_sum, bfs_binder
+FROM q4 CROSS JOIN prc CROSS JOIN bfsc ORDER BY revenue DESC
 """.strip()
 
 

@@ -98,7 +98,11 @@ def rx_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gs_rows bigint, gs_n_wsum bigint, gs_rev_wsum bigint",
         build,
     )
-    return base.select("*", *cert_cols).orderBy(
+    # smb_* (round 12): the bucketed co-located join certificate —
+    # value binder PLUS the plan shape (zero join-key exchanges, two
+    # bucketed scans) as driver-hash-checked integers
+    smb_cols = _smb_cert_cols(spark, sf_dir)
+    return base.select("*", *cert_cols, *smb_cols).orderBy(
         F.col("l_returnflag").asc_nulls_first(),
         F.col("l_linestatus").asc_nulls_first(),
     )
@@ -284,12 +288,17 @@ def rx_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > F.col("lo"))
         & (F.col("o_totalprice") <= F.col("hi")),
     )
+    # ivj_* (round 12): the interval-overlap BIN-join certificate — the
+    # thematic sibling (range join small-side broadcast vs interval
+    # join big-big bin escape) rides the same contract row
+    ivj_cols = _ivj_cert_cols(spark, sf_dir)
     return (
         joined.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
+        .select("*", *ivj_cols)
         .orderBy("bucket")
     )
 
@@ -500,19 +509,9 @@ FROM orders
     # assigned at the bottom of the module — splices the pivot/unpivot
     # certificate CTEs, whose SQL is defined down there
     "rx_conditional_agg": None,
-    "rx_range_join_events": """
-WITH bounds AS (
-  SELECT 0 AS bucket, 0.0 AS lo, 50000.0 AS hi
-  UNION ALL SELECT 1, 50000.0, 100000.0
-  UNION ALL SELECT 2, 100000.0, 200000.0
-  UNION ALL SELECT 3, 200000.0, CAST('inf' AS DOUBLE)
-)
-SELECT bucket, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 4) AS total_price
-FROM orders JOIN bounds
-  ON o_totalprice > lo AND o_totalprice <= hi
-GROUP BY bucket ORDER BY bucket
-""".strip(),
+    # assigned at the bottom — splices the ivj_* interval-join
+    # certificate CTE (its oracle lives in the bin-join section)
+    "rx_range_join_events": None,
     # certificate form (see rx_approx_distinct docstring): the oracle
     # carries the exact answers plus TRUE for every within-bound flag —
     # the row hash-matches iff Spark's sketches deliver their bounds
@@ -766,8 +765,10 @@ _GS_LABEL = (
     "coalesce(o_orderstatus, '~') || '|' || CAST(gid AS VARCHAR)"
 )
 
-ORACLE_SQL["rx_rollup_revenue"] = f"""
-WITH gs AS (
+# body only — assigned into ORACLE_SQL at the bottom of the module,
+# where the smb_* bucketed-join certificate CTE it now splices exists
+_ROLLUP_ORACLE_BODY = f"""
+gs AS (
   SELECT o_orderpriority, o_orderstatus,
          CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
          COUNT(*) AS n_orders,
@@ -791,8 +792,10 @@ roll AS (
   GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 SELECT roll.l_returnflag, roll.l_linestatus, roll.revenue, roll.cnt,
-       cert.gs_rows, cert.gs_n_wsum, cert.gs_rev_wsum
-FROM roll CROSS JOIN cert
+       cert.gs_rows, cert.gs_n_wsum, cert.gs_rev_wsum,
+       smbc.smb_n_prios, smbc.smb_lines_total, smbc.smb_binder,
+       smbc.smb_key_exchanges, smbc.smb_bucketed_scans
+FROM roll CROSS JOIN cert CROSS JOIN smbc
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """.strip()
 
@@ -1134,6 +1137,81 @@ LOCAL_QUERIES["rx_interval_join"] = rx_interval_join
 LOCAL_ORACLE_SQL["rx_interval_join"] = _INTERVAL_JOIN_ORACLE
 
 
+def _ivj_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``ivj_*`` certificate as memoized literal columns for the
+    rx_range_join_events contract host (certmemo): window count,
+    Σ overlap pairs, and the Σ-safe binder over (window_id, n_overlap)
+    — a pair counted twice by the bucket dedup rule, a dropped window,
+    or a fan-out miscount flips it. Puts the LOCAL bin-join operator
+    behind the driver's value-hash gate. sum_qty is deliberately
+    excluded (float accumulation is the host row's 6dp concern; the
+    binder stays exact at any scale)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        r = rx_interval_join(spark, sf_dir)
+        return r.agg(
+            F.count(F.lit(1)).cast("bigint").alias("ivj_n_windows"),
+            F.sum("n_overlap").cast("bigint").alias("ivj_overlap_total"),
+            F.sum(
+                binder_hash_col(
+                    "ivj", F.col("window_id"), F.col("n_overlap")
+                )
+            )
+            .cast("bigint")
+            .alias("ivj_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "ivj",
+        ("nation", "lineitem"),
+        "ivj_n_windows bigint, ivj_overlap_total bigint, ivj_binder bigint",
+        _build,
+    )
+
+
+def _sql_ivj_cert_cte() -> str:
+    """``ivjc`` 1-row CTE wrapping the theta-join oracle verbatim —
+    DuckDB runs the interval predicate natively (IEJoin), the luxury
+    whose absence in Spark the bin join exists to work around."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "ivj", "CAST(window_id AS VARCHAR)", "CAST(n_overlap AS VARCHAR)"
+    )
+    return (
+        "ivjc AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS ivj_n_windows,\n"
+        "         CAST(SUM(n_overlap) AS BIGINT) AS ivj_overlap_total,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS ivj_binder\n"
+        f"  FROM ({_INTERVAL_JOIN_ORACLE}) ivq)"
+    )
+
+
+ORACLE_SQL["rx_range_join_events"] = f"""
+WITH {_sql_ivj_cert_cte()},
+bounds AS (
+  SELECT 0 AS bucket, 0.0 AS lo, 50000.0 AS hi
+  UNION ALL SELECT 1, 50000.0, 100000.0
+  UNION ALL SELECT 2, 100000.0, 200000.0
+  UNION ALL SELECT 3, 200000.0, CAST('inf' AS DOUBLE)
+),
+rj AS (
+  SELECT bucket, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 4) AS total_price
+  FROM orders JOIN bounds
+    ON o_totalprice > lo AND o_totalprice <= hi
+  GROUP BY bucket
+)
+SELECT rj.bucket, rj.n_orders, rj.total_price,
+       ivjc.ivj_n_windows, ivjc.ivj_overlap_total, ivjc.ivj_binder
+FROM rj CROSS JOIN ivjc ORDER BY bucket
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join (sort-merge-bucket)
 
@@ -1290,3 +1368,93 @@ GROUP BY 1
 
 LOCAL_QUERIES["rx_bucketed_join"] = rx_bucketed_join
 LOCAL_ORACLE_SQL["rx_bucketed_join"] = _BUCKETED_JOIN_ORACLE
+
+
+def _smb_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``smb_*`` certificate as memoized literal columns for the
+    rx_rollup_revenue contract host (certmemo): priority-group count,
+    Σ joined line counts, the Σ-safe binder over (priority, n_lines),
+    AND the plan shape itself as integers — join-key Exchange count
+    (must be 0: the whole point of the bucketed layout) and bucketed
+    scan count (must be 2). The oracle emits the expected constants,
+    so a silent regression to a shuffled join fails the DRIVER's
+    value-hash gate, not just a pytest plan pin. Broadcast is disabled
+    during the build so the sort-merge-bucket path is what's measured;
+    revenue doubles are excluded from the binder (the LOCAL oracle
+    float-gates them)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = rx_bucketed_join(spark, sf_dir)
+            df.collect()  # realize so AQE's final plan is inspectable
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            key_ex = final.count(
+                "Exchange hashpartitioning(o_orderkey"
+            ) + final.count("Exchange hashpartitioning(l_orderkey")
+            bucketed = final.count("Bucketed: true")
+            return (
+                df.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("smb_n_prios"),
+                    F.sum("n_lines")
+                    .cast("bigint")
+                    .alias("smb_lines_total"),
+                    F.sum(
+                        binder_hash_col(
+                            "smb",
+                            F.col("o_orderpriority"),
+                            F.col("n_lines"),
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("smb_binder"),
+                )
+                .withColumn(
+                    "smb_key_exchanges", F.lit(key_ex).cast("bigint")
+                )
+                .withColumn(
+                    "smb_bucketed_scans", F.lit(bucketed).cast("bigint")
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "smb",
+        ("orders", "lineitem"),
+        "smb_n_prios bigint, smb_lines_total bigint, smb_binder bigint,"
+        " smb_key_exchanges bigint, smb_bucketed_scans bigint",
+        _build,
+    )
+
+
+def _sql_smb_cert_cte() -> str:
+    """``smbc`` 1-row CTE wrapping the plain-join oracle verbatim; the
+    plan-shape columns are the EXPECTED constants (0 join-key
+    exchanges, 2 bucketed scans) — DuckDB has no bucketed scans, the
+    constants are the contract Spark's plan must meet."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "smb", "o_orderpriority", "CAST(n_lines AS VARCHAR)"
+    )
+    return (
+        "smbc AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS smb_n_prios,\n"
+        "         CAST(SUM(n_lines) AS BIGINT) AS smb_lines_total,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS smb_binder,\n"
+        "         CAST(0 AS BIGINT) AS smb_key_exchanges,\n"
+        "         CAST(2 AS BIGINT) AS smb_bucketed_scans\n"
+        f"  FROM ({_BUCKETED_JOIN_ORACLE}) smbq)"
+    )
+
+
+ORACLE_SQL["rx_rollup_revenue"] = (
+    f"WITH {_sql_smb_cert_cte()},\n{_ROLLUP_ORACLE_BODY.strip()}"
+)

@@ -228,9 +228,135 @@ def run(dirs: list[tuple[str, str]], out_name: str, replicas: int) -> None:
     spark.stop()
 
 
+#: hub suppliers (keys < this) keep their original key in every graph
+#: replica — the connectivity spine that keeps the grown trade graph
+#: ONE component (all-shifted keys would make BFS explore a constant
+#: subgraph while only the scans grew — the vacuous exponent the
+#: round-11 verdict flagged)
+_GRAPH_HUB_SUPPKEYS = 50
+
+
+def generate_graph(dst: str, replicas: int) -> None:
+    """Graph-GROWING replica dir (orders + lineitem only): unlike
+    generate(), replicas shift the CUSTOMER key space and all
+    non-hub SUPPLIER keys, so each replica adds ~15k new customer
+    nodes and ~950 new supplier nodes rather than re-weighting the
+    same fixed node set. Used only by the graph-operator scaling
+    probe; the main sf1/sf10 dirs keep dim-consistent FKs."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='48GB'")
+    for table, col, off in (
+        ("orders", "o_orderkey", 200000),
+        ("orders", "o_custkey", 15000),
+        ("lineitem", "l_suppkey", 1000),
+    ):
+        (mx,) = con.execute(
+            f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+        ).fetchone()
+        if mx is None or mx >= off:
+            raise ValueError(
+                f"{table}.{col} max {mx} >= replica offset {off}"
+            )
+    con.execute(f"CREATE VIEW r AS SELECT unnest(range({replicas})) AS k")
+
+    def write(name: str, sql: str) -> None:
+        path = os.path.join(dst, f"{name}.parquet")
+        if os.path.exists(path):
+            return
+        con.execute(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
+        print("wrote", path, flush=True)
+
+    write(
+        "orders",
+        f"""SELECT o_orderkey + k * 200000 AS o_orderkey,
+               o_custkey + k * 15000 AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{SRC}/orders.parquet'), r""",
+    )
+    write(
+        "lineitem",
+        f"""SELECT l_orderkey + k * 200000 AS l_orderkey, l_partkey,
+               CASE WHEN l_suppkey < {_GRAPH_HUB_SUPPKEYS}
+                    THEN l_suppkey
+                    ELSE l_suppkey + k * 1000 END AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{SRC}/lineitem.parquet'), r""",
+    )
+
+
+def run_graph(dirs: list[tuple[str, str]], out_name: str, replicas: int):
+    """Time the LOCAL graph operators at each rung and record the
+    exponent — plus the BFS node count and triangle totals per rung,
+    the direct evidence the GRAPH grew (not just the scan)."""
+    import math
+
+    from guagua_spark.session import get_spark
+
+    from guagua_spark.operators.graph import LOCAL_QUERIES
+
+    names = ["graph_bfs_depth", "graph_triangles"]
+    spark = get_spark(
+        app_name="graph_scaling", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {
+        "replicas": replicas,
+        "hub_suppkeys": _GRAPH_HUB_SUPPKEYS,
+        "runs": {},
+    }
+    for sf_dir, tag in dirs:
+        rec: dict = {}
+        for name in names:
+            best, rows, evidence = None, 0, {}
+            for _ in range(2):  # rep 1 warms the scan; keep the best
+                t0 = time.monotonic()
+                got = LOCAL_QUERIES[name](spark, sf_dir).collect()
+                secs = time.monotonic() - t0
+                best = secs if best is None else min(best, secs)
+                rows = len(got)
+            if name == "graph_bfs_depth":
+                from collections import Counter
+
+                evidence["nodes_per_depth"] = dict(
+                    sorted(Counter(r["depth"] for r in got).items())
+                )
+            else:
+                evidence["tri_total"] = got[0]["tri_total"] if got else 0
+            rec[name] = {"secs": round(best, 3), "rows": rows, **evidence}
+            print(tag, name, rec[name], flush=True)
+        out["runs"][tag] = rec
+    lo, hi = dirs[-2][1], dirs[-1][1]
+    out["exponents"] = {
+        q: round(
+            math.log10(
+                out["runs"][hi][q]["secs"] / out["runs"][lo][q]["secs"]
+            ),
+            3,
+        )
+        for q in names
+    }
+    with open(os.path.join(_REPO, out_name), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["exponents"]))
+    spark.stop()
+
+
 if __name__ == "__main__":
     sf1_dst = os.path.join(_REPO, "testdata_sf1")
-    if "--sf100" in sys.argv:
+    if "--graph" in sys.argv:
+        gdst = os.path.join(_REPO, "testdata_graph_sf1")
+        generate_graph(gdst, 10)
+        run_graph(
+            [(SRC, "sf0.1"), (gdst, "graph_sf1")],
+            "BENCH_GRAPH_SCALING.json",
+            10,
+        )
+    elif "--sf100" in sys.argv:
         # the next decade (round-9 verdict #4): exponents sf10 → sf100
         sf10_dst = os.path.join(_REPO, "testdata_sf10")
         sf100_dst = os.path.join(_REPO, "testdata_sf100")
