@@ -1879,3 +1879,110 @@ LOCAL_ORACLE_SQL = {
 # defined above
 ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
 ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle()
+
+
+#: sf>=100 twin subset for the LSH row: the full oracle's PQ-pipeline
+#: replay (Lloyd codebooks + corpus encode in SQL) measured 1758 s of
+#: an 1800 s watchdog at sf100 — one slow box from a recorded timeout.
+#: 50k vectors keeps the replay at sf0.1-scale cost whatever the
+#: corpus; bucket ids are per-vector, so candidates(subset) ==
+#: candidates(full) ∩ subset×subset — the docsamp exactness argument.
+VEC_SAMPLE_TARGET = 50_000
+
+
+def _sampled_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 vector subset — the NUM_QUERIES query vectors
+    are always kept so the twin answers the same queries."""
+    from guagua_spark.functions.scale import u32_hash
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rate = min(1.0, VEC_SAMPLE_TARGET / max(emb.count(), 1))
+    return emb.filter(
+        (F.col("vec_id") < NUM_QUERIES)
+        | (
+            u32_hash("vecsamp", F.col("vec_id").cast("string"))
+            < F.lit(rate * 4294967296.0)
+        )
+    )
+
+
+def ann_lsh_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh_topk over the md5 vector subset — the sweep's
+    scale-feasible twin: same planes, same bucketing UDF, same exact
+    rescore; the pq_*/apq_* certificate columns are omitted (certified
+    by the full row at sf<=10, the tfidf-twin rule). The session
+    bucket index is bypassed (the twin buckets its subset directly —
+    cheap by construction)."""
+    planes = _planes()
+    emb = _sampled_emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus_b = _with_tables(emb, "embedding", planes).select(
+        "vec_id", "embedding", "table", "bucket"
+    )
+    q_b = _with_tables(q, "qe", planes).select(
+        "query_id",
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        corpus_b.join(
+            F.broadcast(q_b),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    return exact_rescore_topk(cand, emb, q)
+
+
+def _lsh_oracle_sampled() -> str:
+    """The LSH pipeline over the ``vsamp`` subset; rescore joins the
+    FULL embeddings table by vec_id (candidates are subset-contained,
+    so the rows are identical — no duplicated rescore CTEs)."""
+    keep = (
+        "CAST(('0x' || substr(md5('vecsamp|' || CAST(vec_id AS VARCHAR)),"
+        " 1, 8)) AS UBIGINT) < vrate.rate * 4294967296.0"
+    )
+    planes = hyperplane_bucket_ctes(
+        "lsh", LSH_TABLES, LSH_BITS, source="vsamp"
+    )
+    return f"""
+WITH vrate AS (
+  SELECT LEAST(1.0, {float(VEC_SAMPLE_TARGET)!r}
+               / GREATEST(COUNT(*), 1)) AS rate
+  FROM embeddings
+),
+vsamp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings, vrate
+  WHERE vec_id < {NUM_QUERIES} OR {keep}
+),
+{planes},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM bk q
+  JOIN bk c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {NUM_QUERIES}
+),
+{RESCORE_CTES}
+{RESCORE_SELECT}
+""".strip()
+
+
+SWEEP_SAMPLED = {
+    "ann_lsh_topk": (
+        ann_lsh_topk_sampled,
+        _lsh_oracle_sampled(),
+        "vec_id < NUM_QUERIES or u32(md5('vecsamp|vec_id')) <"
+        f" min(1, {VEC_SAMPLE_TARGET}/n_vecs)*2^32; pq_*/apq_*"
+        " certificate columns omitted (certified by the full row at"
+        " sf<=10)",
+    ),
+}

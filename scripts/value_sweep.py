@@ -238,10 +238,16 @@ def main() -> None:
     os.makedirs(_tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{_tmp}'")
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
-        )
+        # tolerate partial scale dirs (single-table decade rungs: the
+        # sf100 embeddings-only twin run) — a query touching a missing
+        # view fails with a clear binder error rather than up front
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"view {t} unavailable: {type(e).__name__}", flush=True)
 
     import threading
 

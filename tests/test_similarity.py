@@ -357,3 +357,21 @@ def test_quant_sample_requires_dense_ids(spark):
     )
     with _pytest.raises(ValueError, match="dense 0..n-1"):
         _quant_sample(gapped)
+
+
+def test_lsh_sampled_twin_matches_its_oracle(spark, oracle_sf_dir, duck):
+    """The round-12 sf>=100 twin for the LSH row (full oracle measured
+    1758 s of an 1800 s watchdog at sf100): same planes/bucketing/
+    rescore over the md5 vector subset, pq_*/apq_* certificates
+    omitted. At the test sf the rate saturates at 1.0, so the twin
+    also regression-pins the full LSH interior minus the certs."""
+    import importlib
+
+    from oracle import assert_matches_oracle
+
+    entry = importlib.import_module("__spark_entry__")
+    fn, sql, rule = entry.sweep_sampled()["ann_lsh_topk"]
+    assert "vecsamp" in rule
+    df = fn(spark, oracle_sf_dir)
+    assert not [c for c in df.columns if c.startswith(("pq_", "apq_"))]
+    assert_matches_oracle(df, duck, sql, rtol=1e-6)
