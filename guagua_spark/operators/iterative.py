@@ -679,6 +679,87 @@ FROM it WHERE it = {rounds}
 #: worker-local, so it could only ever be a rows-only row; the RPROP
 #: update rules stay unit-tested (tests/test_nn.py) and engine-run
 #: locally (test_nn_train_rows).
+ALS_ITERATIONS = 6
+
+
+def als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization on the IterativeEngine (algorithms/
+    als.py — the fifth engine workload; per-item k×k normal-equation
+    partials are the large non-scalar Combinable freight): ratings =
+    (customer, part, quantity) from lineitem ⋈ orders, HASH
+    CO-LOCATED by user before the load-once cache so a user's rows
+    never straddle workers (the ALS contract).
+
+    Output is catalog-bounded whatever the corpus: one row per part
+    with its trained factors and rating count, plus the run's rmse /
+    movement / iteration scalars on every row. No DuckDB oracle — the
+    k×k solves are not SQL-expressible at sane cost; correctness is
+    the serial-numpy golden replay (tests/test_als.py, shared-solver
+    construction) + the engine-path tests. LOCAL tier."""
+    import numpy as np
+
+    from guagua_spark.algorithms.als import (
+        ALS_RANK,
+        AlsMaster,
+        AlsWorker,
+    )
+    from guagua_spark.engine import IterativeEngine
+
+    part = load_table(spark, sf_dir, "part")
+    n_items = int(part.agg(F.max("p_partkey")).first()[0]) + 1
+
+    ratings = _cached_persisted(
+        "als",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("user"),
+            F.col("l_partkey").cast("long").alias("item"),
+            F.col("l_quantity").cast("double").alias("rating"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "user"),
+    )
+    engine = IterativeEngine(spark)
+    model = engine.run(
+        AlsMaster(n_items),
+        AlsWorker(n_items),
+        ratings,
+        total_iteration=ALS_ITERATIONS,
+        persist=False,
+    )
+    y = model.item_factors
+    counts = (
+        ratings.groupBy("item").agg(F.count(F.lit(1)).alias("n_ratings"))
+    ).toPandas()
+    counts = counts.set_index("item")["n_ratings"].to_dict()
+    rows = [
+        (
+            int(i),
+            int(counts[i]),
+            *[round(float(y[i, f]), 6) for f in range(ALS_RANK)],
+        )
+        for i in sorted(counts)
+    ]
+    factors = spark.createDataFrame(
+        rows,
+        "item long, n_ratings long, f0 double, f1 double, f2 double,"
+        " f3 double",
+    )
+    return (
+        factors.withColumn("rmse", F.lit(round(float(model.rmse), 6)))
+        .withColumn("movement", F.lit(round(float(model.movement), 6)))
+        .withColumn("iterations", F.lit(int(model.iteration)))
+        .orderBy("item")
+    )
+
+
 QUERIES = {
     "lr_train": lr_train,
     "kmeans_train": kmeans_train,
@@ -696,6 +777,9 @@ LOCAL_QUERIES = {
     "lr_gradient_step": lr_gradient_step,
     "kmeans_assign_counts": kmeans_assign_counts,
     "nn_train": nn_train,
+    # als_train: rows-only in the LOCAL lane; its oracle is the
+    # serial-numpy golden replay (tests/test_als.py), not SQL
+    "als_train": als_train,
 }
 
 LOCAL_ORACLE_SQL = {
