@@ -363,3 +363,106 @@ def test_fingerprint_footer_token_sees_content_change(tmp_path):
     os.utime(root, ns=(st.st_atime_ns, st.st_mtime_ns))
     fp1 = tables.table_fingerprint(str(tmp_path), "t")
     assert fp1 != fp0 and fp1[0][:3] == fp0[0][:3]
+
+
+_SMB_CATALOG_SCRIPT = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from guagua_spark.session import get_spark
+
+    sf = {sf!r}
+    spark = get_spark(
+        app_name="smb_catalog",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={{
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": {wh!r},
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }},
+        persistent_catalog=True,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {{}}
+
+    # instrument: every DDL goes through spark.sql in _bucketed_twin
+    ddl = []
+    orig_sql = spark.sql
+    def traced_sql(q, *a, **k):
+        ddl.append(q)
+        return orig_sql(q, *a, **k)
+    spark.sql = traced_sql
+
+    from guagua_spark.operators.relational_ext import (
+        LOCAL_QUERIES, _bucketed_twin,
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    ot = _bucketed_twin(
+        spark, sf, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    lt = _bucketed_twin(
+        spark, sf, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    after = set(tracker.getJobIdsForGroup(None))
+    out["twin_jobs"] = len(after - before)
+    out["twin_ddl"] = [q for q in ddl if "CREATE" in q.upper()]
+
+    df = LOCAL_QUERIES["rx_bucketed_join"](spark, sf)
+    out["rows"] = sorted(
+        (r["o_orderpriority"], r["n_lines"], round(r["revenue"], 2))
+        for r in df.collect()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    out["bucketed_scans"] = final.count("Bucketed: true")
+    out["key_exchange"] = (
+        "Exchange hashpartitioning(o_orderkey" in final
+        or "Exchange hashpartitioning(l_orderkey" in final
+    )
+    with open({out!r}, "w") as f:
+        json.dump(out, f)
+    spark.stop()
+    """
+)
+
+
+def test_bucketed_twin_is_pure_lookup_with_persistent_catalog(tmp_path):
+    """Round-12 stretch: with the Hive/Derby catalog the bucketed twin
+    survives the process boundary IN THE CATALOG, so session B's
+    _bucketed_twin is a pure tableExists lookup — ZERO Spark jobs and
+    ZERO DDL (the in-memory-catalog path re-issues CREATE TABLE per
+    session), while the join still plans bucketed scans with no
+    join-key exchange and returns identical rows."""
+    sf = os.environ.get("GUAGUA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ)
+    env["GUAGUA_CACHE_DIR"] = str(tmp_path / "store")
+    results = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / f"smbcat_{tag}.json")
+        script = _SMB_CATALOG_SCRIPT.format(
+            repo=REPO, sf=sf, wh=str(tmp_path / "wh"), out=out
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    a, b = results
+    assert a["rows"] == b["rows"]
+    for r in results:
+        assert r["bucketed_scans"] == 2, r
+        assert not r["key_exchange"], r
+    # session A builds (jobs + possibly a reattach CREATE are fine);
+    # session B must be a pure catalog lookup
+    assert b["twin_jobs"] == 0, b
+    assert b["twin_ddl"] == [], b
