@@ -942,17 +942,26 @@ user_days AS (
 cohorts AS (
   SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
 ),
-ranked AS (
-  SELECT user_id, event_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+lat_pick AS (
+  -- latest event per user as a HASH AGG, not a window: the former
+  -- ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+  -- formulation globally SORTS the corpus — its spill filled the
+  -- disk at the 1B-event sf1000 rung. arg_max over the exact integer
+  -- composite epoch_us(ts)·2⁶⁴ + event_id is the identical
+  -- (ts, event_id)-lexicographic pick (event_id < 2⁶⁴; int128
+  -- arithmetic, no rounding), with per-user state only.
+  SELECT user_id,
+         arg_max(event_id,
+                 CAST(epoch_us(ts) AS HUGEINT)
+                   * CAST(18446744073709551616 AS HUGEINT)
+                   + event_id) AS event_id
+  FROM events GROUP BY user_id
 ),
 lat AS (
   SELECT COUNT(*) AS lat_n_users,
          CAST(SUM(CAST(CAST(('0x' || substr(md5('late|' || CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS lat_eid_hash,
          CAST(SUM(CAST(CAST(('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000003 AS BIGINT)) AS BIGINT) AS lat_hash
-  FROM ranked WHERE rn = 1
+  FROM lat_pick
 ),
 ret AS (
   SELECT c.cohort_day,
