@@ -936,7 +936,9 @@ blm AS (
          CAST(SUM(n_buyers) AS BIGINT) AS blm_buyers
   FROM bgrp
 ),
-user_days AS (
+user_days AS MATERIALIZED (
+  -- referenced by BOTH cohorts and ret: materialize so the corpus
+  -- distinct is computed once, not inlined into each consumer
   SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
 ),
 cohorts AS (
@@ -964,9 +966,15 @@ lat AS (
   FROM lat_pick
 ),
 ret AS (
+  -- COUNT(*), not COUNT(DISTINCT user_id): user_days is DISTINCT on
+  -- (user_id, day) and day determines the (cohort_day, day_offset)
+  -- cell, so a user appears at most once per cell — identical counts,
+  -- and it removes the oracle's second corpus-scale distinct (whose
+  -- spill, with the since-removed window sort, filled the disk at
+  -- the 1B-event sf1000 rung)
   SELECT c.cohort_day,
          CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
-         COUNT(DISTINCT d.user_id) AS n_users
+         COUNT(*) AS n_users
   FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
   WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
   GROUP BY 1, 2

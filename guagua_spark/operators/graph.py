@@ -394,6 +394,56 @@ LIMIT {TRI_TOPK}
 """.strip()
 
 
+def tri_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``tri_*`` certificate as memoized literal columns for the q5
+    contract host (certmemo): graph-wide triangle total, top-k row
+    count, and the Σ-safe binder over (s_suppkey, n_tri) — a miscount
+    of any node's triangle participation, a wrong total, or a wrong
+    top-k selection flips it. Puts the LOCAL wedge-join triangle
+    operator behind the driver's value-hash gate (round 12: the last
+    graph family outside the certificate pattern)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        t = graph_triangles(spark, sf_dir)
+        return t.agg(
+            F.min("tri_total").cast("bigint").alias("tri_total"),
+            F.count(F.lit(1)).cast("bigint").alias("tri_topk_rows"),
+            F.sum(
+                binder_hash_col("tri", F.col("s_suppkey"), F.col("n_tri"))
+            )
+            .cast("bigint")
+            .alias("tri_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "tri",
+        ("lineitem",),
+        "tri_total bigint, tri_topk_rows bigint, tri_binder bigint",
+        _build,
+    )
+
+
+def sql_tri_cert_cte() -> str:
+    """``tric`` 1-row CTE wrapping the canonical triple-join oracle
+    verbatim — the DuckDB twin of tri_cert_cols."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "tri", "CAST(s_suppkey AS VARCHAR)", "CAST(n_tri AS VARCHAR)"
+    )
+    return (
+        "tric AS MATERIALIZED (\n"
+        "  SELECT CAST(MIN(tri_total) AS BIGINT) AS tri_total,\n"
+        "         CAST(COUNT(*) AS BIGINT) AS tri_topk_rows,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS tri_binder\n"
+        f"  FROM ({_triangles_oracle()}) tq)"
+    )
+
+
 #: oracle-tested locally (tests/test_graph.py); 50-slot contract full
 LOCAL_QUERIES = {
     "graph_pagerank": graph_pagerank,

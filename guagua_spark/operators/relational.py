@@ -158,10 +158,20 @@ def q4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(*) over a pushed-down predicate (halt-style condition)."""
+    """COUNT(*) over a pushed-down predicate (halt-style condition).
+
+    ``tri_*`` (round 12): the triangle-count certificate
+    (graph.tri_cert_cols — graph-wide total, top-k rows, (node, n_tri)
+    binder) rides this 1-row host; the oracle wraps graph.py's
+    canonical triple-join replay verbatim."""
+    from guagua_spark.operators.graph import tri_cert_cols
+
+    tri_cols = tri_cert_cols(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_totalprice") > 100000).agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("*", *tri_cols)
     )
 
 
@@ -181,10 +191,24 @@ ORACLE_SQL: dict[str, str] = {
     # pr_* certificate CTE wraps operators/graph.py's standalone
     # recursive-CTE oracle verbatim (assigned below the dict)
     "q4_revenue_by_nation": None,
-    "q5_filter_count": (
-        "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000"
-    ),
+    # tri_* certificate CTE wraps operators/graph.py's triple-join
+    # oracle verbatim (assigned below the dict)
+    "q5_filter_count": None,
 }
+
+
+def _q5_oracle() -> str:
+    from guagua_spark.operators.graph import sql_tri_cert_cte
+
+    return f"""
+WITH {sql_tri_cert_cte()},
+q5 AS (SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000)
+SELECT cnt, tri_total, tri_topk_rows, tri_binder
+FROM q5 CROSS JOIN tric
+""".strip()
+
+
+ORACLE_SQL["q5_filter_count"] = _q5_oracle()
 
 
 def _q2_oracle() -> str:

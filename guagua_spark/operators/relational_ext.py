@@ -142,13 +142,19 @@ def rx_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) alongside plain aggs — Spark plans expand +
     two-phase aggregation; at scale prefer approx_count_distinct (HLL)
-    when exactness isn't required (provided as rx_approx_distinct)."""
+    when exactness isn't required (provided as rx_approx_distinct).
+
+    ``aud_*`` (round 12): the data-quality audit certificate — total
+    rows audited, total violations, and a binder over EVERY audit cell
+    (counts + the date range as ISO days), binding the whole Deequ-
+    style constraint row into this 1-row driver-hash-checked host."""
+    aud_cols = _aud_cert_cols(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_price"),
-    )
+    ).select("*", *aud_cols)
 
 
 def rx_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +310,13 @@ def rx_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rx_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand part stats with a size filter pushed to the scan."""
+    """Per-brand part stats with a size filter pushed to the scan.
+
+    ``asr_*`` (round 12): the association-rules certificate — rule
+    count, Σ pair support, and the Σ-safe binder over (part_a, part_b,
+    sup_ab, sup_a, sup_b); conf/lift are pure IEEE functions of those
+    integers, so binding the integers binds the whole rule set."""
+    asr_cols = _asr_cert_cols(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
     return (
         part.groupBy("p_brand")
@@ -313,6 +325,7 @@ def rx_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
             F.max("p_size").alias("max_size"),
         )
+        .select("*", *asr_cols)
         .orderBy("p_brand")
     )
 
@@ -472,13 +485,9 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """.strip(),
-    "rx_parts_by_brand": """
-SELECT p_brand, COUNT(*) AS n_parts,
-       ROUND(AVG(p_retailprice), 4) AS avg_price,
-       MAX(p_size) AS max_size
-FROM part WHERE p_size >= 10
-GROUP BY p_brand ORDER BY p_brand
-""".strip(),
+    # assigned at the bottom — splices the asr_* association-rules
+    # certificate CTE (its oracle lives in the market-basket section)
+    "rx_parts_by_brand": None,
     "rx_supplier_nation_balance": """
 SELECT n_name, COUNT(*) AS n_suppliers,
        ROUND(SUM(s_acctbal), 4) AS total_balance
@@ -500,12 +509,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 ORDER BY c_custkey
 """.strip(),
-    "rx_distinct_agg": """
-SELECT COUNT(DISTINCT o_custkey) AS n_customers,
-       COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 4) AS total_price
-FROM orders
-""".strip(),
+    # assigned at the bottom — splices the aud_* quality-audit
+    # certificate CTE (its oracle lives in the audit section)
+    "rx_distinct_agg": None,
     # assigned at the bottom of the module — splices the pivot/unpivot
     # certificate CTEs, whose SQL is defined down there
     "rx_conditional_agg": None,
@@ -919,6 +925,78 @@ LOCAL_QUERIES["rx_association_rules"] = rx_association_rules
 LOCAL_ORACLE_SQL["rx_association_rules"] = _association_rules_oracle()
 
 
+def _asr_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``asr_*`` certificate for the rx_parts_by_brand contract host
+    (certmemo): rule count, Σ pair support, and the Σ-safe binder over
+    (part_a, part_b, sup_ab, sup_a, sup_b)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        r = rx_association_rules(spark, sf_dir)
+        return r.agg(
+            F.count(F.lit(1)).cast("bigint").alias("asr_rules"),
+            F.sum("sup_ab").cast("bigint").alias("asr_sup_total"),
+            F.sum(
+                binder_hash_col(
+                    "asr",
+                    F.col("part_a"),
+                    F.col("part_b"),
+                    F.col("sup_ab"),
+                    F.col("sup_a"),
+                    F.col("sup_b"),
+                )
+            )
+            .cast("bigint")
+            .alias("asr_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "asr",
+        ("lineitem",),
+        "asr_rules bigint, asr_sup_total bigint, asr_binder bigint",
+        _build,
+    )
+
+
+def _sql_asr_cert_cte() -> str:
+    """``asrc`` 1-row CTE wrapping the rule-mining oracle verbatim."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "asr",
+        "CAST(part_a AS VARCHAR)",
+        "CAST(part_b AS VARCHAR)",
+        "CAST(sup_ab AS VARCHAR)",
+        "CAST(sup_a AS VARCHAR)",
+        "CAST(sup_b AS VARCHAR)",
+    )
+    return (
+        "asrc AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS asr_rules,\n"
+        "         CAST(SUM(sup_ab) AS BIGINT) AS asr_sup_total,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS asr_binder\n"
+        f"  FROM ({_association_rules_oracle()}) aq)"
+    )
+
+
+ORACLE_SQL["rx_parts_by_brand"] = f"""
+WITH {_sql_asr_cert_cte()},
+pb AS (
+  SELECT p_brand, COUNT(*) AS n_parts,
+         ROUND(AVG(p_retailprice), 4) AS avg_price,
+         MAX(p_size) AS max_size
+  FROM part WHERE p_size >= 10
+  GROUP BY p_brand
+)
+SELECT pb.p_brand, pb.n_parts, pb.avg_price, pb.max_size,
+       asrc.asr_rules, asrc.asr_sup_total, asrc.asr_binder
+FROM pb CROSS JOIN asrc ORDER BY p_brand
+""".strip()
+
+
 # -- data-quality / constraint audit (round 10) ------------------------------
 
 
@@ -1025,6 +1103,96 @@ SELECT * FROM o, oo, l, lo
 
 LOCAL_QUERIES["rx_quality_audit"] = rx_quality_audit
 LOCAL_ORACLE_SQL["rx_quality_audit"] = _QUALITY_AUDIT_ORACLE
+
+
+#: every audit cell, in binder order — shared by the Spark and SQL
+#: binder builders so the two sides cannot drift
+_AUD_COUNT_COLS = (
+    "orders_rows",
+    "orders_dup_keys",
+    "orders_null_cust",
+    "orders_bad_price",
+    "orders_orphans",
+    "lineitem_rows",
+    "lineitem_orphans",
+)
+
+
+def _aud_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``aud_*`` certificate for the rx_distinct_agg contract host
+    (certmemo): rows audited, total violations, and a binder over the
+    ENTIRE audit row (all counts + the date range as ISO days, the
+    cross-engine-stable date rendering)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        a = rx_quality_audit(spark, sf_dir)
+        viol = (
+            F.col("orders_dup_keys")
+            + F.col("orders_null_cust")
+            + F.col("orders_bad_price")
+            + F.col("orders_orphans")
+            + F.col("lineitem_orphans")
+        )
+        binder = binder_hash_col(
+            "aud",
+            *[F.col(c) for c in _AUD_COUNT_COLS],
+            F.col("orders_date_lo").cast("date").cast("string"),
+            F.col("orders_date_hi").cast("date").cast("string"),
+        )
+        return a.select(
+            (F.col("orders_rows") + F.col("lineitem_rows"))
+            .cast("bigint")
+            .alias("aud_rows"),
+            viol.cast("bigint").alias("aud_violations"),
+            binder.cast("bigint").alias("aud_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "aud",
+        ("orders", "customer", "lineitem"),
+        "aud_rows bigint, aud_violations bigint, aud_binder bigint",
+        _build,
+    )
+
+
+def _sql_aud_cert_cte() -> str:
+    """``audc`` 1-row CTE wrapping the audit oracle verbatim."""
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "aud",
+        *[f"CAST({c} AS VARCHAR)" for c in _AUD_COUNT_COLS],
+        "CAST(CAST(orders_date_lo AS DATE) AS VARCHAR)",
+        "CAST(CAST(orders_date_hi AS DATE) AS VARCHAR)",
+    )
+    return (
+        "audc AS MATERIALIZED (\n"
+        "  SELECT CAST(orders_rows + lineitem_rows AS BIGINT)"
+        " AS aud_rows,\n"
+        "         CAST(orders_dup_keys + orders_null_cust +"
+        " orders_bad_price + orders_orphans + lineitem_orphans"
+        " AS BIGINT) AS aud_violations,\n"
+        f"         CAST({binder} AS BIGINT) AS aud_binder\n"
+        f"  FROM ({_QUALITY_AUDIT_ORACLE}) aq)"
+    )
+
+
+ORACLE_SQL["rx_distinct_agg"] = f"""
+WITH {_sql_aud_cert_cte()},
+da AS (
+  SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 4) AS total_price
+  FROM orders
+)
+SELECT da.n_customers, da.n_orders, da.total_price,
+       audc.aud_rows, audc.aud_violations, audc.aud_binder
+FROM da CROSS JOIN audc
+""".strip()
 
 
 # ---------------------------------------------------------------------------
