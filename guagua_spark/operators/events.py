@@ -98,6 +98,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sid = with_flag.withColumn(
         "session_seq", F.sum("new_session").over(by_user) + 1
     )
+    # sbg_* (round 12): the session-bigram transition-matrix
+    # certificate -- same gap construction as this query, so a session-
+    # boundary disagreement between the two operators flips the binder
+    sbg_cols = _sbg_cert_cols(spark, sf_dir)
     return (
         with_sid.groupBy("user_id", "session_seq")
         .agg(
@@ -106,6 +110,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
         )
+        .select("*", *sbg_cols)
         .orderBy("user_id", "session_seq")
     )
 
@@ -173,6 +178,11 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (salted_topk_cert_df) — driver-certifies the skew-safe
     functions.scale.salted_topk against this row's own plain-window
     top-N, as typed literal columns.
+
+    ``jcm_*`` (round 12): the CM join-size estimation certificate —
+    events_join_size_cm's 1-row output (estimate, exact join size,
+    both counter-table checksums) renamed and attached, binding the
+    sketch-inner-product family into this green row.
     """
     from guagua_spark.operators.certmemo import cached_cert_cols
 
@@ -183,6 +193,19 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("events",),
         "stk_rows bigint, stk_hash bigint, stk_val_e6 bigint",
         lambda: salted_topk_cert_df(spark, sf_dir),
+    )
+    jcm_cols = cached_cert_cols(
+        spark,
+        sf_dir,
+        "join_size_cm",
+        ("events",),
+        "jcm_est bigint, jcm_exact bigint, jcm_ca bigint, jcm_cb bigint",
+        lambda: events_join_size_cm(spark, sf_dir).select(
+            F.col("est_join").alias("jcm_est"),
+            F.col("exact_join").alias("jcm_exact"),
+            F.col("ca_checksum").alias("jcm_ca"),
+            F.col("cb_checksum").alias("jcm_cb"),
+        ),
     )
     per_user = _per_user_totals(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(
@@ -198,6 +221,7 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             "n_events",
             *stk_cols,
+            *jcm_cols,
         )
         .orderBy("event_type", "rank")
     )
@@ -240,6 +264,10 @@ def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_user = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    # gfl_* (round 12): the hourly gap-fill/LOCF certificate — the
+    # thematic sibling (both are per-user time-series windows) rides
+    # this contract row
+    gfl_cols = _gfl_cert_cols(spark, sf_dir)
     running = ev.withColumn(
         "running_value", F.round(F.sum("value").over(w), 6)
     ).withColumn("rn", F.row_number().over(by_user))
@@ -250,6 +278,7 @@ def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
             F.col("running_value").alias("lifetime_value"),
         )
+        .select("*", *gfl_cols)
         .orderBy("user_id")
     )
 
@@ -556,55 +585,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL = {
     # events_windowed_agg's oracle is assigned below the HLL section
     # (its hll_* certificate splice needs the sketch CTE builders)
-    "events_sessionize": f"""
-WITH flagged AS (
-  SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-sess AS (
-  SELECT user_id, ts, value,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) + 1
-              AS BIGINT) AS session_seq
-  FROM flagged
-)
-SELECT user_id, session_seq,
-       MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
-FROM sess
-GROUP BY user_id, session_seq
-ORDER BY user_id, session_seq
-""".strip(),
-    "events_top_users_per_type": f"""
-WITH per_user AS (
-  SELECT event_type, user_id,
-         ROUND(SUM(value), 6) AS total_value,
-         COUNT(*) AS n_events
-  FROM events GROUP BY 1, 2
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                               ORDER BY total_value DESC, user_id) AS rank
-  FROM per_user
-),
-stk AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS stk_rows,
-         CAST(SUM(CAST(('0x' || substr(md5('stk|'
-                  || coalesce(event_type, '~') || '|'
-                  || CAST(rank AS VARCHAR) || '|'
-                  || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT))
-              AS BIGINT) AS stk_hash,
-         CAST(SUM(ROUND(total_value * 1e6)) AS BIGINT) AS stk_val_e6
-  FROM ranked WHERE rank <= {TOP_N}
-)
-SELECT event_type, rank, user_id, total_value, n_events,
-       stk_rows, stk_hash, stk_val_e6
-FROM ranked, stk WHERE rank <= {TOP_N}
-ORDER BY event_type, rank
-""".strip(),
+    # assigned at the bottom — splices the sbg_* session-bigram
+    # certificate CTE (round 12)
+    "events_sessionize": None,
+    # assigned at the bottom — splices the jcm_* join-size-CM
+    # certificate CTE (round 12; keeps the inline stk_* block)
+    "events_top_users_per_type": None,
     "events_json_props": """
 SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
@@ -615,19 +601,9 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """.strip(),
-    "events_user_running_value": """
-WITH running AS (
-  SELECT user_id, ts, event_id,
-         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING), 6) AS running_value,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-)
-SELECT user_id, ts AS last_ts, running_value AS lifetime_value
-FROM running WHERE rn = 1
-ORDER BY user_id
-""".strip(),
+    # assigned at the bottom — splices the gfl_* gap-fill
+    # certificate CTE (round 12; the gapfill oracle lives below)
+    "events_user_running_value": None,
     "events_asof_purchase": """
 WITH pur AS (
   SELECT user_id, ts, MAX(value) AS pvalue
@@ -1775,6 +1751,223 @@ FROM est, ex, cka, ckb
 
 LOCAL_QUERIES["events_join_size_cm"] = events_join_size_cm
 LOCAL_ORACLE_SQL["events_join_size_cm"] = _join_size_cm_oracle()
+
+
+# -- round-12 certificates: the last three LOCAL event families move
+# behind the driver's value-hash gate (sbg_* / gfl_* / jcm_*) ---------------
+
+
+def _sbg_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``sbg_*`` certificate for the events_sessionize contract host
+    (certmemo): transition-matrix row count, Σ transitions,
+    Σ sessions-with-transition, and the Σ-safe binder over
+    (src_type, dst_type, n_transitions, n_sessions)."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        b = events_session_bigrams(spark, sf_dir)
+        return b.agg(
+            F.count(F.lit(1)).cast("bigint").alias("sbg_pairs"),
+            F.sum("n_transitions").cast("bigint").alias("sbg_transitions"),
+            F.sum(
+                binder_hash_col(
+                    "sbg",
+                    F.col("src_type"),
+                    F.col("dst_type"),
+                    F.col("n_transitions"),
+                    F.col("n_sessions"),
+                )
+            )
+            .cast("bigint")
+            .alias("sbg_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "session_bigrams",
+        ("events",),
+        "sbg_pairs bigint, sbg_transitions bigint, sbg_binder bigint",
+        _build,
+    )
+
+
+def _sql_sbg_cert_cte() -> str:
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "sbg",
+        "src_type",
+        "dst_type",
+        "CAST(n_transitions AS VARCHAR)",
+        "CAST(n_sessions AS VARCHAR)",
+    )
+    return (
+        "sbgc AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS sbg_pairs,\n"
+        "         CAST(SUM(n_transitions) AS BIGINT) AS sbg_transitions,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS sbg_binder\n"
+        f"  FROM ({_session_bigrams_oracle()}) sq)"
+    )
+
+
+ORACLE_SQL["events_sessionize"] = f"""
+WITH {_sql_sbg_cert_cte()},
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) + 1
+              AS BIGINT) AS session_seq
+  FROM flagged
+),
+s AS (
+  SELECT user_id, session_seq,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+  FROM sess
+  GROUP BY user_id, session_seq
+)
+SELECT s.user_id, s.session_seq, s.session_start, s.session_end,
+       s.n_events, s.total_value,
+       sbgc.sbg_pairs, sbgc.sbg_transitions, sbgc.sbg_binder
+FROM s CROSS JOIN sbgc
+ORDER BY s.user_id, s.session_seq
+""".strip()
+
+
+def _gfl_cert_cols(spark: SparkSession, sf_dir: str) -> list:
+    """``gfl_*`` certificate for the events_user_running_value host
+    (certmemo): dense-grid row count, Σ events on the grid, gap-row
+    count, and the Σ-safe binder over (user_id, ISO day, hour,
+    n_events, LOCF cents) — per-row cent rounding of identical
+    doubles is bit-exact cross-engine (the gs-certificate argument),
+    so a wrong fill value, a missing gap row, or a mis-bucketed hour
+    each flip an integer."""
+    from guagua_spark.functions.scale import binder_hash_col
+    from guagua_spark.operators.certmemo import cached_cert_cols
+
+    def _build() -> DataFrame:
+        g = events_gapfill_hourly(spark, sf_dir)
+        binder = binder_hash_col(
+            "gfl",
+            F.col("user_id"),
+            F.col("hour").cast("date").cast("string"),
+            F.hour("hour"),
+            F.col("n_events"),
+            F.coalesce(
+                F.round(F.col("ffill_value") * 100).cast("bigint"),
+                F.lit(-1),
+            ),
+        )
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("gfl_rows"),
+            F.sum("n_events").cast("bigint").alias("gfl_events_total"),
+            F.sum(F.when(F.col("n_events") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("gfl_gaps"),
+            F.sum(binder).cast("bigint").alias("gfl_binder"),
+        )
+
+    return cached_cert_cols(
+        spark,
+        sf_dir,
+        "gapfill",
+        ("events",),
+        "gfl_rows bigint, gfl_events_total bigint, gfl_gaps bigint,"
+        " gfl_binder bigint",
+        _build,
+    )
+
+
+def _sql_gfl_cert_cte() -> str:
+    from guagua_spark.functions.scale import binder_hash_sql
+
+    binder = binder_hash_sql(
+        "gfl",
+        "CAST(user_id AS VARCHAR)",
+        "CAST(CAST(hour AS DATE) AS VARCHAR)",
+        "CAST(EXTRACT(hour FROM hour) AS VARCHAR)",
+        "CAST(n_events AS VARCHAR)",
+        "CAST(COALESCE(CAST(ROUND(ffill_value * 100) AS BIGINT), -1)"
+        " AS VARCHAR)",
+    )
+    return (
+        "gflc AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS gfl_rows,\n"
+        "         CAST(SUM(n_events) AS BIGINT) AS gfl_events_total,\n"
+        "         CAST(SUM(CASE WHEN n_events = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS gfl_gaps,\n"
+        f"         CAST(SUM({binder}) AS BIGINT) AS gfl_binder\n"
+        f"  FROM ({_gapfill_oracle()}) gq)"
+    )
+
+
+ORACLE_SQL["events_user_running_value"] = f"""
+WITH {_sql_gfl_cert_cte()},
+running AS (
+  SELECT user_id, ts, event_id,
+         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT r.user_id, r.ts AS last_ts, r.running_value AS lifetime_value,
+       gflc.gfl_rows, gflc.gfl_events_total, gflc.gfl_gaps,
+       gflc.gfl_binder
+FROM running r CROSS JOIN gflc WHERE r.rn = 1
+ORDER BY r.user_id
+""".strip()
+
+
+def _sql_jcm_cert_cte() -> str:
+    """``jcmc`` 1-row CTE wrapping the CM join-size oracle verbatim,
+    columns renamed to the jcm_* certificate names."""
+    return (
+        "jcmc AS MATERIALIZED (\n"
+        "  SELECT est_join AS jcm_est, exact_join AS jcm_exact,\n"
+        "         ca_checksum AS jcm_ca, cb_checksum AS jcm_cb\n"
+        f"  FROM ({_join_size_cm_oracle()}) jq)"
+    )
+
+
+ORACLE_SQL["events_top_users_per_type"] = f"""
+WITH {_sql_jcm_cert_cte()},
+per_user AS (
+  SELECT event_type, user_id,
+         ROUND(SUM(value), 6) AS total_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id) AS rank
+  FROM per_user
+),
+stk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS stk_rows,
+         CAST(SUM(CAST(('0x' || substr(md5('stk|'
+                  || coalesce(event_type, '~') || '|'
+                  || CAST(rank AS VARCHAR) || '|'
+                  || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT))
+              AS BIGINT) AS stk_hash,
+         CAST(SUM(ROUND(total_value * 1e6)) AS BIGINT) AS stk_val_e6
+  FROM ranked WHERE rank <= {TOP_N}
+)
+SELECT event_type, rank, user_id, total_value, n_events,
+       stk_rows, stk_hash, stk_val_e6,
+       jcmc.jcm_est, jcmc.jcm_exact, jcmc.jcm_ca, jcmc.jcm_cb
+FROM ranked, stk, jcmc WHERE rank <= {TOP_N}
+ORDER BY event_type, rank
+""".strip()
 
 
 # -- sf100 sampled twins (round 11) -----------------------------------------
