@@ -363,7 +363,11 @@ def _triangles_oracle() -> str:
     once without orientation (the oracle may be O(n³); the Spark side
     may not), then the same explode / group / top-k."""
     return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+WITH li AS MATERIALIZED (
+  -- referenced twice by the pair join: materialize, or DuckDB inlines
+  -- a full distinct per reference
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
 p AS (
   SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, COUNT(*) AS sup
   FROM li l1
@@ -371,7 +375,13 @@ p AS (
             AND l1.l_suppkey < l2.l_suppkey
   GROUP BY 1, 2
 ),
-e AS (SELECT a, b FROM p ORDER BY sup DESC, a, b LIMIT {TRI_EDGES}),
+e AS MATERIALIZED (
+  -- referenced THREE times by the triangle join: inlined, each copy
+  -- recomputes the corpus-sized pair join — 3 concurrent spills
+  -- filled a 60 GB disk at sf10 (round 12); materialized it is
+  -- TRI_EDGES rows
+  SELECT a, b FROM p ORDER BY sup DESC, a, b LIMIT {TRI_EDGES}
+),
 t AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM e e1

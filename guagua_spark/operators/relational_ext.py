@@ -892,7 +892,12 @@ def rx_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _association_rules_oracle() -> str:
     return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li AS MATERIALIZED (
+  -- referenced four times (pair join ×2, item_sup, n): materialize,
+  -- or DuckDB inlines a full corpus distinct per reference (the
+  -- triangles-oracle sf10 spill lesson, round 12)
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
 pair_sup AS (
   SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b,
          COUNT(*) AS sup_ab

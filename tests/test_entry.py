@@ -27,6 +27,9 @@ def test_entry_runs(spark, entry_mod):
         "revenue",
         "pr_n_nodes",  # PageRank certificate rides the flagship row
         "pr_rank_wsum",
+        "bfs_n_nodes",  # BFS hop-distance certificate (round 12)
+        "bfs_depth_sum",
+        "bfs_binder",
     ]
 
 
