@@ -862,12 +862,19 @@ def _bloom_ctes() -> str:
         f"{bloom_bit_sql(i, uid)} IN (SELECT bit FROM bbits)"
         for i in range(BLOOM_K)
     )
-    return f"""bku AS (
+    return f"""bku AS MATERIALIZED (
+  -- referenced by every bbits branch AND the bsemi semi-join: without
+  -- MATERIALIZED DuckDB inlines this corpus distinct K^2 times (the
+  -- concurrent spills filled the disk at the 1B-event sf1000 rung)
   SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
   WHERE event_type = 'purchase'
 ),
-bbits AS (SELECT DISTINCT bit FROM ({bits_union})),
-bprune AS (SELECT * FROM events WHERE {keep}),
+bbits AS MATERIALIZED (SELECT DISTINCT bit FROM ({bits_union})),
+bprune AS (
+  -- key columns only: the consumers need (event_type, user_id) and a
+  -- COUNT — SELECT * would drag the props payload through the filter
+  SELECT event_type, user_id FROM events WHERE {keep}
+),
 bsemi AS (
   SELECT * FROM bprune WHERE {uid} IN (SELECT k FROM bku)
 )"""
