@@ -919,13 +919,13 @@ blm AS (
          CAST(SUM(n_buyers) AS BIGINT) AS blm_buyers
   FROM bgrp
 ),
-user_days AS MATERIALIZED (
-  -- referenced by BOTH cohorts and ret: materialize so the corpus
-  -- distinct is computed once, not inlined into each consumer
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
-),
 cohorts AS (
-  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
+  -- straight per-user MIN over events (20M groups, constant state
+  -- per user): the former DISTINCT (user_id, day) intermediate was
+  -- ~500M rows at the 1B-event sf1000 rung and, MATERIALIZED, was
+  -- the oracle's last >50 GB temp spill
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
 ),
 lat_pick AS (
   -- latest event per user as a HASH AGG, not a window: the former
@@ -949,17 +949,25 @@ lat AS (
   FROM lat_pick
 ),
 ret AS (
-  -- COUNT(*), not COUNT(DISTINCT user_id): user_days is DISTINCT on
-  -- (user_id, day) and day determines the (cohort_day, day_offset)
-  -- cell, so a user appears at most once per cell — identical counts,
-  -- and it removes the oracle's second corpus-scale distinct (whose
-  -- spill, with the since-removed window sort, filled the disk at
-  -- the 1B-event sf1000 rung)
-  SELECT c.cohort_day,
-         CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
-         COUNT(*) AS n_users
-  FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
-  WHERE date_diff('day', c.cohort_day, d.day) <= {RETENTION_MAX_DAYS}
+  -- window filter BEFORE the distinct: joining raw events to cohorts
+  -- and filtering to the first {RETENTION_MAX_DAYS}+1 days shrinks
+  -- the distinct's domain to <= (max_days+1) cells per user, versus
+  -- a corpus-wide DISTINCT (user_id, day) first (~500M rows at 1B
+  -- events). Exact: (cohort_day, day_offset) is a function of
+  -- (user_id, day), so DISTINCT over the filtered triples is the
+  -- same cell set, and COUNT(*) of distinct triples equals the old
+  -- per-cell COUNT of distinct users.
+  SELECT cohort_day, day_offset, COUNT(*) AS n_users
+  FROM (
+    SELECT DISTINCT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day,
+                          date_trunc('day', e.ts)) AS INT)
+             AS day_offset,
+           e.user_id
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, date_trunc('day', e.ts))
+            <= {RETENTION_MAX_DAYS}
+  )
   GROUP BY 1, 2
 )
 SELECT ret.cohort_day, ret.day_offset, ret.n_users,
