@@ -760,6 +760,100 @@ def als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GBT_ITER_BUDGET = 12  # 1 stats + 3 trees × 3 levels + 1 final + slack
+
+
+def gbt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression trees on the IterativeEngine
+    (algorithms/gbt.py — the sixth engine workload, the Shifu
+    decision-tree lineage on the guagua BSP surface): per-level
+    (frontier × feature × bin) gradient histograms are the Combinable
+    freight; a stats superstep builds the equal-width bins first.
+
+    Trains on lineitem — features (l_quantity, l_discount, l_tax,
+    ship month), target l_extendedprice/1000 — with NO co-location
+    requirement (rows are independent; the relation is read once into
+    the load-once cache, never shuffled). Output is model-bounded
+    whatever the corpus: one row per tree node with the integer split
+    rule (feature, threshold bin, threshold value) or leaf weight,
+    plus the run's rmse / base_score scalars on every row. No DuckDB
+    oracle — the level-wise argmax over split gains is not reasonably
+    SQL-expressible; correctness is the serial-numpy golden replay
+    over shared binning/routing/split code (tests/test_gbt.py).
+    LOCAL tier, rows-only (the als_train precedent)."""
+    from guagua_spark.algorithms.gbt import (
+        GBT_TREES,
+        GbtMaster,
+        GbtWorker,
+        K_FEAT,
+        K_KIND,
+        K_LEFT,
+        K_RIGHT,
+        K_THR,
+        K_W,
+    )
+    from guagua_spark.engine import IterativeEngine
+
+    rows_df = _cached_persisted(
+        "gbt",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("double").alias("f0"),
+            F.col("l_discount").cast("double").alias("f1"),
+            F.col("l_tax").cast("double").alias("f2"),
+            F.month("l_shipdate").cast("double").alias("f3"),
+            (F.col("l_extendedprice") / F.lit(1000.0)).alias("y"),
+        ),
+    )
+    engine = IterativeEngine(spark)
+    model = engine.run(
+        GbtMaster(n_features=4),
+        GbtWorker(n_features=4),
+        rows_df,
+        total_iteration=GBT_ITER_BUDGET,
+        persist=False,
+    )
+    out = []
+    for t, nodes in enumerate(model.trees):
+        for nid, nd in enumerate(nodes):
+            is_split = nd[K_KIND] == "split"
+            f = int(nd[K_FEAT]) if is_split else -1
+            thr = int(nd[K_THR]) if is_split else -1
+            out.append(
+                (
+                    t,
+                    nid,
+                    nd[K_KIND],
+                    f,
+                    thr,
+                    round(
+                        float(
+                            model.mins[f] + model.widths[f] * (thr + 1)
+                        ),
+                        6,
+                    )
+                    if is_split
+                    else None,
+                    int(nd[K_LEFT]) if is_split else -1,
+                    int(nd[K_RIGHT]) if is_split else -1,
+                    None if is_split else round(float(nd[K_W]), 6),
+                )
+            )
+    df = spark.createDataFrame(
+        out,
+        "tree int, node int, kind string, feature int, thr_bin int,"
+        " thr_value double, left int, right int, weight double",
+    )
+    return (
+        df.withColumn("rmse", F.lit(round(float(model.rmse), 6)))
+        .withColumn(
+            "base_score", F.lit(round(float(model.base_score), 6))
+        )
+        .withColumn("n_trees", F.lit(int(GBT_TREES)))
+        .orderBy("tree", "node")
+    )
+
+
 QUERIES = {
     "lr_train": lr_train,
     "kmeans_train": kmeans_train,
@@ -777,9 +871,11 @@ LOCAL_QUERIES = {
     "lr_gradient_step": lr_gradient_step,
     "kmeans_assign_counts": kmeans_assign_counts,
     "nn_train": nn_train,
-    # als_train: rows-only in the LOCAL lane; its oracle is the
-    # serial-numpy golden replay (tests/test_als.py), not SQL
+    # als_train / gbt_train: rows-only in the LOCAL lane; their
+    # oracles are serial-numpy golden replays (tests/test_als.py,
+    # tests/test_gbt.py), not SQL
     "als_train": als_train,
+    "gbt_train": gbt_train,
 }
 
 LOCAL_ORACLE_SQL = {
