@@ -346,9 +346,62 @@ def run_graph(dirs: list[tuple[str, str]], out_name: str, replicas: int):
     spark.stop()
 
 
+def run_engine(dirs: list[tuple[str, str]], out_name: str):
+    """Time the engine-workload LOCAL rows (ALS, GBT) at each rung and
+    record the exponent. Cold per rung by construction: caches are
+    cleared between calls so the timing includes the load-once persist
+    and every superstep — the engine interior IS the claim (per-round
+    traffic is model-sized, so the exponent should track the scan,
+    not the superstep count)."""
+    import math
+
+    from guagua_spark.session import get_spark
+
+    names = ["als_train", "gbt_train"]
+    spark = get_spark(
+        app_name="engine_scaling", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"runs": {}}
+    for sf_dir, tag in dirs:
+        rec: dict = {}
+        for name in names:
+            from guagua_spark.operators import iterative
+
+            iterative.clear_caches()
+            t0 = time.monotonic()
+            rows = iterative.LOCAL_QUERIES[name](spark, sf_dir).collect()
+            rec[name] = {
+                "secs": round(time.monotonic() - t0, 3),
+                "rows": len(rows),
+            }
+            print(tag, name, rec[name], flush=True)
+        out["runs"][tag] = rec
+    lo, hi = dirs[-2][1], dirs[-1][1]
+    out["exponents"] = {
+        q: round(
+            math.log10(
+                out["runs"][hi][q]["secs"] / out["runs"][lo][q]["secs"]
+            ),
+            3,
+        )
+        for q in names
+    }
+    with open(os.path.join(_REPO, out_name), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out["exponents"]))
+    spark.stop()
+
+
 if __name__ == "__main__":
     sf1_dst = os.path.join(_REPO, "testdata_sf1")
-    if "--graph" in sys.argv:
+    if "--engine" in sys.argv:
+        generate(sf1_dst, 10)
+        run_engine(
+            [(SRC, "sf0.1"), (sf1_dst, "sf1")], "BENCH_ENGINE_SCALING.json"
+        )
+    elif "--graph" in sys.argv:
         gdst = os.path.join(_REPO, "testdata_graph_sf1")
         generate_graph(gdst, 10)
         run_graph(
