@@ -425,9 +425,13 @@ RETENTION_MAX_DAYS = 7
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by their first-activity day;
     for each (cohort_day, day_offset ≤ 7) the count of distinct users
-    active that day. Two aggregations: per-user first day (shuffle on
-    user), then distinct users per cohort cell over the already-tiny
-    (user, day) relation — the raw events never join themselves.
+    active that day. Two aggregations: per-user first day
+    (map-side-combined MIN, shuffle on user), then the event stream
+    joins the one-row-per-user cohorts and the ONLY distinct runs
+    after the retention-window filter, where the domain is bounded at
+    ≤ RETENTION_MAX_DAYS+1 cells per user — no corpus-wide
+    DISTINCT (user, day) intermediate (~500M rows at the 1B-event
+    sf1000 rung), and the raw events never join themselves.
 
     No broadcast hint on the cohorts join: cohorts has one row per USER,
     a data-proportional cardinality that would OOM a forced broadcast at
@@ -463,10 +467,14 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
-    user_days = ev.distinct()
-    cohorts = user_days.groupBy("user_id").agg(
-        F.min("day").alias("cohort_day")
-    )
+    # cohorts straight off the event stream (map-side-combined MIN
+    # into one row per user) — no corpus-wide DISTINCT (user, day)
+    # intermediate: that relation is ~500M rows at the 1B-event rung
+    # (the sf1000 probe) and every consumer can do without it; the
+    # only distinct left runs AFTER the retention-window filter, where
+    # the domain is ≤ RETENTION_MAX_DAYS+1 cells per user (the same
+    # shape change that fixed the DuckDB oracle's >50 GB temp spill)
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     cert = cached_cert_row(
         spark,
         sf_dir,
@@ -501,7 +509,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: bloom_cert_df(spark, sf_dir),
     )
     return (
-        user_days.join(cohorts, "user_id")
+        ev.join(cohorts, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -509,6 +517,10 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("day_offset") <= RETENTION_MAX_DAYS)
         .groupBy("cohort_day", "day_offset")
+        # the distinct happens HERE, after the window filter: raw
+        # (user, day) duplicates collapse into ≤ max_days+1 cells per
+        # user — same n_users as the former distinct-then-join, with
+        # no corpus-wide distinct ever materialized
         .agg(F.countDistinct("user_id").alias("n_users"))
         .crossJoin(F.broadcast(cert))
         .crossJoin(F.broadcast(bcert))

@@ -261,3 +261,71 @@ def test_gbt_train_local_row(spark, oracle_sf_dir):
     assert rows[0]["base_score"] == pytest.approx(
         golden.base_score, abs=5e-6
     )
+
+
+def test_gbt_failover_resume_equals_uninterrupted(spark, tmp_path):
+    """The engine's FailOverCommand analogue on the GBT workload:
+    train with checkpointing and a 5-superstep budget (stats + tree 1
+    + one level of tree 2), then resume the same checkpoint dir to
+    the full budget — trees must equal an uninterrupted run (the
+    master result carries bins + completed trees + the in-progress
+    frontier, so resume needs no replay of completed supersteps)."""
+    from guagua_spark.engine import IterativeEngine
+
+    x, y = _toy_rows()
+    df = _as_df(spark, x, y)
+    ckpt = str(tmp_path / "gbt_ckpt")
+    e1 = IterativeEngine(spark, checkpoint_dir=ckpt, checkpoint_interval=1)
+    part = e1.run(
+        GbtMaster(n_features=3),
+        GbtWorker(n_features=3),
+        df,
+        total_iteration=5,
+        persist=False,
+    )
+    assert not part.halt and len(part.trees) >= 1
+    e2 = IterativeEngine(spark, checkpoint_dir=ckpt, checkpoint_interval=1)
+    m_res = e2.run(
+        GbtMaster(n_features=3),
+        GbtWorker(n_features=3),
+        df,
+        total_iteration=12,
+        persist=False,
+    )
+    assert len(e2.iteration_seconds) < 11  # completed supersteps skipped
+    full = IterativeEngine(spark).run(
+        GbtMaster(n_features=3),
+        GbtWorker(n_features=3),
+        df,
+        total_iteration=12,
+        persist=False,
+    )
+    assert m_res.halt and full.halt
+    _trees_equal(m_res.trees, full.trees)
+    assert m_res.rmse == pytest.approx(full.rmse, rel=1e-10)
+
+
+def test_gain_key_orders_distinct_gains():
+    """The float32 gain-key demotion collapses only noise-level
+    differences: two candidates whose true gains differ by ~1e-4
+    relative still order correctly (the device can't mask a real
+    difference)."""
+    hist = np.zeros((1, GBT_BINS, 2))
+    # two candidate cuts with close-but-distinct separation quality
+    hist[0, 0, 0], hist[0, 0, 1] = -100.0, 50.0
+    hist[0, 10, 0], hist[0, 10, 1] = 0.01, 50.0
+    hist[0, 20, 0], hist[0, 20, 1] = 100.0, 50.0
+    _, f, t, *_ = best_split(hist)
+    # exhaustive check against full-precision argmax
+    best_fp, at = None, None
+    for tt in range(GBT_BINS - 1):
+        g_l = hist[0, : tt + 1, 0].sum()
+        h_l = hist[0, : tt + 1, 1].sum()
+        g_r = hist[0, :, 0].sum() - g_l
+        h_r = hist[0, :, 1].sum() - h_l
+        if h_l <= 0 or h_r <= 0:
+            continue
+        gain = g_l**2 / (h_l + 1.0) + g_r**2 / (h_r + 1.0)
+        if best_fp is None or gain > best_fp * (1 + 1e-7):
+            best_fp, at = gain, tt
+    assert t == at
