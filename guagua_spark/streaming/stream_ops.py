@@ -840,6 +840,33 @@ def streaming_audience_registers(
     )
 
 
+def streaming_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Bloom semi-join's build side
+    (functions/sketch.bloom_bits over events_bloom_semijoin's buyer
+    keys): bit-set membership is MONOTONE — a set bit never unsets —
+    so a plain complete-mode groupBy over the K exploded bit positions
+    maintains the filter incrementally, one row per SET BIT, bounded
+    at BLOOM_M rows whatever the key volume. The live use is the same
+    semi-join reduction as batch: drain (or snapshot) the bit rows,
+    collect the ≤4096 ints, prune the big side map-side with
+    bloom_keep_col. ``n_hits`` (how many key-hash arrivals set each
+    bit) is incidental stream telemetry — the SET of bits is the
+    certificate-equal state, identical to the batch build whether or
+    not the key stream is deduplicated first (the batch path's
+    DISTINCT buyers is an optimization, not a semantic: duplicate
+    keys set the same bits)."""
+    from guagua_spark.functions.sketch import bloom_bit_cols
+
+    ev = _events_stream(spark, sf_dir)
+    uid = F.col("user_id").cast("string")
+    return (
+        ev.filter((F.col("event_type") == "purchase") & uid.isNotNull())
+        .select(F.explode(F.array(*bloom_bit_cols(uid))).alias("bit"))
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def streaming_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the BPE trainer's first-superstep statistic
     (operators/tokenizer.py): corpus-wide adjacent symbol-pair counts

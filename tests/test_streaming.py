@@ -483,3 +483,28 @@ def test_streaming_bpe_pair_counts_match_oracle_round0(spark, sf_dir):
     }
     con.close()
     assert got == want and len(got) > 10
+
+
+def test_streaming_bloom_bits_match_batch(spark, sf_dir):
+    """The streamed bloom bit SET must equal the batch build exactly
+    (bit membership is monotone and order-insensitive; the batch
+    path's DISTINCT buyers is an optimization, not a semantic —
+    duplicate keys set the same bits), so a live semi-join reduction
+    from the drained rows prunes identically to batch."""
+    from guagua_spark.functions.sketch import BLOOM_M, bloom_bits
+    from guagua_spark.streaming import streaming_bloom_bits
+
+    got = run_available_now(
+        streaming_bloom_bits(spark, sf_dir), "s_blm", "complete"
+    )
+    buyers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    want = bloom_bits(buyers, "k")
+    assert _rows(got, "bit") == _rows(want, "bit")
+    assert got.count() <= BLOOM_M  # bounded BY CONSTRUCTION
+    # n_hits telemetry: every set bit was set at least once
+    assert got.filter(F.col("n_hits") < 1).count() == 0
