@@ -245,3 +245,71 @@ def test_join_size_cm_zero_on_disjoint_keys(spark):
         cm_counters(a, "k"), cm_counters(b, "k")
     ).first()["est_join"]
     assert est == 0
+
+
+def test_retention_planted_window_and_dedup_semantics(spark, tmp_path):
+    """Planted-semantics pin for the round-12 shape change (window
+    filter BEFORE the distinct, cohorts straight off the stream): a
+    user with MANY duplicate events per day still counts once per
+    cell, activity past the window contributes nothing, and the
+    cohort day is the true minimum even when it arrives last in the
+    file. A regression to distinct-then-filter OR a lost distinct
+    (duplicates double-counted) both flip these assertions."""
+    import datetime
+
+    from guagua_spark.operators.events import (
+        RETENTION_MAX_DAYS,
+        events_retention,
+    )
+
+    day0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, day, typ="click"):
+        return (
+            eid,
+            day0 + datetime.timedelta(days=day, minutes=eid % 7),
+            uid,
+            typ,
+            float(eid % 5),
+            "{}",
+        )
+
+    rows = []
+    eid = 0
+    # user 1: five duplicate events on day 0 and day 2, plus day 9 and
+    # day 30 activity (both beyond the 7-day window)
+    for day in (0, 0, 0, 0, 0, 2, 2, 2, 2, 2, 9, 30):
+        eid += 1
+        rows.append(ev(eid, 1, day))
+    # user 2: same cohort, active day 0 and day 7 (the boundary: IN)
+    for day in (0, 7):
+        eid += 1
+        rows.append(ev(eid, 2, day))
+    # user 3: later cohort day 2, active day 2 only; its cohort MIN
+    # arrives as the LAST file row (order must not matter)
+    eid += 1
+    rows.append(ev(eid, 3, 5))
+    eid += 1
+    rows.append(ev(eid, 3, 2))
+    # one purchase so the blm_* certificate build has a buyer
+    eid += 1
+    rows.append(ev(eid, 1, 0, typ="purchase"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(sf + "/events.parquet")
+    got = {
+        (r["cohort_day"].date().isoformat(), r["day_offset"]): r["n_users"]
+        for r in events_retention(spark, sf).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1+2 once each, duplicates folded
+        ("2024-01-01", 2): 1,  # user 1 once despite 5 duplicate events
+        ("2024-01-01", 7): 1,  # user 2: boundary day IS in the window
+        ("2024-01-03", 0): 1,  # user 3: min-day cohort, file order moot
+        ("2024-01-03", 3): 1,  # user 3 active day 5 = offset 3
+    }
+    assert RETENTION_MAX_DAYS == 7  # the boundary the test plants against
