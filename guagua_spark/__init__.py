@@ -49,6 +49,7 @@ def clear_all_caches() -> None:
         "operators.iterative",
         "operators.certmemo",
         "operators.inference",
+        "operators.graph",
     ):
         importlib.import_module(f"guagua_spark.{mod}").clear_caches()
 

@@ -801,13 +801,24 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     No false negatives ⇒ the rollup EQUALS the plain semi join (the
     oracle and tests assert exactly that); ``blm_bits``/``blm_pass``
     bind the bit set and the pruning predicate bit-for-bit."""
+    from pyspark.sql.window import Window
+
     from guagua_spark.functions.sketch import bloom_bits, bloom_keep_col
 
-    ev = load_table(spark, sf_dir, "events")
+    # key columns only: every decision below needs (event_type,
+    # user_id) — projecting here keeps the props payload out of both
+    # passes (guide: project before opaque/wide operations)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    # persist the distinct buyer set: it feeds BOTH the bit-set build
+    # (driver collect) and the exact join below — unpersisted, each
+    # consumer re-ran the full scan + distinct (2 extra corpus passes)
     buyers = (
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("buyer_id"))
         .distinct()
+        .persist()
     )
     bits = frozenset(
         r.bit
@@ -818,23 +829,49 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = ev.filter(
         bloom_keep_col(F.col("user_id").cast("string"), bits)
     )
-    n_pass = pruned.count()  # bounded scalar, binds the predicate
-    return (
+    # ONE pass computes the rollup AND the pass count: the old shape
+    # ran a separate pruned.count() job (a third corpus scan) and an
+    # exact LEFT SEMI join; a LEFT join against the DISTINCT buyer set
+    # adds at most one match per row, so counting matches == counting
+    # semi-join survivors, and Σ per-type pruned rows == the map-side
+    # pass count. Types whose pruned rows are all bloom false
+    # positives are filtered (the semi join never produced them).
+    g = (
         pruned.join(
-            buyers, pruned["user_id"] == buyers["buyer_id"], "left_semi"
+            buyers, pruned["user_id"] == buyers["buyer_id"], "left"
         )
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").cast("bigint").alias("n_buyers"),
+            F.count(F.lit(1)).alias("_pass"),
+            F.count("buyer_id").alias("n_events"),
+            F.count_distinct(
+                F.when(F.col("buyer_id").isNotNull(), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_buyers"),
         )
+    )
+    out = (
+        # Σ _pass over the ≤|event-type-domain| grouped rows — a
+        # single-partition window over a domain-bounded relation
+        g.withColumn(
+            "blm_pass",
+            F.sum("_pass").over(Window.partitionBy()).cast("bigint"),
+        )
+        .filter(F.col("n_events") > 0)
         .select(
-            "*",
+            "event_type",
+            "n_events",
+            "n_buyers",
             F.lit(len(bits)).cast("bigint").alias("blm_bits"),
-            F.lit(n_pass).cast("bigint").alias("blm_pass"),
+            "blm_pass",
         )
         .orderBy("event_type")
+        .localCheckpoint(eager=True)  # ≤|types| rows — materialize so
+        # the buyer cache can be released before returning
     )
+    buyers.unpersist()
+    return out
 
 
 def bloom_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,10 +123,46 @@ def pagerank(
     return ranks
 
 
+#: session-scoped persisted trade-edge relations, keyed by sf_dir →
+#: (fingerprint, DataFrame) — the _FEATURE_CACHE pattern from
+#: operators/iterative.py: FOUR consumers build this identical graph
+#: per session (graph_pagerank, graph_bfs_depth, and the pr_*/bfs_*
+#: certificate builds that both ride q4), and the join+distinct is by
+#: far their dominant cost. Build cost self-reports as
+#: ``_index:trade_edges`` in the bench cold lane; stale fingerprints
+#: unpersist on replace; clear_caches() drops everything.
+_EDGE_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    for _, df in _EDGE_CACHE.values():
+        df.unpersist()
+    _EDGE_CACHE.clear()
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric customer↔supplier trade graph: an edge per DISTINCT
     purchase link (orders ⋈ lineitem), both directions, node ids
-    prefixed 'c'/'s' so the two key spaces can't collide."""
+    prefixed 'c'/'s' so the two key spaces can't collide.
+
+    The distinct runs on the INTEGER key pair and the string node ids
+    are built after it (and after the union): the wide exchange
+    carries 2 ints/row instead of 2 strings, and the concat runs once
+    per surviving edge instead of once per corpus row (guide: shuffle
+    fewer bytes / project cheap expressions after the exchange)."""
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _EDGE_CACHE.get(sf_dir)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        hit[1].unpersist()
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = _time.monotonic()
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -135,13 +171,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    return pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+    )
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    edges.count()
+    record_index_build("trade_edges", _time.monotonic() - t0)
+    _EDGE_CACHE[sf_dir] = (fp, edges)
+    return edges
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,11 +547,18 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
     try:
         seed.count()
         for d in range(1, max_depth + 1):
+            # anti-join BEFORE distinct: the visited prune is a
+            # broadcast (map-side) join of key-only layers, so running
+            # it first means the distinct's exchange carries only the
+            # NEWLY discovered nodes — in the dense middle rounds of a
+            # near-connected graph that is a tiny fraction of the raw
+            # candidate multiset (same set either way: left_anti keeps
+            # every non-matching row, distinct collapses after).
             nxt = (
                 frontier.join(edges, frontier["node"] == edges[src_col])
                 .select(F.col(dst_col).alias("node"))
-                .distinct()
                 .join(visited, "node", "left_anti")
+                .distinct()
                 .withColumn("depth", F.lit(d))
                 .persist()
             )
@@ -528,16 +578,13 @@ def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query entry: BFS hop distances on the symmetric trade graph from
     the lexicographically-smallest customer node — (node, depth) for
     every node within BFS_MAX_DEPTH hops."""
-    edges = _trade_edges(spark, sf_dir).persist()
-    try:
-        source = edges.agg(
-            F.min(
-                F.when(F.col("a").startswith("c"), F.col("a"))
-            ).alias("src")
-        ).first()["src"]
-        return bfs_depths(edges, source, BFS_MAX_DEPTH)
-    finally:
-        edges.unpersist()
+    edges = _trade_edges(spark, sf_dir)  # session-persisted shared build
+    source = edges.agg(
+        F.min(
+            F.when(F.col("a").startswith("c"), F.col("a"))
+        ).alias("src")
+    ).first()["src"]
+    return bfs_depths(edges, source, BFS_MAX_DEPTH)
 
 
 def _bfs_oracle() -> str:

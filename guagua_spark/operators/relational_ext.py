@@ -373,10 +373,17 @@ def rx_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILE_PROBES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
 
+#: coarse-bucket width for the cumulative-rank decomposition below —
+#: prices are domain-bounded (TPC-H extendedprice ∈ ~[900, 105000]), so
+#: ~100 buckets per flag whatever the corpus size; the width only
+#: affects parallelism, never values (ranks are integer sums).
+PCT_BUCKET_WIDTH = 1000.0
+
 
 def rx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (p25/p50/p90) of extended price per return
-    flag, computed WITHOUT per-group value buffering.
+    flag, computed WITHOUT per-group value buffering AND without any
+    whole-group sort.
 
     Spark's ``percentile`` aggregate collects every value of a group
     into an in-memory map — with 3 return-flag groups each holding ~⅓
@@ -384,36 +391,70 @@ def rx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. pre-aggregates to (flag, price) → count — map-side partial
        combine collapses duplicate prices before any wide exchange;
-    2. one exchange on flag + disk-spilling sort of the *distinct*
-       prices; cumulative counts via a running-sum window give each
-       value its 0-based rank range [lo, hi];
+    2. decomposes the cumulative rank the ``bucketed_running_sum`` way
+       (functions/scale.py — round-12 verdict #2): per-(flag, coarse
+       price bucket) count totals (the bucket relation is domain-
+       bounded: ~100 buckets/flag at ANY corpus size), a per-flag
+       running OFFSET over that tiny relation, a broadcast join-back,
+       and a within-bucket running sum whose window partitions by
+       (flag, bucket) — so no task ever sorts a whole flag's distinct
+       prices. The old form's ``Window.partitionBy(flag)`` funneled
+       each flag's full distinct-price table through ONE sort task (3
+       effective partitions at every scale); here each sort unit is
+       one bucket of one flag. Ranks are INTEGER sums — decomposition
+       reorders integer addition only, so [lo, hi) and n are
+       bit-identical to the single-window form (delta-swept);
     3. picks the two bracketing values per probe with conditional
        max() and interpolates with the same weighted form both Spark's
        Percentile and DuckDB's quantile_cont use —
        ``(crn−rn)·v_lo + (rn−frn)·v_hi`` at rn=(n−1)·p — so results
        stay bit-identical cross-engine.
 
-    Worst case degrades to a disk-backed sort of distinct values per
-    flag (ExternalSorter spills), never an in-memory group buffer.
-    The final groupBy(flag) reuses the window's hash partitioning —
-    no third exchange. At extreme scale percentile_approx (t-digest,
-    mergeable map-side) remains the cheaper path; rx_approx_distinct
-    shows that certified-sketch pattern.
+    Worst case degrades to a disk-backed PARALLEL sort of each
+    bucket's distinct values, never an in-memory group buffer and
+    never a serial per-flag sort. At extreme scale percentile_approx
+    (t-digest, mergeable map-side) remains the cheaper path;
+    rx_approx_distinct shows that certified-sketch pattern.
     """
     li = load_table(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w_cum = (
+    # monotone-in-price coarse bucket; NULL prices (none in TPC-H, but
+    # the rule must not silently drop them) get the smallest bucket so
+    # the (bucket, price NULLS FIRST) order equals the old global
+    # NULLS-FIRST order
+    bkt = F.coalesce(
+        F.floor(F.col("l_extendedprice") / F.lit(PCT_BUCKET_WIDTH)).cast(
+            "long"
+        ),
+        F.lit(-(2**62)),
+    )
+    bcounts = counts.withColumn("bkt", bkt)
+    btot = bcounts.groupBy("l_returnflag", "bkt").agg(
+        F.sum("c").alias("bc")
+    )
+    w_off = (
         Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    offs = btot.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bc").over(w_tot).alias("n"),
+    )
+    w_in = (
+        Window.partitionBy("l_returnflag", "bkt")
+        .orderBy(F.col("l_extendedprice").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("l_returnflag")
     ranked = (
-        counts.withColumn("hi", F.sum("c").over(w_cum))
+        bcounts.join(F.broadcast(offs), ["l_returnflag", "bkt"])
+        .withColumn("hi", F.col("off") + F.sum("c").over(w_in))
         .withColumn("lo", F.col("hi") - F.col("c"))  # 0-based first rank
-        .withColumn("n", F.sum("c").over(w_all))
     )
     # per probe: bracketing ranks frn=floor((n-1)p), crn=ceil((n-1)p);
     # a value covers 0-based ranks [lo, hi-1]
