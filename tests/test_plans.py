@@ -151,20 +151,30 @@ def test_boilerplate_ngrams_partial_agg_and_topk(spark, oracle_sf_dir):
 def test_percentiles_no_group_value_buffering(spark, oracle_sf_dir):
     """Exact percentiles must NOT plan Spark's `percentile` sort
     aggregate — it buffers every value of a group in memory (OOM at
-    scale with 3 giant flag groups). The scale-safe form is a
-    compressed (flag, price)->count histogram + running-sum window +
-    interpolation; also assert the window's flag exchange is reused by
-    the final aggregate (no third exchange)."""
+    scale with 3 giant flag groups) — and (round 13) must NOT sort a
+    whole flag's distinct prices in one window task either: the
+    cumulative rank is bucket-decomposed, so every Window/Sort over
+    the distinct-price relation partitions by (flag, BUCKET), the
+    per-flag windows run only over the domain-bounded bucket-total
+    relation, and the offsets attach via BROADCAST (the big relation
+    is never re-exchanged for the join)."""
     from guagua_spark.operators.relational_ext import rx_percentiles
 
     df = rx_percentiles(spark, oracle_sf_dir)
     p = _plan(df)
     assert "percentile(" not in p, p
-    assert p.count("Window") == 2, p
-    # exchanges: (flag, price) for the histogram, (flag) for the
-    # window, range for the final orderBy — never a 4th
-    assert p.count("Exchange") <= 3, p
-    assert p.count("HashAggregate") >= 3, p  # both aggs partial+final
+    # the rank-bearing window must partition by (flag, bkt) — a window
+    # spec over bare l_returnflag ordered BY PRICE would be the serial
+    # per-flag sort coming back
+    assert "windowspecdefinition(l_returnflag" in p, p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line and "l_extendedprice" in line:
+            assert "bkt" in line, line
+    # offsets ride a broadcast: the distinct-price relation is
+    # exchanged exactly twice (histogram agg + in-bucket window), never
+    # for the offset join
+    assert "BroadcastExchange" in p, p
+    assert p.count("HashAggregate") >= 3, p  # aggs stay partial+final
 
 
 def test_doc_chunks_map_side_only(spark, oracle_sf_dir):
@@ -363,12 +373,24 @@ def test_dedup_spans_windows_partition_by_doc(spark, oracle_sf_dir):
     two-phase partial-agg + join-back — a partial_count HashAggregate
     on the shingle hash and NO window partitioned by h (a window's
     exchange cannot be AQE-skew-split, so a boilerplate shingle would
-    funnel into one task). Scan must read only (doc_id, text)."""
-    from guagua_spark.operators.dedup import dedup_spans
+    funnel into one task). Scan must read only (doc_id, text).
 
-    df = dedup_spans(spark, oracle_sf_dir)
+    Round 13: the default path eagerly checkpoints the rollup (its
+    executed plan collapses to an ExistingRDD scan), so inspect the
+    LAZY form and release its pinned shingle cache after."""
+    from guagua_spark.operators.dedup import dedup_spans_df
+    from guagua_spark.sources.tables import load_table
+
+    df = dedup_spans_df(
+        load_table(spark, oracle_sf_dir, "documents").select(
+            "doc_id", "text"
+        ),
+        materialize=False,
+    )
     df.collect()
     p = _final(_plan(df))
+    for rel in df._pinned_relations:
+        rel.unpersist()
     assert "Exchange SinglePartition" not in p, p
     wins = re.findall(r"Window \[[^\n]*", p)
     assert wins, p
