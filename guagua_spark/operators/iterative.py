@@ -680,6 +680,12 @@ FROM it WHERE it = {rounds}
 #: update rules stay unit-tested (tests/test_nn.py) and engine-run
 #: locally (test_nn_train_rows).
 ALS_ITERATIONS = 6
+#: rating rows per ALS worker — sizes the co-location repartition from
+#: the corpus row count instead of the core count (see als_train). At
+#: ~24 B/row this is ~50 MB of dense triples per task; the per-task
+#: catalog-sized partial (n_items·k² doubles) stays the same whatever
+#: this is, so fewer-but-fuller workers strictly cut superstep freight.
+ALS_ROWS_PER_WORKER = 2_000_000
 
 
 def als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +714,22 @@ def als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     n_items = int(part.agg(F.max("p_partkey")).first()[0]) + 1
 
+    # Partition count is sized by the DATA, not the core count: every
+    # worker's per-superstep partial is CATALOG-sized (n_items·k² —
+    # ~3.4 MB here) regardless of how few rating rows it holds, so
+    # core-count partitions made the superstep freight
+    # slots × catalog while each task solved a sliver of users.
+    # ceil(rows / ALS_ROWS_PER_WORKER) keeps per-task row work bounded
+    # as the corpus grows (the engine tree-combines partials
+    # executor-side past 32 partitions, so freight merges before the
+    # driver) and collapses to a handful of workers when the corpus is
+    # small. Measured at sf0.1/local[32]: 32 parts 15–24 s → 4 parts
+    # 6–7 s per run, rmse/movement identical to 9 dp (rating rows =
+    # lineitem rows: the order FK always matches, so the footer-only
+    # lineitem count sizes it without building the join).
+    rows = load_table(spark, sf_dir, "lineitem").count()
+    n_parts = max(4, -(-rows // ALS_ROWS_PER_WORKER))
+
     ratings = _cached_persisted(
         "als",
         sf_dir,
@@ -724,7 +746,7 @@ def als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("long").alias("item"),
             F.col("l_quantity").cast("double").alias("rating"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "user"),
+        .repartition(n_parts, "user"),
     )
     engine = IterativeEngine(spark)
     model = engine.run(
