@@ -47,6 +47,7 @@ def pagerank(
     iterations: int = PR_ITERATIONS,
     checkpoint_every: int = 5,
     _return_lazy: bool = False,
+    _prebuilt: tuple | None = None,
 ) -> DataFrame:
     """Synchronous PageRank over a directed edge list (src, dst).
 
@@ -55,31 +56,44 @@ def pagerank(
     dangling nodes (out-degree 0) keep their base-rank term but leak
     their mass — standard for the plain formulation; feed symmetric
     edges (both directions) if the graph should conserve mass, as
-    graph_pagerank below does."""
+    graph_pagerank below does.
+
+    ``_prebuilt=(nodes, w, n)`` hands in already-persisted node /
+    weighted-edge relations (the session memo ``_graph_relations``
+    builds for the static trade graph — round 13: the cert build and
+    the LOCAL entry each rebuilt them per invocation, ~4.5 s of
+    repeated distinct+join at sf0.1). Ownership rule: prebuilt
+    relations belong to their cache and are NOT unpersisted here."""
     src, dst = edges.columns[0], edges.columns[1]
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .persist()
-    )
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    w = (
-        edges.join(outdeg, src)
-        .select(
-            F.col(src).alias("__src"),
-            F.col(dst).alias("__dst"),
-            (F.lit(1.0) / F.col("__deg")).alias("__wt"),
+    owns_relations = _prebuilt is None
+    if _prebuilt is not None:
+        nodes, w, n = _prebuilt
+    else:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .persist()
         )
-        .persist()
-    )
-    w.count()  # materialize NOW — every superstep reads the cache, not
-    # the edge scan + out-degree join (an unforced persist caches
-    # nothing until the first action, which here would be the CALLER's)
-    n = nodes.count()
+        outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+        w = (
+            edges.join(outdeg, src)
+            .select(
+                F.col(src).alias("__src"),
+                F.col(dst).alias("__dst"),
+                (F.lit(1.0) / F.col("__deg")).alias("__wt"),
+            )
+            .persist()
+        )
+        w.count()  # materialize NOW — every superstep reads the cache,
+        # not the edge scan + out-degree join (an unforced persist
+        # caches nothing until the first action, which here would be
+        # the CALLER's)
+        n = nodes.count()
     if n == 0:
-        nodes.unpersist()
-        w.unpersist()
+        if owns_relations:
+            nodes.unpersist()
+            w.unpersist()
         return edges.sparkSession.createDataFrame(
             [], "node string, rank double"
         )
@@ -111,15 +125,17 @@ def pagerank(
     if _return_lazy:
         # plan-inspection hook (tests/test_plans.py): return the raw
         # superstep plan; the edge/node caches stay pinned — callers of
-        # this mode own their release via the attached handles
-        ranks._pinned_relations = (nodes, w)
+        # this mode own their release via the attached handles (empty
+        # when a session memo owns the relations)
+        ranks._pinned_relations = (nodes, w) if owns_relations else ()
         return ranks
     # materialize the final vector (node-sized) so the caches can be
     # dropped before returning — the returned frame carries no lineage
     # into the unpersisted relations
     ranks = ranks.localCheckpoint(eager=True)
-    nodes.unpersist()
-    w.unpersist()
+    if owns_relations:
+        nodes.unpersist()
+        w.unpersist()
     return ranks
 
 
@@ -133,11 +149,27 @@ def pagerank(
 #: unpersist on replace; clear_caches() drops everything.
 _EDGE_CACHE: dict = {}
 
+#: session memos of the trade graph's derived relations — sf_dir →
+#: (fingerprint, nodes DF, node count) and sf_dir → (fingerprint,
+#: weighted-edge DF). Four consumers per session (LOCAL pagerank/BFS +
+#: their cert builds) each rebuilt the node distinct (and pagerank the
+#: out-degree join) per invocation before round 13; build costs
+#: self-report as ``_index:graph_nodes`` / ``_index:pr_weights``. BFS
+#: touches only the node memo — it never pays for pagerank's weights.
+_NODE_CACHE: dict = {}
+_WEIGHT_CACHE: dict = {}
+
 
 def clear_caches() -> None:
     for _, df in _EDGE_CACHE.values():
         df.unpersist()
     _EDGE_CACHE.clear()
+    for _, nodes, _n in _NODE_CACHE.values():
+        nodes.unpersist()
+    _NODE_CACHE.clear()
+    for _, w in _WEIGHT_CACHE.values():
+        w.unpersist()
+    _WEIGHT_CACHE.clear()
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,10 +219,87 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def _graph_nodes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(nodes, node count) of the symmetric trade graph,
+    session-memoized and persisted — the pagerank node derivation
+    verbatim (union of both endpoint columns, distinct), built ONCE
+    per (sf_dir, lineitem fingerprint) instead of once per
+    pagerank/BFS invocation. An index of a static corpus, the
+    `_trade_edges` contract: never precomputed across runs; a fresh
+    process pays the build in its cold lane (``_index:graph_nodes``)."""
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _NODE_CACHE.get(sf_dir)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1], hit[2]
+        hit[1].unpersist()
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    edges = _trade_edges(spark, sf_dir)
+    t0 = _time.monotonic()
+    src, dst = edges.columns[0], edges.columns[1]
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    record_index_build("graph_nodes", _time.monotonic() - t0)
+    _NODE_CACHE[sf_dir] = (fp, nodes, n)
+    return nodes, n
+
+
+def _pr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pagerank weighted-edge relation (1/outdeg per directed
+    edge), session-memoized and persisted — same contract and
+    derivation as before, shared by the LOCAL pagerank entry and the
+    pr_* certificate build (``_index:pr_weights``)."""
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _WEIGHT_CACHE.get(sf_dir)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        hit[1].unpersist()
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    edges = _trade_edges(spark, sf_dir)
+    t0 = _time.monotonic()
+    src, dst = edges.columns[0], edges.columns[1]
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    w = (
+        edges.join(outdeg, src)
+        .select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            (F.lit(1.0) / F.col("__deg")).alias("__wt"),
+        )
+        .persist()
+    )
+    w.count()
+    record_index_build("pr_weights", _time.monotonic() - t0)
+    _WEIGHT_CACHE[sf_dir] = (fp, w)
+    return w
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query entry: PR_ITERATIONS rounds of PageRank on the symmetric
     trade graph — (node, rank) for every node."""
-    return pagerank(_trade_edges(spark, sf_dir)).select("node", "rank")
+    nodes, n = _graph_nodes(spark, sf_dir)
+    w = _pr_weights(spark, sf_dir)
+    return pagerank(
+        _trade_edges(spark, sf_dir), _prebuilt=(nodes, w, n)
+    ).select("node", "rank")
 
 
 def _pagerank_oracle() -> str:
@@ -518,7 +627,12 @@ LOCAL_ORACLE_SQL = {
 BFS_MAX_DEPTH = 6
 
 
-def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
+def bfs_depths(
+    edges: DataFrame,
+    source: str,
+    max_depth: int,
+    n_nodes: int | None = None,
+) -> DataFrame:
     """Minimum hop distance from ``source`` over a directed edge list
     ``(a, b)`` — Pregel BFS collapsed to the Spark-idiomatic loop
     (SURVEY.md §2.3 note: the superstep IS a join + distinct): each
@@ -535,7 +649,16 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
     collect). The result is ``localCheckpoint``-ed before every layer
     is unpersisted: the caller gets materialized, lineage-free data
     whose executor blocks the ContextCleaner reclaims on GC — nothing
-    stays pinned in the cache for the session's lifetime."""
+    stays pinned in the cache for the session's lifetime.
+
+    ``n_nodes`` (optional): the graph's total node count, when the
+    caller already owns it (the session-memoized ``_graph_relations``).
+    Once the cumulative visited count reaches it no undiscovered node
+    exists, so the loop stops WITHOUT running the final empty round —
+    the round that exists only to observe an empty frontier (round 13:
+    ~1–3 s per invocation at sf0.1, twice per bench session). Result
+    is identical by construction: the skipped round could only ever
+    return 0 new nodes."""
     spark = edges.sparkSession
     src_col, dst_col = edges.columns[0], edges.columns[1]
     seed = spark.createDataFrame(
@@ -544,9 +667,12 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
     layers = [seed]  # per-depth (node, depth) layers, each persisted
     visited = seed
     frontier = seed.select("node")
+    n_visited = 1
     try:
         seed.count()
         for d in range(1, max_depth + 1):
+            if n_nodes is not None and n_visited >= n_nodes:
+                break
             # anti-join BEFORE distinct: the visited prune is a
             # broadcast (map-side) join of key-only layers, so running
             # it first means the distinct's exchange carries only the
@@ -562,9 +688,11 @@ def bfs_depths(edges: DataFrame, source: str, max_depth: int) -> DataFrame:
                 .withColumn("depth", F.lit(d))
                 .persist()
             )
-            if nxt.count() == 0:  # the round's ONLY action
+            c = nxt.count()  # the round's ONLY action
+            if c == 0:
                 nxt.unpersist()
                 break
+            n_visited += c
             layers.append(nxt)
             visited = visited.union(nxt)
             frontier = nxt.select("node")
@@ -579,12 +707,13 @@ def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lexicographically-smallest customer node — (node, depth) for
     every node within BFS_MAX_DEPTH hops."""
     edges = _trade_edges(spark, sf_dir)  # session-persisted shared build
+    _nodes, n = _graph_nodes(spark, sf_dir)
     source = edges.agg(
         F.min(
             F.when(F.col("a").startswith("c"), F.col("a"))
         ).alias("src")
     ).first()["src"]
-    return bfs_depths(edges, source, BFS_MAX_DEPTH)
+    return bfs_depths(edges, source, BFS_MAX_DEPTH, n_nodes=n)
 
 
 def _bfs_oracle() -> str:
