@@ -51,6 +51,7 @@ def clear_all_caches() -> None:
         "operators.inference",
         "operators.graph",
         "operators.features",
+        "operators.events",
     ):
         importlib.import_module(f"guagua_spark.{mod}").clear_caches()
 

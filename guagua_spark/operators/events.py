@@ -792,28 +792,43 @@ LOCAL_ORACLE_SQL = {
 }
 
 
-def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type rollup of purchasers' events, computed through a BLOOM
-    semi-join reduction: the purchase-side user ids build a ≤4096-int
-    bit set (functions/sketch.bloom_bits) applied MAP-SIDE to the big
-    event stream before the exact semi join — the engine-portable,
-    SQL-certifiable analogue of Spark's runtime bloom-join filters.
-    No false negatives ⇒ the rollup EQUALS the plain semi join (the
-    oracle and tests assert exactly that); ``blm_bits``/``blm_pass``
-    bind the bit set and the pruning predicate bit-for-bit."""
-    from pyspark.sql.window import Window
+#: session memo of the distinct-buyer relation + its Bloom bit set —
+#: sf_dir → (events fingerprint, buyers DF, bits frozenset). Two
+#: consumers per session (the LOCAL entry + the blm_* cert build
+#: riding events_retention) each re-ran the buyer distinct AND the
+#: driver bit-set collect before round 13; both are indexes of the
+#: static purchase side (the `_trade_edges` contract — never
+#: precomputed across runs, a fresh process pays the build in its
+#: cold lane as ``_index:bloom_buyers``). The event-stream scan + the
+#: rollup join below stay per-invocation work.
+_BLOOM_CACHE: dict = {}
 
-    from guagua_spark.functions.sketch import bloom_bits, bloom_keep_col
 
-    # key columns only: every decision below needs (event_type,
-    # user_id) — projecting here keeps the props payload out of both
-    # passes (guide: project before opaque/wide operations)
+def clear_caches() -> None:
+    """Unpersist and drop the buyer/bit-set memo (data-regen hook)."""
+    for _, buyers, _bits in _BLOOM_CACHE.values():
+        buyers.unpersist()
+    _BLOOM_CACHE.clear()
+
+
+def _bloom_buyers(spark: SparkSession, sf_dir: str):
+    from guagua_spark.functions.sketch import bloom_bits
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "events")
+    hit = _BLOOM_CACHE.get(sf_dir)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1], hit[2]
+        hit[1].unpersist()
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = _time.monotonic()
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
     )
-    # persist the distinct buyer set: it feeds BOTH the bit-set build
-    # (driver collect) and the exact join below — unpersisted, each
-    # consumer re-ran the full scan + distinct (2 extra corpus passes)
     buyers = (
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("buyer_id"))
@@ -826,6 +841,35 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             buyers.select(F.col("buyer_id").cast("string").alias("k")), "k"
         ).collect()
     )  # bounded driver fetch: ≤ BLOOM_M ints
+    record_index_build("bloom_buyers", _time.monotonic() - t0)
+    _BLOOM_CACHE[sf_dir] = (fp, buyers, bits)
+    return buyers, bits
+
+
+def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup of purchasers' events, computed through a BLOOM
+    semi-join reduction: the purchase-side user ids build a ≤4096-int
+    bit set (functions/sketch.bloom_bits) applied MAP-SIDE to the big
+    event stream before the exact semi join — the engine-portable,
+    SQL-certifiable analogue of Spark's runtime bloom-join filters.
+    No false negatives ⇒ the rollup EQUALS the plain semi join (the
+    oracle and tests assert exactly that); ``blm_bits``/``blm_pass``
+    bind the bit set and the pruning predicate bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from guagua_spark.functions.sketch import bloom_keep_col
+
+    # key columns only: every decision below needs (event_type,
+    # user_id) — projecting here keeps the props payload out of both
+    # passes (guide: project before opaque/wide operations)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    # the distinct buyer set + its bit set come from the session memo
+    # (`_bloom_buyers`): the persisted relation feeds BOTH the bit-set
+    # build (driver collect, paid once per corpus fingerprint) and the
+    # exact join below
+    buyers, bits = _bloom_buyers(spark, sf_dir)
     pruned = ev.filter(
         bloom_keep_col(F.col("user_id").cast("string"), bits)
     )
@@ -867,10 +911,10 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blm_pass",
         )
         .orderBy("event_type")
-        .localCheckpoint(eager=True)  # ≤|types| rows — materialize so
-        # the buyer cache can be released before returning
+        .localCheckpoint(eager=True)  # ≤|types| rows — materialize
+        # eagerly (the buyer relation now belongs to the session memo,
+        # which owns its release)
     )
-    buyers.unpersist()
     return out
 
 

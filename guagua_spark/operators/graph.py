@@ -170,6 +170,9 @@ def clear_caches() -> None:
     for _, w in _WEIGHT_CACHE.values():
         w.unpersist()
     _WEIGHT_CACHE.clear()
+    for _, df in _AFF_CACHE.values():
+        df.unpersist()
+    _AFF_CACHE.clear()
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +468,36 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+#: session memo of the TRI_EDGES-row affinity edge list — sf_dir →
+#: (fingerprint, DataFrame). Two consumers per session (LOCAL
+#: graph_triangles + the tri_* cert build riding q5) each re-ran the
+#: corpus-sized pair join + top-m prune before round 13; the kept
+#: relation is ≤ TRI_EDGES rows whatever the corpus. Build cost
+#: self-reports as ``_index:affinity_edges``.
+_AFF_CACHE: dict = {}
+
+
+def _affinity_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guagua_spark.sources.tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "lineitem")
+    hit = _AFF_CACHE.get(sf_dir)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        hit[1].unpersist()
+    import time as _time
+
+    from guagua_spark.metrics import record_index_build
+
+    t0 = _time.monotonic()
+    edges = supplier_affinity_edges(spark, sf_dir).persist()
+    edges.count()
+    record_index_build("affinity_edges", _time.monotonic() - t0)
+    _AFF_CACHE[sf_dir] = (fp, edges)
+    return edges
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query entry: the TRI_TOPK most triangle-embedded suppliers of
     the top-TRI_EDGES affinity graph — (s_suppkey, n_tri, tri_total),
@@ -481,12 +514,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a CartesianProduct — the round-10 retention-certificate lesson).
     The ≤ TRI_TOPK-row result is materialized eagerly so both interim
     caches unpersist before return — the pagerank discipline (repeated
-    invocations must not accumulate block-manager entries)."""
-    edges = supplier_affinity_edges(spark, sf_dir).persist()
+    invocations must not accumulate block-manager entries). The edge
+    list itself is the session-memoized ``_affinity_edges_cached``
+    relation (≤ TRI_EDGES rows, owned by its cache, not unpersisted
+    here)."""
+    edges = _affinity_edges_cached(spark, sf_dir)
     cnt = triangle_counts(edges).persist()
     out = _triangles_result_plan(cnt).localCheckpoint(eager=True)
     cnt.unpersist()
-    edges.unpersist()
     return out
 
 
