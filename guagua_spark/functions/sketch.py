@@ -363,6 +363,42 @@ def cm_counters(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def cm_counters_weighted(
+    per_value: DataFrame, col: str, weight_col: str
+) -> DataFrame:
+    """(j, bucket, n) Count-Min counters from a PRE-AGGREGATED
+    (value, count) relation — the round-13 qcm construction applied to
+    the flat sketch: the CM_DEPTH md5 fan runs once per DISTINCT value
+    with SUM(weight) totals, instead of once per occurrence. Counters
+    are bit-identical to :func:`cm_counters` over the raw stream
+    (bucket_j(v) is a pure function of v; integer SUM is associative —
+    suite-asserted). Worth it only when occurrences ≫ distinct values:
+    at sf0.1 the token stream measured 1.9 s → 0.5 s, while the
+    events user_id stream (small occurrence/distinct ratio) measured
+    0.27 s → 0.40 s, so :func:`cm_counters` remains the right form
+    for such callers and both stay available."""
+    v = F.col(col).cast("string")
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cm_bucket_col(j, v).alias("bucket"),
+                )
+                for j in range(CM_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        per_value.filter(v.isNotNull())
+        .select(fan, F.col(weight_col).alias("_w"))
+        .groupBy(
+            F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
 def cm_estimates(counters: DataFrame, probes: DataFrame, col: str) -> DataFrame:
     """Point-frequency estimates for a probe relation: est(x) =
     MIN over the d rows of counter[j, bucket_j(x)] — NEVER an

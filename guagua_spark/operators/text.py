@@ -1837,19 +1837,30 @@ def text_probe_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     over deterministic md5 buckets, constant-size shuffle at any
     corpus, mergeable by addition). ``overcount = cm_est − exact_n``
     is provably ≥ 0 (CM never underestimates); the SQL oracle replays
-    counters, probe minima, and exact counts bit-for-bit."""
-    from guagua_spark.functions.sketch import cm_counters, cm_estimates
+    counters, probe minima, and exact counts bit-for-bit.
+
+    Round 13 (guide §§1.2, 2.3): ONE per-token count relation feeds
+    both the CM fan (cm_counters_weighted — md5s once per distinct
+    token, not per occurrence) and the exact probe counts (a filter of
+    the same relation, replacing a second corpus-wide tokenize pass);
+    the shared tokenize+partial-agg subtree plans a single corpus scan
+    with the second consumer served by exchange reuse. Outputs
+    row-identical (scripts/r13_probe_cm.py); full query A/B at sf0.1:
+    ~3.8 s → ~1.5 s."""
+    from guagua_spark.functions.sketch import (
+        cm_counters_weighted,
+        cm_estimates,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(_tokens()).alias("tok"))
-    counters = cm_counters(toks, "tok")
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+    counters = cm_counters_weighted(tok_counts, "tok", "_n")
     all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
     probes = spark.createDataFrame([(t,) for t in all_terms], "tok string")
     est = cm_estimates(counters, probes, "tok")
-    exact = (
-        toks.filter(F.col("tok").isin(all_terms))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
+    exact = tok_counts.filter(F.col("tok").isin(all_terms)).select(
+        "tok", F.col("_n").alias("exact_n")
     )
     ex = F.coalesce(F.col("exact_n"), F.lit(0))
     return (

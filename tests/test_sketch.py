@@ -274,6 +274,27 @@ def test_cm_never_underestimates_property(spark):
     assert all(est[v] >= exact.get(v, 0) for v in est)
 
 
+def test_cm_counters_weighted_equals_raw_fan(spark):
+    """The pre-aggregated weighted builder (round-13 text_probe_freq_cm
+    path) must produce a counter table bit-identical to fanning the
+    raw occurrence stream — the sum-associativity claim as a test."""
+    from guagua_spark.functions.sketch import (
+        cm_counters,
+        cm_counters_weighted,
+    )
+
+    df = spark.range(0, 20_000, 1, 8).select(
+        (F.col("id") % 450).cast("string").alias("v")
+    )
+    per_value = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    want = sorted(tuple(r) for r in cm_counters(df, "v").collect())
+    got = sorted(
+        tuple(r)
+        for r in cm_counters_weighted(per_value, "v", "n").collect()
+    )
+    assert got == want
+
+
 def test_cm_merge_by_addition(spark):
     """Linear sketch: counter tables of two shards SUM to the union's."""
     from guagua_spark.functions.sketch import cm_counters
