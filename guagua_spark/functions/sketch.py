@@ -582,12 +582,30 @@ def qcm_counters(df: DataFrame, col: str) -> DataFrame:
     bit-identical to fanning the raw stream: bucket(lvl, j, cell) is a
     pure function of its key and integer SUM is associative
     (A/B-measured 3.3 s → 0.9 s at sf0.1; asserted row-identical)."""
+    return qcm_counters_from_per_value(qcm_per_value(df, col))
+
+
+def qcm_per_value(df: DataFrame, col: str) -> DataFrame:
+    """The (vq, n) quantized-domain histogram — the ONE corpus-sized
+    pass behind the dyadic-CM build (≤ 2^QCM_LEVELS rows whatever the
+    corpus). Exposed as a seam (round 13) so a host query that also
+    needs EXACT prefix ranks can aggregate them from this relation
+    instead of re-scanning the corpus — the DuckDB oracle's ``vcnt``
+    CTE has always been shaped this way; sharing one exchange between
+    the counter fan and the exact reads is the Spark mirror of it
+    (guide §2.4, ReusedExchange)."""
     vq = qcm_quantize_col(F.col(col))
-    per_value = (
+    return (
         df.filter(F.col(col).isNotNull())
         .groupBy(vq.alias("vq"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def qcm_counters_from_per_value(per_value: DataFrame) -> DataFrame:
+    """The dyadic fan + cascade of qcm_counters over an existing
+    (vq, n) histogram (see qcm_counters for the counter math and the
+    bit-identity argument)."""
     lvl_fan = F.explode(
         F.array(
             *[

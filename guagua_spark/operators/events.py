@@ -1100,28 +1100,31 @@ def events_value_rank_qcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference counterpart)."""
     from guagua_spark.functions.sketch import (
         QCM_SCALE,
-        qcm_counters,
-        qcm_quantize_col,
+        qcm_counters_from_per_value,
+        qcm_per_value,
         qcm_rank_estimates,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    counters = qcm_counters(ev, "value")
+    # ONE corpus pass: the (vq, n) histogram feeds BOTH the counter
+    # fan and the exact prefix ranks (the oracle's vcnt CTE has always
+    # aggregated `exact` from the pre-agg; this is the Spark mirror —
+    # AQE's ReusedExchange serves the shared groupBy(vq) to both
+    # consumers, guide §2.4). Integer identity: count(1) over raw rows
+    # ≡ SUM(n) over the histogram, and the conditional count is the
+    # same sum restricted by the group key.
+    per_value = qcm_per_value(ev, "value")
+    counters = qcm_counters_from_per_value(per_value)
     probes_q = [int(round(v * QCM_SCALE)) for v in QCM_PROBE_VALUES]
     est = qcm_rank_estimates(counters, probes_q)
-    vq = qcm_quantize_col(F.col("value"))
-    exact_wide = (
-        ev.filter(F.col("value").isNotNull())
-        .select(vq.alias("vq"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            *[
-                F.sum((F.col("vq") <= F.lit(xq)).cast("bigint"))
-                .cast("bigint")
-                .alias(f"x{xq}")
-                for xq in probes_q
-            ],
-        )
+    exact_wide = per_value.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("vq") <= F.lit(xq), F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"x{xq}")
+            for xq in probes_q
+        ],
     )
     stack = ", ".join(f"{xq}L, x{xq}" for xq in probes_q)
     exact = exact_wide.selectExpr(
