@@ -375,3 +375,33 @@ def test_lsh_sampled_twin_matches_its_oracle(spark, oracle_sf_dir, duck):
     df = fn(spark, oracle_sf_dir)
     assert not [c for c in df.columns if c.startswith(("pq_", "apq_"))]
     assert_matches_oracle(df, duck, sql, rtol=1e-6)
+
+
+def test_quantize_rows_memo_shared_once_per_session(spark, sf_dir):
+    """Round-13 continuation: the per-vector quantization audit
+    relation is built ONCE per session (attributed as
+    ``_index:quantize_rows``) and shared by the LOCAL entry and the
+    qnt_* certificate aggregate; clear_caches() drops it and the next
+    consumer pays an attributed rebuild (fresh-process semantics —
+    the memo is session-only by design, never served across
+    processes)."""
+    from guagua_spark.metrics import drain_index_builds
+    from guagua_spark.operators import similarity as sim
+
+    sim.clear_caches()
+    drain_index_builds()
+    first = sorted(
+        map(tuple, sim.embedding_quantize_stats(spark, sf_dir).collect())
+    )
+    built = drain_index_builds()
+    assert "_index:quantize_rows" in built, built
+    cert = sim.quantize_cert_df(spark, sf_dir).collect()
+    assert not drain_index_builds(), "cert aggregate rebuilt the relation"
+    assert cert[0]["qnt_rows"] == len(first) > 0
+    sim.clear_caches()
+    drain_index_builds()
+    again = sorted(
+        map(tuple, sim.embedding_quantize_stats(spark, sf_dir).collect())
+    )
+    assert again == first
+    assert "_index:quantize_rows" in drain_index_builds()
