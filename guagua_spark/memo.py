@@ -34,6 +34,37 @@ def unpersist_all(cache: dict) -> None:
     cache.clear()
 
 
+def session_index(
+    cache: dict,
+    sf_dir: str,
+    fingerprint,
+    index_name: str,
+    build,
+) -> DataFrame:
+    """persisted_index minus the durable tier: the same session-memo
+    policy (fingerprint check, one-live-entry eviction,
+    persist(MEMORY_AND_DISK) + count, build time attributed via
+    timed_index_build as ``_index:<name>``) with NO cross-process
+    write-through. For relations that must stay session-only — e.g.
+    an audit relation that IS (modulo sort) some query's own output,
+    where serving it across processes would cross the result-caching
+    line (round 13's quantize_rows). Centralized here so the policy
+    cannot drift across hand-rolled copies (ADVICE r13)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from guagua_spark.metrics import timed_index_build
+
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    unpersist_all(cache)
+    with timed_index_build(index_name):
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+    cache[sf_dir] = (fingerprint, df)
+    return df
+
+
 def persisted_index(
     cache: dict,
     sf_dir: str,

@@ -69,3 +69,45 @@ def drain_index_builds() -> dict[str, float]:
     out = dict(INDEX_BUILD_TIMES)
     INDEX_BUILD_TIMES.clear()
     return out
+
+
+# -- executed-plan capture for checkpointing operators -----------------------
+#
+# Five operators (events_bloom_semijoin, dedup_spans, graph_pagerank /
+# graph_bfs_depth / graph_triangles) return an eager localCheckpoint,
+# so the DataFrame the bench lane sees is an ExistingRDD stub and the
+# drift-immune plan-metrics tripwire recorded nothing for them
+# (VERDICT r13 item 3). The checkpoint call itself EXECUTES the real
+# plan, so the operators snapshot their pre-checkpoint DataFrame here
+# right after checkpointing; bench.py drains the registry per LOCAL
+# entry. Iterative operators (pagerank/BFS) record once per round —
+# last-wins keeps the FINAL round's plan, the stable shape.
+
+PLAN_SNAPSHOTS: dict[str, dict[str, int]] = {}
+
+
+def record_plan(name: str, df) -> None:
+    """Snapshot structural metrics of ``df``'s EXECUTED plan (call
+    after an action — e.g. right after ``df.localCheckpoint(True)`` —
+    so AQE's final plan is what gets counted). Never raises: plan
+    capture must not break a query path."""
+    import re
+
+    try:
+        p = df._jdf.queryExecution().executedPlan().toString()
+        p = p.split("== Initial Plan ==")[0]
+        PLAN_SNAPSHOTS[name] = {
+            "shuffles": len(re.findall(r"\bExchange\b", p)),
+            "broadcasts": p.count("BroadcastExchange"),
+            "sorts": len(re.findall(r"\bSort\b", p)),
+            "scans": p.count("Scan parquet"),
+        }
+    except Exception:
+        pass
+
+
+def drain_plan_snapshots() -> dict[str, dict[str, int]]:
+    """Return and clear all recorded plan snapshots."""
+    out = dict(PLAN_SNAPSHOTS)
+    PLAN_SNAPSHOTS.clear()
+    return out

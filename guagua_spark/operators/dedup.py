@@ -1889,21 +1889,29 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     INC_SPLIT) that near-duplicates the standing corpus (doc_id <
     INC_SPLIT), report the lowest matching corpus doc, the match count,
     and the best Jaccard — the verdict an ingestion pipeline uses to
-    drop already-known documents before they enter the corpus. Built on
-    minhash_pairs_between (new×old bucket collisions only)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    pairs = minhash_pairs_between(
-        docs.filter(F.col("doc_id") >= INC_SPLIT),
-        docs.filter(F.col("doc_id") < INC_SPLIT),
+    drop already-known documents before they enter the corpus.
+
+    Round 14 (guide §2.4, VERDICT item 5): computed from the SESSION
+    PAIR INDEX (_minhash_pair_df — the shared LSH index with 4+ other
+    consumers) restricted to (old, new) endpoints, which equals
+    minhash_pairs_between exactly: bucket membership and the Jaccard
+    verify are per-doc/per-pair, and with an id-based split every
+    cross pair has doc_a on the old side — the same argument this
+    operator's own oracle has ALWAYS replayed (it filters the full
+    pair CTE), and the same restriction dedup_exact_stats' inc_* cert
+    columns have hash-certified since round 4. Before this the entry
+    re-ran the full double-sided signature+bucket+verify pipeline per
+    call (~2.7 s LOCAL) next to an already-memoized identical pair
+    graph. minhash_pairs_between stays as the primitive for true
+    incremental ingest (a batch that is NOT part of the standing
+    corpus relation)."""
+    pairs = _minhash_pair_df(spark, sf_dir).filter(
+        (F.col("doc_a") < INC_SPLIT) & (F.col("doc_b") >= INC_SPLIT)
     )
     return (
-        pairs.groupBy(F.col("new_id").alias("doc_id"))
+        pairs.groupBy(F.col("doc_b").alias("doc_id"))
         .agg(
-            F.min("old_id").alias("dup_of"),
+            F.min("doc_a").alias("dup_of"),
             F.count(F.lit(1)).alias("n_matches"),
             F.max("jaccard").alias("best_jaccard"),
         )
@@ -2066,7 +2074,11 @@ def dedup_spans_df(docs: DataFrame, materialize: bool = True) -> DataFrame:
     # doc-grain result (one row per affected doc) — materialize so
     # the shingle-proxy cache releases before return (the
     # pagerank/triangles discipline)
-    out = out.localCheckpoint(eager=True)
+    lazy = out
+    out = lazy.localCheckpoint(eager=True)
+    from guagua_spark.metrics import record_plan
+
+    record_plan("dedup_spans", lazy)
     pos.unpersist()
     return out
 

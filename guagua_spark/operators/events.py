@@ -895,7 +895,7 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_buyers"),
         )
     )
-    out = (
+    lazy = (
         # Σ _pass over the ≤|event-type-domain| grouped rows — a
         # single-partition window over a domain-bounded relation
         g.withColumn(
@@ -911,10 +911,15 @@ def events_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blm_pass",
         )
         .orderBy("event_type")
-        .localCheckpoint(eager=True)  # ≤|types| rows — materialize
-        # eagerly (the buyer relation now belongs to the session memo,
-        # which owns its release)
     )
+    out = lazy.localCheckpoint(eager=True)  # ≤|types| rows —
+    # materialize eagerly (the buyer relation now belongs to the
+    # session memo, which owns its release)
+    from guagua_spark.metrics import record_plan
+
+    # the checkpoint above EXECUTED the real plan; snapshot it for the
+    # bench plan-metrics tripwire (the returned frame is a stub)
+    record_plan("events_bloom_semijoin", lazy)
     return out
 
 
@@ -1117,10 +1122,21 @@ def events_value_rank_qcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = qcm_counters_from_per_value(per_value)
     probes_q = [int(round(v * QCM_SCALE)) for v in QCM_PROBE_VALUES]
     est = qcm_rank_estimates(counters, probes_q)
+    # coalesce: SUM over a zero-row histogram (empty/all-null corpus)
+    # is NULL where the pre-refactor COUNT(1) forms yielded 0 — keep
+    # the degenerate-input behavior identical (ADVICE r13); on any
+    # non-empty corpus the coalesce is a no-op
     exact_wide = per_value.agg(
-        F.sum("n").cast("bigint").alias("n"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
         *[
-            F.sum(F.when(F.col("vq") <= F.lit(xq), F.col("n")).otherwise(F.lit(0)))
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("vq") <= F.lit(xq), F.col("n")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias(f"x{xq}")
             for xq in probes_q

@@ -132,7 +132,13 @@ def pagerank(
     # materialize the final vector (node-sized) so the caches can be
     # dropped before returning — the returned frame carries no lineage
     # into the unpersisted relations
-    ranks = ranks.localCheckpoint(eager=True)
+    final = ranks
+    ranks = final.localCheckpoint(eager=True)
+    from guagua_spark.metrics import record_plan
+
+    # checkpoint executed the final-round plan; snapshot for the bench
+    # plan tripwire (the returned frame is a stub)
+    record_plan("graph_pagerank", final)
     if owns_relations:
         nodes.unpersist()
         w.unpersist()
@@ -520,7 +526,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     here)."""
     edges = _affinity_edges_cached(spark, sf_dir)
     cnt = triangle_counts(edges).persist()
-    out = _triangles_result_plan(cnt).localCheckpoint(eager=True)
+    lazy = _triangles_result_plan(cnt)
+    out = lazy.localCheckpoint(eager=True)
+    from guagua_spark.metrics import record_plan
+
+    record_plan("graph_triangles", lazy)
     cnt.unpersist()
     return out
 
@@ -724,6 +734,12 @@ def bfs_depths(
                 .persist()
             )
             c = nxt.count()  # the round's ONLY action
+            from guagua_spark.metrics import record_plan
+
+            # per-round layer plan (count() executed it); last-wins
+            # keeps the final round — the returned frame is a
+            # checkpoint stub the bench tripwire can't see
+            record_plan("graph_bfs_depth", nxt)
             if c == 0:
                 nxt.unpersist()
                 break

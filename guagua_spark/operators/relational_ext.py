@@ -861,40 +861,63 @@ def rx_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to 2-itemsets, which at 100 TB is the part that's a
     JOIN problem rather than a lattice-search problem.
 
-    Shape at scale: basket distinct + the pair self-join share one
-    l_orderkey exchange (fan-out C(basket, 2) — bounded by basket
-    size); pair and item supports are partial-agg groupBys; the top-m
-    pair prune is TakeOrderedAndProject (per-partition heaps); the two
-    item-support lookups then join the part-sized support relation
-    against a BROADCAST 20-row side, so no corpus-scale work follows
-    the prune. Divisions are IEEE-exact on integer counts — both
-    engines derive bit-identical doubles."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Shape at scale (rewritten round 14, guide §§2.3–2.4 — the r13
+    plan ran FIVE lineitem scans and five (o,p) distincts, one per
+    reference of the li CTE): ONE scan feeds a single
+    groupBy(l_orderkey).collect_set basket relation (map-side partial
+    dedup, one corpus exchange) whose exchange is runtime-reused by
+    all three consumers — pair supports (a JVM higher-order pair
+    explode over the sorted basket, fan-out C(basket, 2) — bounded by
+    basket size, exactly the old self-join's output), item supports
+    (explode + partial-agg groupBy), and the order count (count of
+    baskets, no further exchange). The top-m pair prune is
+    TakeOrderedAndProject (per-partition heaps); the two item-support
+    lookups then join the part-sized support relation against a
+    BROADCAST 20-row side, so no corpus-scale work follows the prune.
+    Divisions are IEEE-exact on integer counts — both engines derive
+    bit-identical doubles.
+
+    Equivalence to the join form (the oracle still replays that):
+    sort_array(collect_set) per order ≡ the (o,p) distinct restricted
+    to one order; pairs (x, y) with x < y from the sorted array are
+    exactly the self-join's survivors; count-of-groups ≡ distinct
+    order count (a group exists iff the order has ≥1 row); NULL
+    partkeys can't reach the output either way (collect_set drops
+    them here; a NULL never satisfies part_a < part_b or an equi-join
+    there)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    left = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    right = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
     )
     pair_sup = (
-        left.join(right, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("sup_ab"))
     )
     top = pair_sup.orderBy(
         F.col("sup_ab").desc(), "part_a", "part_b"
     ).limit(RULES_TOPK)
-    item_sup = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("sup_item")
+    item_sup = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("sup_item"))
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     rules_a = item_sup.join(
         F.broadcast(top),
         item_sup["l_partkey"] == top["part_a"],

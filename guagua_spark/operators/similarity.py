@@ -945,27 +945,25 @@ SELECT * FROM balcells ORDER BY cell
 """.strip()
 
 
-#: session memo of the per-vector quantization audit relation —
-#: sf_dir → (embeddings fingerprint, persisted rows DF). Its two
-#: consumers (the LOCAL entry and the ``qnt_*`` cert build riding
-#: ann_ivf_topk) each re-ran the ~400-interpreted-ops/row HOF chain
-#: over the full embedding table before round 13. The relation is the
-#: per-vector CODE METADATA of int8 quantization — the same
-#: stored-index class as `_IVF_CELLS_CACHE` (40 B/row pinned, never
-#: embedding-sized). Deliberately session-only (no durable
-#: write-through, unlike persisted_index): the rows ARE the
-#: embedding_quantize_stats output modulo sort, and serving a LOCAL
-#: query's own output across processes would be result caching — a
-#: fresh session always pays the build, attributed as
-#: ``_index:quantize_rows``.
+#: session memo of the per-vector quantization audit relation for the
+#: ``qnt_*`` CERT BUILD ONLY — sf_dir → (embeddings fingerprint,
+#: persisted rows DF). Round 14 redraws the round-13 line (VERDICT
+#: item 7): the audit rows are (modulo sort) the LOCAL
+#: embedding_quantize_stats output, so serving the LOCAL entry from
+#: this memo made its lane time a cache read instead of operator
+#: work. The LOCAL entry now recomputes the lazy plan per call
+#: (sub-second warm — the ensure_parallelism fan-out was the real
+#: fix); only the certificate aggregate (riding ann_ivf_topk) keeps
+#: the memo, where it prevents the cert from re-running the HOF chain
+#: once per host-row invocation. Session-only (no durable
+#: write-through) for the same result-caching reason as before;
+#: a fresh process pays the build, attributed ``_index:quantize_rows``.
 _QUANT_ROWS_CACHE: dict = {}
 
 
-def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered per-vector quantization audit rows (vec_id, mn, mx,
-    qsum, max_err) — shared by the standalone LOCAL query and the
-    ``qnt_*`` certificate inside ann_ivf_topk (one session-memoized
-    build, see _QUANT_ROWS_CACHE). Every expression is a
+def _quantize_audit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY per-vector quantization audit plan (vec_id, mn, mx,
+    qsum, max_err) — no persist, no memo. Every expression is a
     composition of IEEE-exact double ops (+ − × ÷, round, abs,
     min/max) — NO libm calls — so per-row values are bit-identical
     between Spark and DuckDB and integer rollups over them are safe to
@@ -978,20 +976,6 @@ def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole ~400-op/row chain ran in a single task (measured 5.7 s
     warm at sf0.1 vs sub-second fanned; a 100 TB scan has thousands
     of splits, so this is a no-op at scale)."""
-    import time as _time
-
-    from pyspark.storagelevel import StorageLevel
-
-    from guagua_spark.memo import unpersist_all
-    from guagua_spark.metrics import record_index_build
-    from guagua_spark.sources.tables import table_fingerprint
-
-    fp = table_fingerprint(sf_dir, "embeddings")
-    hit = _QUANT_ROWS_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    unpersist_all(_QUANT_ROWS_CACHE)
-    t0 = _time.monotonic()
     e = F.col("embedding").cast("array<double>")
     mn, mx = F.array_min(e), F.array_max(e)
     sc = F.when(mx != mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
@@ -999,25 +983,33 @@ def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon_err = F.transform(
         e, lambda x: F.abs(x - (mn + F.round((x - mn) / sc) * sc))
     )
-    df = (
-        ensure_parallelism(
-            load_table(spark, sf_dir, "embeddings"), spark
-        )
-        .select(
-            "vec_id",
-            mn.alias("mn"),
-            mx.alias("mx"),
-            F.aggregate(q, F.lit(0.0), lambda acc, v: acc + v)
-            .cast("bigint")
-            .alias("qsum"),
-            F.array_max(recon_err).alias("max_err"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings"), spark
+    ).select(
+        "vec_id",
+        mn.alias("mn"),
+        mx.alias("mx"),
+        F.aggregate(q, F.lit(0.0), lambda acc, v: acc + v)
+        .cast("bigint")
+        .alias("qsum"),
+        F.array_max(recon_err).alias("max_err"),
     )
-    df.count()
-    record_index_build("quantize_rows", _time.monotonic() - t0)
-    _QUANT_ROWS_CACHE[sf_dir] = (fp, df)
-    return df
+
+
+def _quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized audit rows for quantize_cert_df (see
+    _QUANT_ROWS_CACHE's line-drawing note — the LOCAL entry does NOT
+    use this)."""
+    from guagua_spark.memo import session_index
+    from guagua_spark.sources.tables import table_fingerprint
+
+    return session_index(
+        _QUANT_ROWS_CACHE,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+        "quantize_rows",
+        lambda: _quantize_audit_plan(spark, sf_dir),
+    )
 
 
 #: oracle-tested locally AND driver-certified via the qnt_* columns on
@@ -1033,8 +1025,12 @@ def embedding_quantize_stats(
     Entirely JVM-side: array_min/max + a transform/aggregate fold per
     row, no shuffle beyond the presentation sort. Constant vectors
     (mx = mn) take scale 1 so every code is 0 and reconstruction is
-    exact."""
-    return _quantize_rows(spark, sf_dir).orderBy("vec_id")
+    exact.
+
+    Deliberately NOT memo-served (round 14): the audit rows are this
+    query's own output, so the LOCAL lane must time the real compute
+    — see _QUANT_ROWS_CACHE."""
+    return _quantize_audit_plan(spark, sf_dir).orderBy("vec_id")
 
 
 def quantize_cert_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -377,14 +377,14 @@ def test_lsh_sampled_twin_matches_its_oracle(spark, oracle_sf_dir, duck):
     assert_matches_oracle(df, duck, sql, rtol=1e-6)
 
 
-def test_quantize_rows_memo_shared_once_per_session(spark, sf_dir):
-    """Round-13 continuation: the per-vector quantization audit
-    relation is built ONCE per session (attributed as
-    ``_index:quantize_rows``) and shared by the LOCAL entry and the
-    qnt_* certificate aggregate; clear_caches() drops it and the next
-    consumer pays an attributed rebuild (fresh-process semantics —
-    the memo is session-only by design, never served across
-    processes)."""
+def test_quantize_rows_memo_cert_only(spark, sf_dir):
+    """Round 14 redraws the round-13 memo line (VERDICT item 7): the
+    LOCAL entry embedding_quantize_stats RECOMPUTES its audit relation
+    per call (its lane must time operator work, not a cache read —
+    the rows are the query's own output), while the qnt_* certificate
+    aggregate keeps the session memo (built once, attributed as
+    ``_index:quantize_rows``, session-only — never served across
+    processes). Values from the two paths are identical."""
     from guagua_spark.metrics import drain_index_builds
     from guagua_spark.operators import similarity as sim
 
@@ -393,15 +393,20 @@ def test_quantize_rows_memo_shared_once_per_session(spark, sf_dir):
     first = sorted(
         map(tuple, sim.embedding_quantize_stats(spark, sf_dir).collect())
     )
+    # the LOCAL entry must NOT build (or be served by) the memo
+    assert not drain_index_builds(), "LOCAL entry touched the memo"
+    cert = sim.quantize_cert_df(spark, sf_dir).collect()
     built = drain_index_builds()
     assert "_index:quantize_rows" in built, built
-    cert = sim.quantize_cert_df(spark, sf_dir).collect()
-    assert not drain_index_builds(), "cert aggregate rebuilt the relation"
     assert cert[0]["qnt_rows"] == len(first) > 0
+    cert2 = sim.quantize_cert_df(spark, sf_dir).collect()
+    assert not drain_index_builds(), "cert aggregate rebuilt the relation"
+    assert cert2 == cert
+    # memoized cert rows aggregate the same relation the entry computes
+    qsum = sum(r[3] for r in first)
+    assert cert[0]["qnt_code_sum"] == qsum
     sim.clear_caches()
-    drain_index_builds()
     again = sorted(
         map(tuple, sim.embedding_quantize_stats(spark, sf_dir).collect())
     )
     assert again == first
-    assert "_index:quantize_rows" in drain_index_builds()
