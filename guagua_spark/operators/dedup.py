@@ -939,6 +939,15 @@ def ngram_jaccard_pairs_for(raw_docs: DataFrame, par: int) -> DataFrame:
     #    J ≥ t needs |∩| ≥ ⌈t·(n_a+n_b)/(1+t)⌉. Dropping a row for a
     #    non-smallest common token is safe — the smallest one's row
     #    survives and the pair reaches distinct anyway.
+    # The All-Pairs indexing-prefix asymmetry (smaller side only needs
+    # its first n − ⌈(2t/(1+t))·n⌉ + 1 tokens) was implemented and
+    # A/B'd in round 14: REJECTED — under the df (rarest-first) global
+    # order the prune removed 0 of 131,507 join rows at sf0.1 (row-set
+    # proven identical first), because candidates only ever collide on
+    # rare tokens at the very FRONT of both prefixes; the deep-prefix
+    # collisions the asymmetry targets are exactly what df-ordering
+    # already starves. Wall was flat (2.87 vs 2.80 s median). See
+    # OPTIMIZATION_r14.md.
     inv_t = 1.0 / JACCARD_THRESHOLD
     t_frac = JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD)
     min_overlap = F.ceil((F.col("a.n") + F.col("b.n")) * F.lit(t_frac))
