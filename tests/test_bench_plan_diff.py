@@ -61,3 +61,24 @@ def test_unchanged_plan_is_silent():
         {"q": _m(shuffles=2, sorts=1, scans=3, broadcasts=1)},
     )
     assert reg == {} and info == {}
+
+
+def test_plan_snapshot_defers_stringify_and_drains(spark):
+    """record_plan stores only the DataFrame ref (stringifying the
+    executed plan per call cost ~0.1 s driver-side — BFS records once
+    per ROUND, measured +0.9 s before the deferral); the structural
+    counts are computed once per name at drain time, last-wins, and
+    the registry clears."""
+    from guagua_spark import metrics
+
+    metrics.drain_plan_snapshots()
+    df = spark.range(100).selectExpr("id % 7 AS k").groupBy("k").count()
+    df.collect()
+    metrics.record_plan("probe", spark.range(3))  # overwritten below
+    metrics.record_plan("probe", df)  # last-wins
+    snaps = metrics.drain_plan_snapshots()
+    assert set(snaps) == {"probe"}
+    m = snaps["probe"]
+    assert set(m) == {"shuffles", "broadcasts", "sorts", "scans"}
+    assert m["shuffles"] >= 1  # the groupBy exchange
+    assert metrics.drain_plan_snapshots() == {}  # drained
