@@ -1787,8 +1787,19 @@ def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    ca = cm_counters(clicks, "user_id")
-    cb = cm_counters(purchases, "user_id")
+    # each counter table feeds TWO consumers (the inner product and
+    # its checksum) and the executed plan rebuilt it per consumer —
+    # four corpus scans + four md5 fans for two ≤depth×width=4096-row
+    # relations (round-14 plan audit; runtime exchange reuse does not
+    # cover them). Materialize each once — domain-bounded whatever the
+    # corpus size, the bloom/triangles eager-checkpoint precedent
+    # (guide §2.4: don't recompute what two branches share).
+    from guagua_spark.metrics import record_plan
+
+    ca_lazy = cm_counters(clicks, "user_id")
+    ca = ca_lazy.localCheckpoint(eager=True)
+    record_plan("events_join_size_cm:counters", ca_lazy)
+    cb = cm_counters(purchases, "user_id").localCheckpoint(eager=True)
 
     def _chk(c: DataFrame, name: str) -> DataFrame:
         from guagua_spark.functions.sketch import CM_WIDTH
