@@ -734,12 +734,20 @@ def bfs_depths(
                 .persist()
             )
             c = nxt.count()  # the round's ONLY action
-            from guagua_spark.metrics import record_plan
+            if d == 1:
+                from guagua_spark.metrics import record_plan
 
-            # per-round layer plan (count() executed it); last-wins
-            # keeps the final round — the returned frame is a
-            # checkpoint stub the bench tripwire can't see
-            record_plan("graph_bfs_depth", nxt)
+                # snapshot the FIRST round's executed layer plan (the
+                # returned frame is a checkpoint stub the bench
+                # tripwire can't see). Round 1, not the last: the
+                # final round's anti-join sits near the AQE broadcast
+                # threshold and flips BHJ↔SMJ run-to-run (observed
+                # shuffles 6↔7 on identical code), which would
+                # false-alarm the plan diff; round 1's relations are
+                # far from any threshold, and a code change that adds
+                # a shuffle to the per-round layer shows up in round 1
+                # all the same
+                record_plan("graph_bfs_depth", nxt)
             if c == 0:
                 nxt.unpersist()
                 break
