@@ -1791,15 +1791,24 @@ def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its checksum) and the executed plan rebuilt it per consumer —
     # four corpus scans + four md5 fans for two ≤depth×width=4096-row
     # relations (round-14 plan audit; runtime exchange reuse does not
-    # cover them). Materialize each once — domain-bounded whatever the
-    # corpus size, the bloom/triangles eager-checkpoint precedent
-    # (guide §2.4: don't recompute what two branches share).
+    # cover them). Materialize BOTH in one tagged-union checkpoint —
+    # domain-bounded (≤2·depth·width rows) whatever the corpus, ONE
+    # extra job (the per-counter-checkpoint variant serialized two
+    # materialization jobs and measured +0.3–0.4 s at sf1; the union
+    # keeps the two counter scans parallel inside the one job and
+    # matched or beat the rebuild form at sf0.1 AND sf1 — A/B in
+    # OPTIMIZATION_r14.md). 5 corpus scans → 3.
     from guagua_spark.metrics import record_plan
 
-    ca_lazy = cm_counters(clicks, "user_id")
-    ca = ca_lazy.localCheckpoint(eager=True)
-    record_plan("events_join_size_cm:counters", ca_lazy)
-    cb = cm_counters(purchases, "user_id").localCheckpoint(eager=True)
+    tagged_lazy = cm_counters(clicks, "user_id").withColumn(
+        "side", F.lit("a")
+    ).unionByName(
+        cm_counters(purchases, "user_id").withColumn("side", F.lit("b"))
+    )
+    tagged = tagged_lazy.localCheckpoint(eager=True)
+    record_plan("events_join_size_cm:counters", tagged_lazy)
+    ca = tagged.filter(F.col("side") == "a").drop("side")
+    cb = tagged.filter(F.col("side") == "b").drop("side")
 
     def _chk(c: DataFrame, name: str) -> DataFrame:
         from guagua_spark.functions.sketch import CM_WIDTH
